@@ -1,0 +1,153 @@
+"""Single-node oracle: the pinned source of truth for ranking fixtures.
+
+A plain-Python/dict reference implementation of the whole engine —
+docs build, inverted index, BM25 + legacy-reftf search — independent of
+Spark (SURVEY.md §5 item 2). It shares exactly one module with the engine:
+the pinned analyzer (``search_engine_spark.functions.analyze``) and the
+pinned scoring math (``functions.scoring``), because rank-identity is
+defined BY those pins.
+
+Search semantics pinned from the reference (SearchServiceImpl.java):
+- all query lemmas bind (missing → df=0)                   (:148-155)
+- query dies iff the RAREST lemma's df > 5% of scope docs  (:156-163)
+- conjunctive AND over ALL terms' posting sets             (:166-188)
+- single-term: posting count must also pass the threshold  (:136-139)
+- tiebreak (score desc, doc_id asc); offset/limit clamped  (:113-116, 359-364)
+"""
+
+from __future__ import annotations
+
+import zlib
+from dataclasses import dataclass, field
+
+import pandas as pd
+
+from search_engine_spark import BM25_B, BM25_K1
+from search_engine_spark.functions.analyze import analyze, query_lemmas
+from search_engine_spark.functions.scoring import (
+    bm25_idf,
+    bm25_term_score,
+    df_cutoff,
+    query_killed_by_cutoff,
+)
+
+N_SCOPES = 4
+
+
+def scope_of(conv_id: str) -> str:
+    """Pinned scope derivation (FIXTURES.md §2): crc32 so Spark's native
+    ``crc32`` reproduces it with no UDF."""
+    return f"scope-{zlib.crc32(conv_id.encode('utf-8')) % N_SCOPES}"
+
+
+@dataclass
+class OracleIndex:
+    docs: pd.DataFrame = field(default_factory=pd.DataFrame)  # doc_id-indexed
+    postings: dict = field(default_factory=dict)   # lemma -> {doc_id: tf}
+    lemma_df: dict = field(default_factory=dict)   # (scope, lemma) -> df
+    lemma_cf: dict = field(default_factory=dict)   # (scope, lemma) -> cf
+    scope_docs: dict = field(default_factory=dict)  # scope -> [doc_ids]
+    doc_len: dict = field(default_factory=dict)     # doc_id -> len
+    doc_scope: dict = field(default_factory=dict)   # doc_id -> scope
+
+
+def build_docs(transcripts: pd.DataFrame) -> pd.DataFrame:
+    """transcripts → docs with dense 1-based doc_id over (conv_id, turn_idx)."""
+    d = transcripts.sort_values(["conv_id", "turn_idx"], kind="mergesort").reset_index(drop=True)
+    d["doc_id"] = range(1, len(d) + 1)
+    d["scope"] = [scope_of(c) for c in d["conv_id"]]
+    d["doc_len"] = [len(analyze(t)) for t in d["text"]]
+    return d[["doc_id", "conv_id", "turn_idx", "role", "tool", "ts", "scope", "text", "doc_len"]]
+
+
+def build_index(transcripts: pd.DataFrame) -> OracleIndex:
+    idx = OracleIndex()
+    docs = build_docs(transcripts)
+    idx.docs = docs.set_index("doc_id", drop=False)
+    for row in docs.itertuples(index=False):
+        doc_id, scope = row.doc_id, row.scope
+        idx.doc_scope[doc_id] = scope
+        idx.scope_docs.setdefault(scope, []).append(doc_id)
+        lemmas = analyze(row.text)
+        idx.doc_len[doc_id] = len(lemmas)
+        counts: dict[str, int] = {}
+        for lem in lemmas:
+            counts[lem] = counts.get(lem, 0) + 1
+        for lem, tf in counts.items():
+            idx.postings.setdefault(lem, {})[doc_id] = tf
+            idx.lemma_df[(scope, lem)] = idx.lemma_df.get((scope, lem), 0) + 1
+            idx.lemma_cf[(scope, lem)] = idx.lemma_cf.get((scope, lem), 0) + tf
+    return idx
+
+
+def _scope_doc_ids(idx: OracleIndex, scope: str | None) -> list[int]:
+    if scope is None:
+        return sorted(idx.doc_len)
+    return sorted(idx.scope_docs.get(scope, []))
+
+
+def _df_of(idx: OracleIndex, lemma: str, scope: str | None) -> int:
+    if scope is None:
+        return sum(v for (s, l), v in idx.lemma_df.items() if l == lemma)
+    return idx.lemma_df.get((scope, lemma), 0)
+
+
+def search(
+    idx: OracleIndex,
+    query: str,
+    scope: str | None = None,
+    k: int = 10,
+    offset: int = 0,
+    scorer: str = "bm25",
+) -> list[tuple[int, float]]:
+    """Top-k (doc_id, float64 score), pinned semantics. Returns [] on any
+    cutoff/no-match path."""
+    terms = query_lemmas(query)  # sorted unique lemmas
+    if not terms:
+        return []
+    scope_ids = _scope_doc_ids(idx, scope)
+    n_docs = len(scope_ids)
+    if n_docs == 0:
+        return []
+    dfs = [_df_of(idx, t, scope) for t in terms]
+    if query_killed_by_cutoff(dfs, n_docs):
+        return []
+
+    scope_set = set(scope_ids)
+    matched: set[int] | None = None
+    for t in terms:
+        docs_t = {d for d in idx.postings.get(t, {}) if d in scope_set}
+        matched = docs_t if matched is None else (matched & docs_t)
+        if not matched:
+            return []
+    assert matched is not None
+    if len(terms) == 1 and len(matched) > df_cutoff(n_docs):
+        # single-term extra gate (SearchServiceImpl.java:136-139)
+        return []
+
+    avg_len = sum(idx.doc_len[d] for d in scope_ids) / n_docs
+    scores: dict[int, float] = {}
+    if scorer == "bm25":
+        for t, df in zip(terms, dfs):  # lexicographic term order (pinned)
+            idf = bm25_idf(df, n_docs)
+            plist = idx.postings.get(t, {})
+            for d in matched:
+                scores[d] = scores.get(d, 0.0) + bm25_term_score(
+                    float(plist[d]), float(idx.doc_len[d]), avg_len, idf,
+                    BM25_K1, BM25_B,
+                )
+    elif scorer == "reftf":
+        # absolute relevance = Σtf / max tf (SearchServiceImpl.java:335-357)
+        for d in matched:
+            tfs = [float(idx.postings[t][d]) for t in terms]
+            scores[d] = sum(tfs) / max(tfs)
+        mx = max(scores.values())
+        if mx > 0:
+            scores = {d: s / mx for d, s in scores.items()}
+    else:
+        raise ValueError(f"unknown scorer {scorer!r}")
+
+    ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+    lo = max(0, min(offset, len(ranked)))
+    hi = max(lo, min(offset + k, len(ranked)))
+    return ranked[lo:hi]
