@@ -1,0 +1,48 @@
+"""Vectorized pandas/Arrow UDF wrappers around the pure cores.
+
+The single heavy UDF of the build is the tokenizer (north star:
+"tokenization and lemma normalization via vectorized pandas/Arrow UDFs").
+Everything downstream is native Catalyst. Reference analog: the Lucene
+morphology call inside LemmaFinder (services/LemmaFinder.java:49-59).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, StringType
+
+from search_engine_spark.functions.analyze import (
+    STOPWORDS,
+    TOKEN_RE,
+    fold,
+    lemmatize,
+)
+
+
+def _analyze_batch(texts: pd.Series) -> pd.Series:
+    """Batch analyzer with a per-batch lemma memo (Zipf token reuse makes
+    the memo hit rate very high, so lemmatize() runs ~once per unique
+    token per Arrow batch, not once per occurrence)."""
+    memo: dict[str, str] = {}
+    stop = STOPWORDS
+    findall = TOKEN_RE.findall
+
+    def one(text):
+        if not text:
+            return []
+        out = []
+        for tok in findall(fold(text)):
+            if tok in stop:
+                continue
+            lem = memo.get(tok)
+            if lem is None:
+                lem = lemmatize(tok)
+                memo[tok] = lem
+            out.append(lem)
+        return out
+
+    return texts.map(one)
+
+
+tokenize_lemmatize = pandas_udf(_analyze_batch, ArrayType(StringType()))

@@ -1,0 +1,180 @@
+"""Query path: exact BM25 (and legacy reftf) over flat postings.
+
+Spark lifecycle (SURVEY.md §3.1): query string → driver-side analysis →
+bind against (tiny, collected) stats → df-cutoff prune → postings scan
+pruned to query lemmas via an ``IN`` predicate (pushed into the parquet
+scan) → native hash-agg conjunction + scoring → TakeOrderedAndProject.
+
+Float determinism (SURVEY.md §4 item 6): per-term scores are aggregated
+into SEPARATE columns (one agg per query term — at most one posting per
+(doc, term), so no reordered float additions), then summed left-to-right
+in lexicographic term order — bit-identical to the oracle's accumulation.
+idf is computed driver-side with the same libm ``math.log``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from search_engine_spark import BM25_B, BM25_K1
+from search_engine_spark.functions.analyze import query_lemmas
+from search_engine_spark.functions.scoring import bm25_idf, query_killed_by_cutoff
+from search_engine_spark.schemas import SEARCH_RESULT
+
+
+def _empty(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame([], SEARCH_RESULT)
+
+
+def _scope_stats(doc_stats: DataFrame, scope: str | None) -> tuple[int, float]:
+    """(n_docs, avg_doc_len) for the scope, or global. doc_stats has one
+    row per scope (4 here) — a driver collect, the broadcast-stats analog."""
+    rows = doc_stats.collect()
+    if scope is not None:
+        rows = [r for r in rows if r["scope"] == scope]
+    n = sum(r["n_docs"] for r in rows)
+    if n == 0:
+        return 0, 0.0
+    total_len = sum(r["sum_doc_len"] for r in rows)
+    return n, total_len / n
+
+
+def _term_dfs(
+    lemma_stats: DataFrame, terms: list[str], scope: str | None
+) -> dict[str, int]:
+    """Per-term document frequency in scope (J1 — the dictionary lookup;
+    the filtered side is ≤ |terms| × |scopes| rows)."""
+    ls = lemma_stats.filter(F.col("lemma").isin(terms))
+    if scope is not None:
+        ls = ls.filter(F.col("scope") == scope)
+    agg = ls.groupBy("lemma").agg(F.sum("df").alias("df")).collect()
+    found = {r["lemma"]: int(r["df"]) for r in agg}
+    return {t: found.get(t, 0) for t in terms}
+
+
+def _candidates(
+    postings_flat: DataFrame, terms: list[str], scope: str | None
+) -> DataFrame:
+    """Postings of the query terms — the ``IN`` filter reaches the parquet
+    scan as a pushed filter (partition/file pruning once postings are
+    bucketed by lemma). Reference analog J2 (posting-list fetch)."""
+    cand = postings_flat.filter(F.col("lemma").isin(terms))
+    if scope is not None:
+        cand = cand.filter(F.col("scope") == scope)
+    return cand
+
+
+def _paginate(scored: DataFrame, k: int, offset: int) -> DataFrame:
+    """orderBy + limit(offset+k) → TakeOrderedAndProject; the offset slice
+    runs on ≤ offset+k rows (O2, SearchServiceImpl.java:359-364)."""
+    top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(offset + k)
+    if offset == 0:
+        return top.select("doc_id", "score")
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        top.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") > offset)
+        .select("doc_id", "score")
+    )
+
+
+def bm25_search(
+    postings_flat: DataFrame,
+    lemma_stats: DataFrame,
+    doc_stats: DataFrame,
+    query: str,
+    scope: str | None = None,
+    k: int = 10,
+    offset: int = 0,
+) -> DataFrame:
+    """Top-k conjunctive BM25 → DataFrame(doc_id, score), pinned semantics
+    (oracle.search is the twin)."""
+    spark = postings_flat.sparkSession
+    terms = query_lemmas(query)
+    if not terms:
+        return _empty(spark)
+    n_docs, avg_len = _scope_stats(doc_stats, scope)
+    if n_docs == 0:
+        return _empty(spark)
+    dfs = _term_dfs(lemma_stats, terms, scope)
+    if query_killed_by_cutoff(list(dfs.values()), n_docs):
+        return _empty(spark)
+
+    cand = _candidates(postings_flat, terms, scope)
+    tf = F.col("tf").cast("double")
+    dl = F.col("doc_len").cast("double")
+    # norm written EXACTLY like scoring.bm25_term_score:
+    # k1 * (1.0 - b + b * doc_len / avg_doc_len)
+    norm = F.lit(BM25_K1) * (
+        F.lit(1.0 - BM25_B) + F.lit(BM25_B) * dl / F.lit(avg_len)
+    )
+    aggs = []
+    for i, t in enumerate(terms):  # lexicographic (query_lemmas sorts)
+        idf = bm25_idf(dfs[t], n_docs)
+        per_term = F.lit(idf) * tf * F.lit(BM25_K1 + 1.0) / (tf + norm)
+        aggs.append(
+            F.max(F.when(F.col("lemma") == t, per_term)).alias(f"_s{i}")
+        )
+    aggs.append(F.count("*").alias("_nmatch"))
+    grouped = cand.groupBy("doc_id").agg(*aggs)
+    conj = grouped.filter(F.col("_nmatch") == len(terms))
+    total = F.lit(0.0)
+    for i in range(len(terms)):  # left-to-right, matches oracle's += order
+        total = total + F.col(f"_s{i}")
+    scored = conj.select("doc_id", total.alias("score"))
+    return _paginate(scored, k, offset)
+
+
+def reftf_search(
+    postings_flat: DataFrame,
+    lemma_stats: DataFrame,
+    doc_stats: DataFrame,
+    query: str,
+    scope: str | None = None,
+    k: int = 10,
+    offset: int = 0,
+) -> DataFrame:
+    """The reference's legacy relevance, kept as a second scorer mode:
+    absolute = Σtf / max tf per doc (SearchServiceImpl.java:335-357),
+    normalized by the global max absolute (SearchServiceImpl.java:233-244)."""
+    spark = postings_flat.sparkSession
+    terms = query_lemmas(query)
+    if not terms:
+        return _empty(spark)
+    n_docs, _ = _scope_stats(doc_stats, scope)
+    if n_docs == 0:
+        return _empty(spark)
+    dfs = _term_dfs(lemma_stats, terms, scope)
+    if query_killed_by_cutoff(list(dfs.values()), n_docs):
+        return _empty(spark)
+
+    cand = _candidates(postings_flat, terms, scope)
+    grouped = (
+        cand.groupBy("doc_id")
+        .agg(
+            F.sum(F.col("tf").cast("double")).alias("_sum_tf"),
+            F.max(F.col("tf").cast("double")).alias("_max_tf"),
+            F.count("*").alias("_nmatch"),
+        )
+        .filter(F.col("_nmatch") == len(terms))
+        .select("doc_id", (F.col("_sum_tf") / F.col("_max_tf")).alias("_abs"))
+    )
+    mx = grouped.agg(F.max("_abs").alias("_gmax"))
+    scored = grouped.crossJoin(F.broadcast(mx)).select(
+        "doc_id", (F.col("_abs") / F.col("_gmax")).alias("score")
+    )
+    return _paginate(scored, k, offset)
+
+
+def materialize_results(results: DataFrame, docs: DataFrame) -> DataFrame:
+    """J4 — join the k-row result back to docs for presentation, grouped
+    by conversation with stable turn ordering (north rule). Broadcasts
+    the tiny result side."""
+    return (
+        docs.join(F.broadcast(results), "doc_id")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .select(
+            "doc_id", "conv_id", "turn_idx", "role", "scope", "score", "text"
+        )
+    )

@@ -1,0 +1,120 @@
+"""All table schemas, declared explicitly — never inferred.
+
+Reference analog: JPA fixed schema with DDL at startup
+(model/*.java, application.yaml:23). FIXTURES.md §1-2 pins these shapes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+# input (BASELINE.json input_hint)
+TRANSCRIPTS = StructType(
+    [
+        StructField("conv_id", StringType()),
+        StructField("turn_idx", IntegerType()),
+        StructField("role", StringType()),
+        StructField("text", StringType()),
+        StructField("tool", StringType()),
+        StructField("ts", TimestampType()),
+    ]
+)
+
+# reference analog: page + site (model/Page.java:9-26, model/Site.java:8-28)
+DOCS = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("conv_id", StringType(), False),
+        StructField("turn_idx", IntegerType(), False),
+        StructField("role", StringType()),
+        StructField("tool", StringType()),
+        StructField("ts", TimestampType()),
+        StructField("scope", StringType(), False),
+        StructField("text", StringType()),
+        StructField("doc_len", IntegerType(), False),
+    ]
+)
+
+# reference analog: lemma dictionary (model/Lemma.java:9-27); df semantics
+# per services/WebParser.java:184-193 (document frequency, scoped)
+LEMMA_STATS = StructType(
+    [
+        StructField("scope", StringType(), False),
+        StructField("lemma", StringType(), False),
+        StructField("df", LongType(), False),
+        StructField("cf", LongType(), False),
+    ]
+)
+
+DOC_STATS = StructType(
+    [
+        StructField("scope", StringType(), False),
+        StructField("n_docs", LongType(), False),
+        StructField("avg_doc_len", DoubleType(), False),
+        StructField("sum_doc_len", LongType(), False),
+    ]
+)
+
+# reference analog: index posting rows (model/Index.java:8-28, rank=tf)
+POSTINGS_FLAT = StructType(
+    [
+        StructField("lemma", StringType(), False),
+        StructField("doc_id", LongType(), False),
+        StructField("tf", IntegerType(), False),
+    ]
+)
+
+# compressed block postings (FIXTURES.md §2); shard = doc_id range bucket so
+# query-time WAND groups are doc-partitioned
+POSTINGS = StructType(
+    [
+        StructField("lemma", StringType(), False),
+        StructField("shard", IntegerType(), False),
+        StructField("block_id", IntegerType(), False),
+        StructField("first_doc_id", LongType(), False),
+        StructField("last_doc_id", LongType(), False),
+        StructField("count", IntegerType(), False),
+        StructField("max_tf", IntegerType(), False),
+        StructField("max_score", DoubleType(), False),
+        StructField("doc_ids", BinaryType(), False),
+        StructField("tfs", BinaryType(), False),
+    ]
+)
+
+CHECKPOINTS = StructType(
+    [
+        StructField("run_id", StringType(), False),
+        StructField("partition_id", IntegerType(), False),
+        StructField("stage", StringType(), False),
+        StructField("status", StringType(), False),
+        StructField("rows", LongType(), False),
+        StructField("started_ts", TimestampType()),
+        StructField("finished_ts", TimestampType()),
+    ]
+)
+
+METRICS = StructType(
+    [
+        StructField("run_id", StringType(), False),
+        StructField("stage", StringType(), False),
+        StructField("key", StringType(), False),
+        StructField("value", DoubleType(), False),
+        StructField("ts", TimestampType()),
+    ]
+)
+
+SEARCH_RESULT = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("score", DoubleType(), False),
+    ]
+)
