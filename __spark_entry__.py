@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: runs the REAL engine end-to-end (pandas-UDF
+analyzer → docs with deterministic ids → tf/df/stats → conjunctive BM25
+top-k → materialized results) over a transcripts view derived from the
+sf0.001 ``documents`` table.
+
+``queries()`` / ``oracle_sql()`` — one entry per SQL-expressible operator
+(SURVEY.md §2 + the training-data-pipeline suite), implemented in
+``search_engine_spark.contract`` as native-DataFrame / DuckDB twins.
 """
 
 from __future__ import annotations
@@ -13,26 +16,49 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+SF0001 = "/root/testdata/sf0.001"
+FLAGSHIP_QUERY = "dup merge stream"
+
+
+def _derived_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → transcripts shape (conv_id, turn_idx, role, text, tool, ts)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    return docs.select(
+        F.col("source").alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        F.when(F.col("doc_id") % 2 == 0, "user").otherwise("assistant").alias("role"),
+        F.col("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.to_timestamp(F.lit("2025-01-01 00:00:00")).alias("ts"),
+    )
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship BM25 query over sf0.001; driver checks rows >= 0."""
+    from search_engine_spark.operators.build import build_all
+    from search_engine_spark.operators.docs import build_docs
+    from search_engine_spark.operators.query import bm25_search, materialize_results
+
+    transcripts = _derived_transcripts(spark, SF0001)
+    docs_tok = build_docs(transcripts, with_lemmas=True)
+    postings_flat, lemma_stats, doc_stats = build_all(docs_tok)
+    results = bm25_search(
+        postings_flat, lemma_stats, doc_stats, FLAGSHIP_QUERY, k=10
+    )
+    return materialize_results(results, docs_tok.drop("lemmas"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from search_engine_spark.contract import spark_queries
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return spark_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from search_engine_spark.contract import duckdb_oracles
+
+    return duckdb_oracles()

@@ -1,0 +1,927 @@
+"""Driver-contract queries: Spark DataFrame implementations + DuckDB twins.
+
+Every SQL-expressible operator from SURVEY.md §2 (and the training-data
+pipeline operators: dedup, similarity search, text analysis) is registered
+here as a (spark_fn, duckdb_sql) pair over the driver's parquet tables
+(documents / embeddings / events / lineitem / ...). The driver compares
+row-count + schema + order-insensitive value-hash at sf=0.01.
+
+Determinism rules used throughout:
+- contract tokenization is NATIVE regex (``[a-z0-9]+`` on lower(text)) so
+  both engines tokenize identically (the pandas-UDF lemmatizer is pytest-
+  verified against the oracle instead — SURVEY.md §5 item 4);
+- every float column is round(x, 6) on BOTH sides; float folds use
+  explicit left-to-right accumulation (Spark ``aggregate`` / DuckDB
+  ``list_reduce``);
+- all hash math is md5-based (identical hex in both engines) reduced to
+  int64 with identical modular arithmetic;
+- every aggregate/computed column is aliased identically on both sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# pinned constants
+# ---------------------------------------------------------------------------
+
+TOKS_SQL = "regexp_extract_all(lower(text), '[a-z0-9]+', 0)"          # Spark
+TOKS_DUCK = "regexp_extract_all(lower(text), '[a-z0-9]+')"            # DuckDB
+
+CONJ_TERMS = ["batch", "dup", "scan"]
+SUMTF_TERMS = ["dup", "key", "window"]
+BM25_TERMS = ["dup", "merge"]
+BM25_K1, BM25_B = 1.2, 0.75
+CUTOFF_TERMS = ["batch", "dup", "merge", "the"]
+
+HASH_MOD = 1_000_000_007
+N_MINHASH = 16
+N_BANDS = 4  # 4 rows per band
+JACCARD_THRESHOLD = 0.8
+N_PLANES = 8  # hyperplane LSH for ANN
+EMB_DIM = 64
+
+# minhash seeds — pinned, embedded literally in both engines
+MH_A = [((i + 1) * 2654435761) % (2**31) | 1 for i in range(N_MINHASH)]
+MH_B = [((i + 1) * 40503 * 65537) % (2**31) for i in range(N_MINHASH)]
+
+STOP_TERMS = ["a", "the"]
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# tokenized-documents building blocks (shared by several queries)
+# ---------------------------------------------------------------------------
+
+
+def _doc_terms(spark, sf_dir) -> DataFrame:
+    """(doc_id, term) one row per token occurrence."""
+    return (
+        _read(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.expr(TOKS_SQL)).alias("term"))
+    )
+
+
+def _tf(spark, sf_dir) -> DataFrame:
+    return (
+        _doc_terms(spark, sf_dir)
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+_TF_DUCK = f"""
+    SELECT doc_id, term, count(*) AS tf
+    FROM (SELECT doc_id, unnest({TOKS_DUCK}) AS term FROM documents)
+    GROUP BY doc_id, term
+"""
+
+_SHINGLES_SPARK = (
+    "transform(sequence(0, size(_t) - 3), i -> "
+    "concat(_t[i], ' ', _t[i+1], ' ', _t[i+2]))"
+)
+
+_SHINGLES_DUCK = f"""
+    SELECT doc_id,
+           list_distinct([_t[i] || ' ' || _t[i+1] || ' ' || _t[i+2]
+                          for i in range(1, len(_t) - 1)]) AS shs
+    FROM (SELECT doc_id, {TOKS_DUCK} AS _t FROM documents)
+    WHERE len(_t) >= 3
+"""
+
+
+def _shingles(spark, sf_dir) -> DataFrame:
+    """(doc_id, sh) — DISTINCT 3-token shingles per doc."""
+    return (
+        _read(spark, sf_dir, "documents")
+        .select("doc_id", F.expr(TOKS_SQL).alias("_t"))
+        .filter(F.size("_t") >= 3)
+        .select("doc_id", F.explode(F.expr(_SHINGLES_SPARK)).alias("sh"))
+        .distinct()
+    )
+
+
+_SHINGLES_FLAT_DUCK = f"""
+    SELECT doc_id, unnest(shs) AS sh FROM ({_SHINGLES_DUCK})
+"""
+
+# md5-based 60-bit token hash, identical in both engines
+_TOKHASH_SPARK = (
+    "cast(conv(substring(md5(cast({col} as binary)), 1, 15), 16, 10) as bigint)"
+)
+_TOKHASH_DUCK = "(('0x' || substr(md5({col}), 1, 15))::BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# 1-7: search-engine stages (SURVEY.md §2.4-2.6)
+# ---------------------------------------------------------------------------
+
+
+def q_tf(spark, sf_dir):
+    """A1 — per-(doc, term) term frequency."""
+    return _tf(spark, sf_dir)
+
+
+def q_df(spark, sf_dir):
+    """A2 — per-term document frequency + collection frequency."""
+    return (
+        _tf(spark, sf_dir)
+        .groupBy("term")
+        .agg(F.count("*").alias("df"), F.sum("tf").alias("cf"))
+    )
+
+
+def q_doc_stats(spark, sf_dir):
+    """A3/A8 — corpus size + average document length (token count)."""
+    return (
+        _read(spark, sf_dir, "documents")
+        .select(F.size(F.expr(TOKS_SQL)).cast("long").alias("_len"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("_len").alias("sum_doc_len"),
+            F.round(F.avg("_len"), 6).alias("avg_doc_len"),
+        )
+    )
+
+
+def q_conjunction(spark, sf_dir):
+    """J3/U1 — docs containing ALL query terms (one-shuffle group-count
+    form, skew-safe; reference: SearchServiceImpl.java:166-188)."""
+    tf = _tf(spark, sf_dir).filter(F.col("term").isin(CONJ_TERMS))
+    return (
+        tf.groupBy("doc_id")
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") == len(CONJ_TERMS))
+        .select("doc_id")
+    )
+
+
+def q_cutoff_terms(spark, sf_dir):
+    """X2 — the 5%-df common-term cutoff: which query terms are usable."""
+    docs = _read(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    return (
+        _tf(spark, sf_dir)
+        .filter(F.col("term").isin(CUTOFF_TERMS))
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .select(
+            "term",
+            "df",
+            (F.col("df") <= F.lit(n_docs / 100.0 * 5.0)).alias("usable"),
+        )
+    )
+
+
+def q_sumtf_topk(spark, sf_dir):
+    """A5/O1/O2 — the reference's legacy Σtf/max-tf relevance, top-10 with
+    (score desc, doc_id asc) tiebreak (SearchServiceImpl.java:335-357)."""
+    tf = _tf(spark, sf_dir).filter(F.col("term").isin(SUMTF_TERMS))
+    scored = (
+        tf.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("_n"),
+            F.sum("tf").alias("_sum"),
+            F.max("tf").alias("_max"),
+        )
+        .filter(F.col("_n") == len(SUMTF_TERMS))
+        .select(
+            "doc_id",
+            F.round(F.col("_sum").cast("double") / F.col("_max"), 6).alias("score"),
+        )
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+    )
+
+
+def q_bm25_topk(spark, sf_dir):
+    """Flagship scoring math in pure SQL form: conjunctive BM25 top-10
+    (k1=1.2, b=0.75, Lucene idf), both engines computing ln identically."""
+    docs = _read(spark, sf_dir, "documents")
+    lens = docs.select(
+        "doc_id", F.size(F.expr(TOKS_SQL)).cast("double").alias("dl")
+    )
+    stats = lens.agg(
+        F.count("*").alias("n"), F.avg("dl").alias("avgdl")
+    ).collect()[0]
+    n, avgdl = stats["n"], stats["avgdl"]
+    tf = _tf(spark, sf_dir).filter(F.col("term").isin(BM25_TERMS))
+    dfs = tf.groupBy("term").agg(F.count("*").alias("df"))
+    per = (
+        tf.join(dfs, "term")
+        .join(lens, "doc_id")
+        .withColumn(
+            "_idf",
+            F.log(
+                F.lit(1.0)
+                + (F.lit(float(n)) - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            ),
+        )
+        .withColumn(
+            "_s",
+            F.col("_idf")
+            * F.col("tf")
+            * F.lit(BM25_K1 + 1.0)
+            / (
+                F.col("tf")
+                + F.lit(BM25_K1)
+                * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("dl") / F.lit(avgdl))
+            ),
+        )
+    )
+    scored = (
+        per.groupBy("doc_id")
+        .agg(F.count("*").alias("_nm"), F.round(F.sum("_s"), 6).alias("score"))
+        .filter(F.col("_nm") == len(BM25_TERMS))
+        .select("doc_id", "score")
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+    )
+
+
+def q_docs_ids(spark, sf_dir):
+    """§2.9 — deterministic dense doc_id assignment (the engine's
+    two-level offset operator) cross-checked against SQL row_number."""
+    from search_engine_spark.operators.docs import assign_doc_ids
+
+    docs = _read(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    tr = docs.select(
+        F.col("source").alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+    )
+    return assign_doc_ids(tr).select(
+        "conv_id", "turn_idx", F.col("doc_id").alias("doc_id_new")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 8-11: deduplication suite
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup via content hash — groups sized >= 1 summarized."""
+    docs = _read(spark, sf_dir, "documents")
+    return docs.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(F.md5(F.col("text").cast("binary"))).alias("n_distinct_texts"),
+    )
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    """Exact 3-shingle Jaccard >= 0.8 pairs (the near-dup ground truth)."""
+    sh = _shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    common = (
+        sh.alias("a")
+        .join(sh.alias("b"), "sh")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
+        )
+        .agg(F.count("*").alias("_c"))
+    )
+    return (
+        common.join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("sz", "_sa"), "a_id")
+        .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("sz", "_sb"), "b_id")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("_c").cast("double")
+                / (F.col("_sa") + F.col("_sb") - F.col("_c")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("a_id", "b_id", "jaccard")
+    )
+
+
+def _minhash_sigs(spark, sf_dir) -> DataFrame:
+    """(doc_id, i, mh) — N_MINHASH permutation minima per doc."""
+    sh = _shingles(spark, sf_dir).withColumn(
+        "x", F.expr(_TOKHASH_SPARK.format(col="sh")) % F.lit(HASH_MOD)
+    )
+    seeds = spark.createDataFrame(
+        [(i, MH_A[i], MH_B[i]) for i in range(N_MINHASH)], "i int, a long, b long"
+    )
+    return (
+        sh.crossJoin(F.broadcast(seeds))
+        .withColumn("h", (F.col("a") * F.col("x") + F.col("b")) % F.lit(HASH_MOD))
+        .groupBy("doc_id", "i")
+        .agg(F.min("h").alias("mh"))
+    )
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    """MinHash(16) + LSH(4 bands × 4 rows) candidate pairs, then exact
+    Jaccard verification >= 0.8 — the scale path for near-dup detection
+    (shingle→minhash→band→bucket-join)."""
+    sigs = _minhash_sigs(spark, sf_dir)
+    rows_per_band = N_MINHASH // N_BANDS
+    bands = (
+        sigs.withColumn("band", (F.col("i") / rows_per_band).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "mh"))),
+                    lambda s: s["mh"].cast("string"),
+                ),
+            ).alias("sig")
+        )
+    )
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band", "sig"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
+        )
+        .distinct()
+    )
+    # verify candidates with exact shingle Jaccard (join on (id, sh) twice)
+    sh = _shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    sh_a = sh.select(F.col("doc_id").alias("a_id"), "sh")
+    sh_b = sh.select(F.col("doc_id").alias("b_id"), "sh")
+    common = (
+        cand.join(sh_a, "a_id").join(sh_b, ["b_id", "sh"])
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("_c"))
+    )
+    return (
+        common.join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("sz", "_sa"), "a_id")
+        .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("sz", "_sb"), "b_id")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("_c").cast("double")
+                / (F.col("_sa") + F.col("_sb") - F.col("_c")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("a_id", "b_id", "jaccard")
+    )
+
+
+def q_dedup_simhash(spark, sf_dir):
+    """63-bit SimHash fingerprint per doc (tf-weighted token hashes)."""
+    tf = _tf(spark, sf_dir).withColumn(
+        "th", F.expr(_TOKHASH_SPARK.format(col="term"))
+    )
+    bits = spark.range(63).select(F.col("id").cast("int").alias("bit"))
+    contrib = tf.crossJoin(F.broadcast(bits)).withColumn(
+        "w", F.expr("tf * ((cast(shiftright(th, bit) as bigint) & 1) * 2 - 1)")
+    )
+    return (
+        contrib.groupBy("doc_id", "bit")
+        .agg(F.sum("w").alias("s"))
+        .withColumn("bitval", F.when(F.col("s") > 0, F.lit(1)).otherwise(F.lit(0)))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.expr("cast(bitval as bigint) * shiftleft(cast(1 as bigint), bit)")
+            ).alias("simhash")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# 12-13: similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+
+def _query_vec(spark, sf_dir) -> list[float]:
+    row = (
+        _read(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .select("embedding")
+        .collect()[0]
+    )
+    return [float(x) for x in row["embedding"]]
+
+
+def _cosine_expr(qvec: list[float]) -> F.Column:
+    """Left-to-right folded cosine(embedding, qvec) — deterministic order."""
+    q = F.array(*[F.lit(v) for v in qvec])
+    e = F.expr("transform(embedding, x -> cast(x as double))")
+    dot = F.aggregate(
+        F.zip_with(e, q, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    na = F.aggregate(e, F.lit(0.0), lambda acc, x: acc + x * x)
+    # left-to-right fold to mirror DuckDB's list_reduce exactly
+    nb = 0.0
+    for v in qvec:
+        nb = nb + v * v
+    import math
+
+    return dot / (F.sqrt(na) * F.lit(math.sqrt(nb)))
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-10 vs vec 0 (baseline ANN path)."""
+    emb = _read(spark, sf_dir, "embeddings")
+    qvec = _query_vec(spark, sf_dir)
+    scored = emb.filter(F.col("vec_id") != 0).select(
+        "vec_id", F.round(_cosine_expr(qvec), 6).alias("sim")
+    )
+    w = Window.orderBy(F.desc("sim"), F.asc("vec_id"))
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= 10
+    )
+
+
+def _plane_sign_sql(j: str, d: str) -> str:
+    """Deterministic ±1 hyperplane component for (plane j, dim d) — same
+    integer arithmetic in both engines."""
+    return (
+        f"(case when (({j} * 64 + {d} + 1) * 2654435761) % 97 < 48 "
+        f"then -1.0 else 1.0 end)"
+    )
+
+
+def q_ann_lsh_buckets(spark, sf_dir):
+    """Hyperplane-LSH bucket id per vector — the scale path for ANN
+    (search only the query's bucket instead of the full corpus)."""
+    emb = _read(spark, sf_dir, "embeddings")
+    dims = (
+        emb.select("vec_id", F.posexplode("embedding").alias("d", "v"))
+        .withColumn("v", F.col("v").cast("double"))
+    )
+    planes = spark.range(N_PLANES).select(
+        F.col("id").cast("int").alias("j")
+    ).crossJoin(
+        spark.range(EMB_DIM).select(F.col("id").cast("int").alias("d"))
+    ).withColumn("s", F.expr(_plane_sign_sql("j", "d")))
+    proj = (
+        dims.join(F.broadcast(planes), "d")
+        .groupBy("vec_id", "j")
+        .agg(F.sum(F.col("v") * F.col("s")).alias("p"))
+        .withColumn("bit", F.when(F.col("p") > 0, 1).otherwise(0))
+    )
+    return proj.groupBy("vec_id").agg(
+        F.sum(
+            F.expr("cast(bit as bigint) * shiftleft(cast(1 as bigint), j)")
+        ).alias("bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 14-16: text analysis
+# ---------------------------------------------------------------------------
+
+
+def q_text_quality(spark, sf_dir):
+    """Quality metrics per doc: token count, avg token length, stopword
+    ratio, digit ratio."""
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(TOKS_SQL).alias("_t"), "text"
+    )
+    n_tok = F.size("_t")
+    n_stop = F.size(F.expr(
+        "filter(_t, x -> x = 'a' or x = 'the')"
+    ))
+    n_dig = F.size(F.expr("filter(_t, x -> x rlike '^[0-9]+$')"))
+    tok_chars = F.aggregate(
+        F.expr("transform(_t, x -> length(x))"),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return docs.select(
+        "doc_id",
+        n_tok.cast("long").alias("n_tokens"),
+        F.round(
+            F.when(n_tok > 0, tok_chars.cast("double") / n_tok).otherwise(0.0), 6
+        ).alias("avg_token_len"),
+        F.round(
+            F.when(n_tok > 0, n_stop.cast("double") / n_tok).otherwise(0.0), 6
+        ).alias("stop_ratio"),
+        F.round(
+            F.when(n_tok > 0, n_dig.cast("double") / n_tok).otherwise(0.0), 6
+        ).alias("digit_ratio"),
+    )
+
+
+def q_lang_id(spark, sf_dir):
+    """Heuristic script classification: non-ASCII char ratio (language-id
+    stand-in; real model would slot into the same shape)."""
+    docs = _read(spark, sf_dir, "documents")
+    total = F.length("text")
+    non_ascii = F.length(F.regexp_replace(F.col("text"), "[ -~]", ""))
+    return docs.select(
+        "doc_id",
+        F.round(
+            F.when(total > 0, non_ascii.cast("double") / total).otherwise(0.0), 6
+        ).alias("non_ascii_ratio"),
+        F.when(
+            F.when(total > 0, non_ascii.cast("double") / total).otherwise(0.0)
+            > 0.3,
+            F.lit("non_latin"),
+        )
+        .otherwise(F.lit("latin"))
+        .alias("script_class"),
+    )
+
+
+def q_fingerprint(spark, sf_dir):
+    """Order-sensitive document fingerprint: left-fold polynomial rolling
+    hash over the token stream (mod 1e9+7)."""
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(TOKS_SQL).alias("_t")
+    )
+    th = _TOKHASH_SPARK.format(col="x")
+    fp = F.expr(
+        f"aggregate(_t, cast(0 as bigint), "
+        f"(acc, x) -> (acc * 31 + {th} % {HASH_MOD}) % {HASH_MOD})"
+    )
+    return docs.select("doc_id", fp.alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# 17-18: event-stream analytics (windows / sessionization)
+# ---------------------------------------------------------------------------
+
+
+def q_events_hourly(spark, sf_dir):
+    """Tumbling 1h window per event_type: count + value sum."""
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("value_sum"),
+        )
+    )
+
+
+def q_events_sessions(spark, sf_dir):
+    """30-min-gap sessionization per user → session count (lag + window)."""
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    flagged = ev.withColumn(
+        "new_s",
+        F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0)),
+    )
+    return flagged.groupBy("user_id").agg(F.sum("new_s").alias("n_sessions"))
+
+
+# ---------------------------------------------------------------------------
+# 19-20: relational coverage (joins / rollups over TPC-H-ish tables)
+# ---------------------------------------------------------------------------
+
+
+def q_tpch_pricing(spark, sf_dir):
+    """TPC-H Q1-style pricing summary over lineitem."""
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 6).alias("sum_base_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_tpch_top_customers(spark, sf_dir):
+    """Broadcast-join orders ⋈ customer ⋈ nation, top-10 by revenue."""
+    o = _read(spark, sf_dir, "orders")
+    c = _read(spark, sf_dir, "customer")
+    n = _read(spark, sf_dir, "nation")
+    rev = (
+        o.groupBy("o_custkey").agg(F.round(F.sum("o_totalprice"), 6).alias("revenue"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            F.col("n_name").alias("nation"),
+            "revenue",
+        )
+    )
+    w = Window.orderBy(F.desc("revenue"), F.asc("custkey"))
+    return rev.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= 10
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle SQL twins
+# ---------------------------------------------------------------------------
+
+_THD = _TOKHASH_DUCK.format(col="sh")
+_THD_TERM = _TOKHASH_DUCK.format(col="term")
+_SEEDS_DUCK = ", ".join(
+    f"({i}, {MH_A[i]}::BIGINT, {MH_B[i]}::BIGINT)" for i in range(N_MINHASH)
+)
+
+_JACCARD_VERIFY_DUCK = f"""
+    sizes AS (SELECT doc_id, count(*) AS sz
+              FROM ({_SHINGLES_FLAT_DUCK}) GROUP BY doc_id),
+    common AS (
+        SELECT c.a_id, c.b_id, count(*) AS _c
+        FROM cand c
+        JOIN ({_SHINGLES_FLAT_DUCK}) sa ON sa.doc_id = c.a_id
+        JOIN ({_SHINGLES_FLAT_DUCK}) sb ON sb.doc_id = c.b_id AND sb.sh = sa.sh
+        GROUP BY c.a_id, c.b_id)
+    SELECT common.a_id, common.b_id,
+           round(_c::DOUBLE / (za.sz + zb.sz - _c), 6) AS jaccard
+    FROM common
+    JOIN sizes za ON za.doc_id = common.a_id
+    JOIN sizes zb ON zb.doc_id = common.b_id
+    WHERE round(_c::DOUBLE / (za.sz + zb.sz - _c), 6) >= {JACCARD_THRESHOLD}
+"""
+
+
+def _oracle_sql_map() -> dict[str, str]:
+    plane_sign = _plane_sign_sql("j", "d")
+    return {
+        "tf": _TF_DUCK,
+        "df": f"""
+            SELECT term, count(*) AS df, sum(tf)::BIGINT AS cf
+            FROM ({_TF_DUCK}) GROUP BY term
+        """,
+        "doc_stats": f"""
+            SELECT count(*) AS n_docs,
+                   sum(len({TOKS_DUCK}))::BIGINT AS sum_doc_len,
+                   round(avg(len({TOKS_DUCK})), 6) AS avg_doc_len
+            FROM documents
+        """,
+        "conjunction": f"""
+            SELECT doc_id FROM ({_TF_DUCK})
+            WHERE term IN ('batch', 'dup', 'scan')
+            GROUP BY doc_id HAVING count(*) = 3
+        """,
+        "cutoff_terms": f"""
+            WITH n AS (SELECT count(*) AS n_docs FROM documents)
+            SELECT term, count(*) AS df,
+                   (count(*) <= (SELECT n_docs FROM n) / 100.0 * 5.0) AS usable
+            FROM ({_TF_DUCK})
+            WHERE term IN ('batch', 'dup', 'merge', 'the')
+            GROUP BY term
+        """,
+        "sumtf_topk": f"""
+            WITH scored AS (
+                SELECT doc_id,
+                       round(sum(tf)::DOUBLE / max(tf), 6) AS score
+                FROM ({_TF_DUCK})
+                WHERE term IN ('dup', 'key', 'window')
+                GROUP BY doc_id HAVING count(*) = 3)
+            SELECT doc_id, score,
+                   row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rnk
+            FROM scored
+            QUALIFY rnk <= 10
+        """,
+        "bm25_topk": f"""
+            WITH lens AS (
+                SELECT doc_id, len({TOKS_DUCK})::DOUBLE AS dl FROM documents),
+            st AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM lens),
+            tf AS (SELECT * FROM ({_TF_DUCK}) WHERE term IN ('dup', 'merge')),
+            dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            per AS (
+                SELECT tf.doc_id,
+                       ln(1.0 + ((SELECT n FROM st) - dfs.df + 0.5)
+                                 / (dfs.df + 0.5))
+                       * tf.tf * {BM25_K1 + 1.0}
+                       / (tf.tf + {BM25_K1} * ({1.0 - BM25_B} + {BM25_B}
+                          * lens.dl / (SELECT avgdl FROM st))) AS _s
+                FROM tf JOIN dfs USING (term) JOIN lens USING (doc_id)),
+            scored AS (
+                SELECT doc_id, round(sum(_s), 6) AS score
+                FROM per GROUP BY doc_id HAVING count(*) = 2)
+            SELECT doc_id, score,
+                   row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rnk
+            FROM scored
+            QUALIFY rnk <= 10
+        """,
+        "docs_ids": """
+            WITH tr AS (
+                SELECT source AS conv_id,
+                       (row_number() OVER (PARTITION BY source ORDER BY doc_id)
+                        - 1)::INT AS turn_idx
+                FROM documents)
+            SELECT conv_id, turn_idx,
+                   row_number() OVER (ORDER BY conv_id, turn_idx) AS doc_id_new
+            FROM tr
+        """,
+        "dedup_exact": """
+            SELECT count(*) AS n_docs,
+                   count(DISTINCT md5(text)) AS n_distinct_texts
+            FROM documents
+        """,
+        "dedup_ngram_jaccard": f"""
+            WITH sh AS ({_SHINGLES_FLAT_DUCK}),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+            common AS (
+                SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS _c
+                FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id)
+            SELECT a_id, b_id,
+                   round(_c::DOUBLE / (za.sz + zb.sz - _c), 6) AS jaccard
+            FROM common
+            JOIN sizes za ON za.doc_id = a_id
+            JOIN sizes zb ON zb.doc_id = b_id
+            WHERE round(_c::DOUBLE / (za.sz + zb.sz - _c), 6)
+                  >= {JACCARD_THRESHOLD}
+        """,
+        "dedup_minhash_lsh": f"""
+            WITH sh AS ({_SHINGLES_FLAT_DUCK}),
+            hx AS (SELECT doc_id, {_THD} % {HASH_MOD} AS x FROM sh),
+            seeds(i, a, b) AS (VALUES {_SEEDS_DUCK}),
+            sigs AS (
+                SELECT doc_id, i, min((a * x + b) % {HASH_MOD}) AS mh
+                FROM hx CROSS JOIN seeds GROUP BY doc_id, i),
+            bands AS (
+                SELECT doc_id, (i // {N_MINHASH // N_BANDS}) AS band,
+                       string_agg(mh::VARCHAR, ',' ORDER BY i) AS sig
+                FROM sigs GROUP BY doc_id, band),
+            cand AS (
+                SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+                FROM bands a JOIN bands b
+                  ON a.band = b.band AND a.sig = b.sig
+                 AND a.doc_id < b.doc_id),
+            {_JACCARD_VERIFY_DUCK}
+        """,
+        "dedup_simhash": f"""
+            WITH tf AS (SELECT doc_id, term, tf, {_THD_TERM} AS th
+                        FROM ({_TF_DUCK})),
+            contrib AS (
+                SELECT doc_id, bit,
+                       sum(tf * (((th >> bit) & 1) * 2 - 1)) AS s
+                FROM tf CROSS JOIN (SELECT unnest(range(63)) AS bit)
+                GROUP BY doc_id, bit)
+            SELECT doc_id,
+                   sum(CASE WHEN s > 0 THEN 1::BIGINT << bit ELSE 0 END)::BIGINT
+                       AS simhash
+            FROM contrib GROUP BY doc_id
+        """,
+        "ann_cosine_topk": """__FILLED_AT_RUNTIME__""",
+        "ann_lsh_buckets": f"""
+            WITH dims AS (
+                SELECT vec_id, d0::INT AS d, embedding[d0 + 1]::DOUBLE AS v
+                FROM embeddings, (SELECT unnest(range(64)) AS d0)),
+            planes AS (
+                SELECT j::INT AS j, d::INT AS d, {plane_sign} AS s
+                FROM (SELECT unnest(range({N_PLANES})) AS j),
+                     (SELECT unnest(range({EMB_DIM})) AS d)),
+            proj AS (
+                SELECT vec_id, j, sum(v * s) AS p
+                FROM dims JOIN planes USING (d)
+                GROUP BY vec_id, j)
+            SELECT vec_id,
+                   sum(CASE WHEN p > 0 THEN 1::BIGINT << j ELSE 0 END)::BIGINT
+                       AS bucket
+            FROM proj GROUP BY vec_id
+        """,
+        "text_quality": f"""
+            WITH t AS (SELECT doc_id, {TOKS_DUCK} AS _t FROM documents)
+            SELECT doc_id,
+                   len(_t)::BIGINT AS n_tokens,
+                   round(CASE WHEN len(_t) > 0 THEN
+                       list_reduce(list_prepend(0, [length(x) for x in _t]),
+                                   (a, b) -> a + b)::DOUBLE / len(_t)
+                       ELSE 0.0 END, 6) AS avg_token_len,
+                   round(CASE WHEN len(_t) > 0 THEN
+                       len([x for x in _t if x = 'a' OR x = 'the'])::DOUBLE
+                       / len(_t) ELSE 0.0 END, 6) AS stop_ratio,
+                   round(CASE WHEN len(_t) > 0 THEN
+                       len([x for x in _t if regexp_matches(x, '^[0-9]+$')])::DOUBLE
+                       / len(_t) ELSE 0.0 END, 6) AS digit_ratio
+            FROM t
+        """,
+        "lang_id": """
+            SELECT doc_id,
+                   round(CASE WHEN length(text) > 0 THEN
+                       length(regexp_replace(text, '[ -~]', '', 'g'))::DOUBLE
+                       / length(text) ELSE 0.0 END, 6) AS non_ascii_ratio,
+                   CASE WHEN (CASE WHEN length(text) > 0 THEN
+                       length(regexp_replace(text, '[ -~]', '', 'g'))::DOUBLE
+                       / length(text) ELSE 0.0 END) > 0.3
+                        THEN 'non_latin' ELSE 'latin' END AS script_class
+            FROM documents
+        """,
+        "fingerprint": f"""
+            WITH t AS (SELECT doc_id, {TOKS_DUCK} AS _t FROM documents)
+            SELECT doc_id,
+                   list_reduce(
+                       list_prepend(0::BIGINT,
+                           [{_TOKHASH_DUCK.format(col="x")} % {HASH_MOD}
+                            for x in _t]),
+                       (acc, x) -> (acc * 31 + x) % {HASH_MOD}) AS fingerprint
+            FROM t
+        """,
+        "events_hourly": """
+            SELECT date_trunc('hour', ts) AS hour, event_type,
+                   count(*) AS n_events, round(sum(value), 6) AS value_sum
+            FROM events GROUP BY 1, 2
+        """,
+        "events_sessions": """
+            WITH g AS (
+                SELECT user_id,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts))
+            SELECT user_id, sum(new_s)::BIGINT AS n_sessions FROM g GROUP BY user_id
+        """,
+        "tpch_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 6) AS sum_qty,
+                   round(sum(l_extendedprice), 6) AS sum_base_price,
+                   round(avg(l_discount), 6) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= DATE '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "tpch_top_customers": """
+            WITH rev AS (
+                SELECT o_custkey, round(sum(o_totalprice), 6) AS revenue
+                FROM orders GROUP BY o_custkey)
+            SELECT c_custkey AS custkey, n_name AS nation, revenue,
+                   row_number() OVER (ORDER BY revenue DESC, c_custkey ASC)
+                       AS rnk
+            FROM rev
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            QUALIFY rnk <= 10
+        """,
+    }
+
+
+def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "tf": q_tf,
+        "df": q_df,
+        "doc_stats": q_doc_stats,
+        "conjunction": q_conjunction,
+        "cutoff_terms": q_cutoff_terms,
+        "sumtf_topk": q_sumtf_topk,
+        "bm25_topk": q_bm25_topk,
+        "docs_ids": q_docs_ids,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_buckets": q_ann_lsh_buckets,
+        "text_quality": q_text_quality,
+        "lang_id": q_lang_id,
+        "fingerprint": q_fingerprint,
+        "events_hourly": q_events_hourly,
+        "events_sessions": q_events_sessions,
+        "tpch_pricing": q_tpch_pricing,
+        "tpch_top_customers": q_tpch_top_customers,
+    }
+
+
+def duckdb_oracles() -> dict[str, str]:
+    m = _oracle_sql_map()
+    # ann_cosine_topk needs the query vector embedded literally; DuckDB can
+    # read it from the registered embeddings view itself.
+    m["ann_cosine_topk"] = f"""
+        WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        scored AS (
+            SELECT e.vec_id,
+                   round(
+                     list_reduce(list_prepend(0.0,
+                         [e.embedding[i]::DOUBLE * q.qe[i]::DOUBLE
+                          for i in range(1, {EMB_DIM + 1})]), (a, b) -> a + b)
+                     / (sqrt(list_reduce(list_prepend(0.0,
+                         [e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE
+                          for i in range(1, {EMB_DIM + 1})]), (a, b) -> a + b))
+                        * sqrt(list_reduce(list_prepend(0.0,
+                         [q.qe[i]::DOUBLE * q.qe[i]::DOUBLE
+                          for i in range(1, {EMB_DIM + 1})]), (a, b) -> a + b)))
+                   , 6) AS sim
+            FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0)
+        SELECT vec_id, sim,
+               row_number() OVER (ORDER BY sim DESC, vec_id ASC) AS rnk
+        FROM scored
+        QUALIFY rnk <= 10
+    """
+    return m
