@@ -1,0 +1,267 @@
+"""Top-k BM25 over compressed block postings: exact path + block-max WAND.
+
+The reference scores every matched page then sorts
+(services/SearchServiceImpl.java:104-116) — O(candidates). Here top-k runs
+per doc-range shard (shards are disjoint doc partitions by construction —
+operators/compress.py), each shard emitting its own exact top-(offset+k)
+via a grouped-map pandas stage, then a global
+``orderBy(score desc, doc_id asc).limit(offset+k)`` merge
+(TakeOrderedAndProject on ≤ shards×(offset+k) rows).
+
+Two per-shard kernels, both NumPy over decoded blocks:
+
+- ``exact``    — decode all query-term blocks, conjunctive intersect,
+  score everything. Validates WAND (SURVEY.md §4 item 3).
+- ``wand``     — block-max WAND (Broder et al.; Ding & Suel), conjunctive
+  variant: iterate the rarest term's blocks in doc_id order; skip a block
+  when (a) any other term has no overlapping block (conjunction cannot
+  hold) or (b) the top-k heap is full and the block's score upper bound
+  ``Σ_t idf_t · s(max_tf_t, min_dl_t)`` is strictly below the current
+  k-th score θ (strict '<' keeps equal-score ties exact: earlier shards
+  process lower doc_ids first, and ties break (score desc, doc_id asc)).
+  Safe-up-to-k: results are rank-identical to exact.
+
+Float determinism: per-term scores accumulate in lexicographic term order
+with the same evaluation shape as functions/scoring.bm25_term_score —
+``idf * tf * (k1+1) / (tf + k1*(1-b + b*dl/avgdl))`` in float64, so
+exact/WAND/flat/oracle all produce bit-identical scores.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from search_engine_spark import BM25_B, BM25_K1
+from search_engine_spark.functions.analyze import query_lemmas
+from search_engine_spark.functions.codec import delta_decode, varbyte_decode
+from search_engine_spark.functions.scoring import bm25_idf, query_killed_by_cutoff
+from search_engine_spark.operators.query import (
+    _paginate,
+    _scope_stats,
+    _term_dfs,
+)
+from search_engine_spark.schemas import SEARCH_RESULT
+
+
+def _term_scores(tfs: np.ndarray, dls: np.ndarray, idf: float, avg_len: float) -> np.ndarray:
+    """Vectorized bm25_term_score — identical op order to scoring.py."""
+    tf = tfs.astype(np.float64)
+    norm = BM25_K1 * (1.0 - BM25_B + BM25_B * dls.astype(np.float64) / avg_len)
+    return idf * tf * (BM25_K1 + 1.0) / (tf + norm)
+
+
+def _decode_one(row) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    ids = delta_decode(varbyte_decode(row.doc_ids)).astype(np.int64)
+    tfs = varbyte_decode(row.tfs).astype(np.int64)
+    dls = varbyte_decode(row.doc_lens).astype(np.int64)
+    return ids, tfs, dls
+
+
+def _gather_term(pdf: pd.DataFrame) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """All blocks of one term in one shard → sorted (ids, tfs, dls).
+    Blocks from different scope groups interleave in doc_id, so sort."""
+    parts = [_decode_one(r) for r in pdf.itertuples(index=False)]
+    ids = np.concatenate([p[0] for p in parts])
+    tfs = np.concatenate([p[1] for p in parts])
+    dls = np.concatenate([p[2] for p in parts])
+    order = np.argsort(ids, kind="stable")  # doc_ids are unique per term
+    return ids[order], tfs[order], dls[order]
+
+
+def _intersect_score(
+    per_term: list[tuple[np.ndarray, np.ndarray, np.ndarray]],
+    idfs: list[float],
+    avg_len: float,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Conjunctive intersection (ascending-size order — reference X1) then
+    float64 scoring accumulated in the ORIGINAL (lexicographic) term order."""
+    n_terms = len(per_term)
+    order = sorted(range(n_terms), key=lambda i: per_term[i][0].size)
+    cand = per_term[order[0]][0]
+    for i in order[1:]:
+        cand = cand[np.isin(cand, per_term[i][0], assume_unique=True)]
+        if cand.size == 0:
+            break
+    if cand.size == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+    scores = np.zeros(cand.size, dtype=np.float64)
+    for (ids, tfs, dls), idf in zip(per_term, idfs):  # lexicographic
+        pos = np.searchsorted(ids, cand)
+        scores += _term_scores(tfs[pos], dls[pos], idf, avg_len)
+    return cand, scores
+
+
+def _shard_exact_kernel(terms, idfs, avg_len, m):
+    """Per-shard grouped-map fn: exact conjunctive scoring, local top-m."""
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        per_term = []
+        for t in terms:
+            tp = pdf[pdf["lemma"] == t]
+            if tp.empty:
+                return pd.DataFrame({"doc_id": [], "score": []}).astype(
+                    {"doc_id": "int64", "score": "float64"}
+                )
+            per_term.append(_gather_term(tp))
+        cand, scores = _intersect_score(per_term, idfs, avg_len)
+        if cand.size > m:
+            # local top-m with (score desc, doc_id asc) — lexsort keys
+            sel = np.lexsort((cand, -scores))[:m]
+            cand, scores = cand[sel], scores[sel]
+        return pd.DataFrame({"doc_id": cand, "score": scores})
+
+    return fn
+
+
+def _shard_wand_kernel(terms, idfs, avg_len, m):
+    """Per-shard grouped-map fn: conjunctive block-max WAND, local top-m."""
+    n_terms = len(terms)
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_id": [], "score": []}).astype(
+            {"doc_id": "int64", "score": "float64"}
+        )
+        # block metadata per term
+        metas = []
+        for t in terms:
+            tp = pdf[pdf["lemma"] == t].reset_index(drop=True)
+            if tp.empty:
+                return empty
+            metas.append(
+                {
+                    "rows": tp,
+                    "first": tp["first_doc_id"].to_numpy(np.int64),
+                    "last": tp["last_doc_id"].to_numpy(np.int64),
+                    "max_tf": tp["max_tf"].to_numpy(np.int64),
+                    "min_dl": tp["min_dl"].to_numpy(np.int64),
+                    "count": int(tp["count"].sum()),
+                    "decoded": {},  # block row idx -> (ids, tfs, dls)
+                }
+            )
+        rarest = min(range(n_terms), key=lambda i: metas[i]["count"])
+        others = [i for i in range(n_terms) if i != rarest]
+
+        def blocks_decoded(ti: int, rows_idx: np.ndarray):
+            meta = metas[ti]
+            parts = []
+            for ri in rows_idx:
+                ri = int(ri)
+                hit = meta["decoded"].get(ri)
+                if hit is None:
+                    hit = _decode_one(
+                        next(meta["rows"].iloc[[ri]].itertuples(index=False))
+                    )
+                    meta["decoded"][ri] = hit
+                parts.append(hit)
+            ids = np.concatenate([p[0] for p in parts])
+            tfs = np.concatenate([p[1] for p in parts])
+            dls = np.concatenate([p[2] for p in parts])
+            order = np.argsort(ids, kind="stable")
+            return ids[order], tfs[order], dls[order]
+
+        heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap
+        rmeta = metas[rarest]
+        r_order = np.argsort(rmeta["first"], kind="stable")
+        for rb in r_order:
+            rb = int(rb)
+            fb, lb = int(rmeta["first"][rb]), int(rmeta["last"][rb])
+            overlaps = []
+            dead = False
+            for oi in others:
+                om = metas[oi]
+                mask = (om["first"] <= lb) & (om["last"] >= fb)
+                if not mask.any():
+                    dead = True
+                    break
+                overlaps.append(np.flatnonzero(mask))
+            if dead:
+                continue
+            if len(heap) >= m:
+                theta = heap[0][0]
+                ub = _term_scores(
+                    np.array([rmeta["max_tf"][rb]]),
+                    np.array([rmeta["min_dl"][rb]]),
+                    idfs[rarest], avg_len,
+                )[0]
+                for oi, ov in zip(others, overlaps):
+                    om = metas[oi]
+                    ub += _term_scores(
+                        np.array([om["max_tf"][ov].max()]),
+                        np.array([om["min_dl"][ov].min()]),
+                        idfs[oi], avg_len,
+                    )[0]
+                if ub < theta:
+                    continue  # block-max skip
+            per_term: list = [None] * n_terms
+            per_term[rarest] = blocks_decoded(rarest, np.array([rb]))
+            for oi, ov in zip(others, overlaps):
+                per_term[oi] = blocks_decoded(oi, ov)
+            # clip others to this block's doc range before intersecting
+            for oi in others:
+                ids, tfs, dls = per_term[oi]
+                lo = np.searchsorted(ids, fb, side="left")
+                hi = np.searchsorted(ids, lb, side="right")
+                per_term[oi] = (ids[lo:hi], tfs[lo:hi], dls[lo:hi])
+                if per_term[oi][0].size == 0:
+                    dead = True
+                    break
+            if dead:
+                continue
+            cand, scores = _intersect_score(per_term, idfs, avg_len)
+            for d, s in zip(cand.tolist(), scores.tolist()):
+                item = (s, -d)
+                if len(heap) < m:
+                    heapq.heappush(heap, item)
+                elif item > heap[0]:
+                    heapq.heapreplace(heap, item)
+        if not heap:
+            return empty
+        return pd.DataFrame(
+            {"doc_id": [-d for s, d in heap], "score": [s for s, d in heap]}
+        )
+
+    return fn
+
+
+def bm25_search_blocks(
+    postings: DataFrame,
+    lemma_stats: DataFrame,
+    doc_stats: DataFrame,
+    query: str,
+    scope: str | None = None,
+    k: int = 10,
+    offset: int = 0,
+    mode: str = "wand",
+) -> DataFrame:
+    """Top-k conjunctive BM25 over POSTINGS blocks; rank-identical to the
+    flat path and the oracle. ``mode`` ∈ {"wand", "exact"}."""
+    spark = postings.sparkSession
+    terms = query_lemmas(query)
+    if not terms:
+        return _empty(spark)
+    n_docs, avg_len = _scope_stats(doc_stats, scope)
+    if n_docs == 0:
+        return _empty(spark)
+    dfs = _term_dfs(lemma_stats, terms, scope)
+    if query_killed_by_cutoff(list(dfs.values()), n_docs):
+        return _empty(spark)
+    idfs = [bm25_idf(dfs[t], n_docs) for t in terms]
+
+    blocks = postings.filter(F.col("lemma").isin(terms))
+    if scope is not None:
+        blocks = blocks.filter(F.col("scope") == scope)
+    m = offset + k
+    kernel = (_shard_wand_kernel if mode == "wand" else _shard_exact_kernel)(
+        terms, idfs, avg_len, m
+    )
+    per_shard = blocks.groupBy("shard").applyInPandas(kernel, schema=SEARCH_RESULT)
+    return _paginate(per_shard, k, offset)
+
+
+def _empty(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame([], SEARCH_RESULT)

@@ -73,10 +73,15 @@ POSTINGS_FLAT = StructType(
     ]
 )
 
-# compressed block postings (FIXTURES.md §2); shard = doc_id range bucket so
-# query-time WAND groups are doc-partitioned
+# compressed block postings (FIXTURES.md §2); shard = doc_id range bucket
+# (range-ALIGNED salt — operators/compress.py) so query-time WAND groups are
+# doc-partitioned and the per-lemma merge is a pure ordered concat.
+# (max_tf, min_dl) are the block-max WAND bound inputs: BM25's term score is
+# increasing in tf, decreasing in dl, so score(max_tf, min_dl) upper-bounds
+# every doc in the block under any scope's (idf, avgdl).
 POSTINGS = StructType(
     [
+        StructField("scope", StringType(), False),
         StructField("lemma", StringType(), False),
         StructField("shard", IntegerType(), False),
         StructField("block_id", IntegerType(), False),
@@ -84,9 +89,10 @@ POSTINGS = StructType(
         StructField("last_doc_id", LongType(), False),
         StructField("count", IntegerType(), False),
         StructField("max_tf", IntegerType(), False),
-        StructField("max_score", DoubleType(), False),
+        StructField("min_dl", IntegerType(), False),
         StructField("doc_ids", BinaryType(), False),
         StructField("tfs", BinaryType(), False),
+        StructField("doc_lens", BinaryType(), False),
     ]
 )
 
