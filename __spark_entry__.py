@@ -49,7 +49,7 @@ def entry(spark: SparkSession) -> DataFrame:
     results = bm25_search(
         postings_flat, lemma_stats, doc_stats, FLAGSHIP_QUERY, k=10
     )
-    return materialize_results(results, docs_tok.drop("lemmas"))
+    return materialize_results(results, docs_tok.drop("lemma_counts"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -21,12 +21,15 @@ _U7 = np.uint64(7)
 _MASK = np.uint64(0x7F)
 
 
-def varbyte_encode(values: np.ndarray) -> bytes:
-    """Vectorized varbyte encode of a uint64 array."""
+def varbyte_encode_with_lengths(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """Vectorized varbyte encode of a uint64 array → (buffer, per-value
+    byte lengths). The lengths let a caller slice the buffer into
+    arbitrary sub-ranges (blocks) without re-encoding — the columnar
+    batch-encode path in operators/compress.py depends on this."""
     values = np.ascontiguousarray(values, dtype=np.uint64)
     n = values.size
     if n == 0:
-        return b""
+        return b"", np.empty(0, dtype=np.int64)
     nbytes = np.ones(n, dtype=np.int64)
     v = values >> _U7
     while v.any():
@@ -43,7 +46,12 @@ def varbyte_encode(values: np.ndarray) -> bytes:
         cont = (nbytes[mask] - 1 > j).astype(np.uint8) << 7
         out[idx] = byte | cont
         vals[mask] >>= _U7
-    return out.tobytes()
+    return out.tobytes(), nbytes
+
+
+def varbyte_encode(values: np.ndarray) -> bytes:
+    """Vectorized varbyte encode of a uint64 array."""
+    return varbyte_encode_with_lengths(values)[0]
 
 
 def varbyte_decode(buf: bytes) -> np.ndarray:

@@ -10,13 +10,28 @@ from __future__ import annotations
 
 import pandas as pd
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import ArrayType, StringType
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 from search_engine_spark.functions.analyze import (
     STOPWORDS,
     TOKEN_RE,
     fold,
     lemmatize,
+)
+
+LEMMA_COUNTS_TYPE = ArrayType(
+    StructType(
+        [
+            StructField("lemma", StringType(), False),
+            StructField("tf", IntegerType(), False),
+        ]
+    )
 )
 
 
@@ -46,3 +61,37 @@ def _analyze_batch(texts: pd.Series) -> pd.Series:
 
 
 tokenize_lemmatize = pandas_udf(_analyze_batch, ArrayType(StringType()))
+
+
+def _analyze_counts_batch(texts: pd.Series) -> pd.Series:
+    """Batch analyzer emitting per-doc (lemma, tf) pairs directly.
+
+    Counting INSIDE the UDF makes the tf aggregation (SURVEY.md A1) a
+    narrow operation: the downstream explode yields already-unique
+    (doc_id, lemma) rows, so the index build's only wide stages are the
+    stats aggregation and the repartition-by-(scope, lemma, shard) into
+    the block encoder. At 10^12 turns that removes a full
+    tokens-sized shuffle (~1.5× the posting count in rows).
+    """
+    memo: dict[str, str] = {}
+    stop = STOPWORDS
+    findall = TOKEN_RE.findall
+
+    def one(text):
+        if not text:
+            return []
+        counts: dict[str, int] = {}
+        for tok in findall(fold(text)):
+            if tok in stop:
+                continue
+            lem = memo.get(tok)
+            if lem is None:
+                lem = lemmatize(tok)
+                memo[tok] = lem
+            counts[lem] = counts.get(lem, 0) + 1
+        return list(counts.items())
+
+    return texts.map(one)
+
+
+tokenize_lemmatize_counts = pandas_udf(_analyze_counts_batch, LEMMA_COUNTS_TYPE)

@@ -15,18 +15,20 @@ from pyspark.sql import functions as F
 def build_postings_flat(docs_tok: DataFrame) -> DataFrame:
     """(lemma, doc_id, tf) + carried (scope, doc_len) — A1.
 
-    explode → hash agg with map-side partial aggregation (Catalyst does
-    partial+final automatically). scope/doc_len are functionally
-    dependent on doc_id, carried with first() so scoring never re-joins
-    docs in the hot path.
+    NARROW: tf is counted per doc inside the tokenizer UDF
+    (functions/udfs.py), so the explode emits already-unique
+    (doc_id, lemma) rows — no shuffle here at all. scope/doc_len are
+    functionally dependent on doc_id and carried through so scoring
+    never re-joins docs in the hot path.
     """
-    exploded = docs_tok.select(
-        "doc_id", "scope", "doc_len", F.explode("lemmas").alias("lemma")
-    )
-    return exploded.groupBy("lemma", "doc_id").agg(
-        F.count("*").cast("int").alias("tf"),
-        F.first("scope").alias("scope"),
-        F.first("doc_len").alias("doc_len"),
+    return docs_tok.select(
+        "doc_id", "scope", "doc_len", F.explode("lemma_counts").alias("lc")
+    ).select(
+        F.col("lc.lemma").alias("lemma"),
+        "doc_id",
+        F.col("lc.tf").alias("tf"),
+        "scope",
+        "doc_len",
     )
 
 
@@ -36,6 +38,17 @@ def build_lemma_stats(postings_flat: DataFrame) -> DataFrame:
     return postings_flat.groupBy("scope", "lemma").agg(
         F.count("*").alias("df"),
         F.sum("tf").alias("cf"),
+    )
+
+
+def lemma_stats_from_blocks(blocks: DataFrame) -> DataFrame:
+    """(scope, lemma, df, cf) derived from the compressed POSTINGS table's
+    block metadata — ~1000x fewer input rows than re-exploding docs (the
+    blocks already aggregate 128 postings each). At 100 TB the corpus is
+    never rescanned for dictionary stats."""
+    return blocks.groupBy("scope", "lemma").agg(
+        F.sum("count").cast("long").alias("df"),
+        F.sum("sum_tf").cast("long").alias("cf"),
     )
 
 

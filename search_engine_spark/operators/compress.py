@@ -1,4 +1,4 @@
-"""Compressed block postings: salted-by-doc-range build (SURVEY.md §4 item 1-2).
+"""Compressed block postings: salted-by-doc-range build (SURVEY.md §4 items 1-2).
 
 Physical redesign of the reference's one-row-per-posting ``index`` table
 (model/Index.java:8-28): per (scope, lemma, doc-range shard), sorted
@@ -16,8 +16,18 @@ salting on doc_id // range_size, making the merge a pure ordered concat").
 Query-time benefit: a shard is a self-contained doc partition, so top-k
 can run per shard independently and merge k-row results.
 
+Execution shape (scale-critical): ONE shuffle —
+``repartition(scope, lemma, shard).sortWithinPartitions(..., doc_id)`` —
+then a STREAMING ``mapInPandas`` encoder. A grouped-map
+(``applyInPandas``) formulation pays pandas-DataFrame-per-group overhead,
+which at Zipfian vocabularies means hundreds of thousands of tiny groups
+(measured ~3× the whole build's cost); the streaming encoder instead
+varbyte-encodes an entire Arrow batch in one vectorized pass and slices
+the buffer per block, carrying partial groups across batch boundaries.
+
 Block self-containment: each block stores (delta+varbyte doc_ids, varbyte
-tfs, varbyte doc_lens) — scoring never joins back to docs. Block maxima
+tfs, varbyte doc_lens) — scoring never joins back to docs; each block's
+first doc_id is absolute, so blocks decode independently. Block maxima
 are (max_tf, min_dl): BM25's term score is increasing in tf and
 decreasing in dl, so ``score(max_tf, min_dl)`` is a valid upper bound for
 every doc in the block under ANY scope's (idf, avgdl) — the bound stays
@@ -26,18 +36,20 @@ safe for scoped queries without storing per-scope numbers.
 
 from __future__ import annotations
 
-from typing import Iterable
+from collections.abc import Iterable, Iterator
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from search_engine_spark.functions.codec import varbyte_encode, delta_encode
+from search_engine_spark.functions.codec import varbyte_encode_with_lengths
 from search_engine_spark.schemas import POSTINGS
 
 BLOCK_SIZE = 128
 DEFAULT_DOCS_PER_SHARD = 65_536
+
+_KEY = ["scope", "lemma", "shard"]
 
 
 def shard_spec(max_doc_id: int, docs_per_shard: int = DEFAULT_DOCS_PER_SHARD) -> int:
@@ -46,37 +58,85 @@ def shard_spec(max_doc_id: int, docs_per_shard: int = DEFAULT_DOCS_PER_SHARD) ->
     return max(1, min(int(docs_per_shard), int(max_doc_id)))
 
 
-def _encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
-    """One (scope, lemma, shard) group → block rows (grouped-map pandas)."""
-    scope = pdf["scope"].iat[0]
-    lemma = pdf["lemma"].iat[0]
-    shard = int(pdf["shard"].iat[0])
-    order = np.argsort(pdf["doc_id"].to_numpy(), kind="stable")
-    ids = pdf["doc_id"].to_numpy()[order].astype(np.int64)
-    tfs = pdf["tf"].to_numpy()[order].astype(np.int64)
-    dls = pdf["doc_len"].to_numpy()[order].astype(np.int64)
-    rows = []
-    for b, lo in enumerate(range(0, ids.size, BLOCK_SIZE)):
-        hi = min(lo + BLOCK_SIZE, ids.size)
-        bi, bt, bl = ids[lo:hi], tfs[lo:hi], dls[lo:hi]
-        rows.append(
-            (
-                scope, lemma, shard, b,
-                int(bi[0]), int(bi[-1]), int(bi.size),
-                int(bt.max()), int(bl.min()),
-                varbyte_encode(delta_encode(bi.astype(np.uint64))),
-                varbyte_encode(bt.astype(np.uint64)),
-                varbyte_encode(bl.astype(np.uint64)),
-            )
-        )
+def _encode_frame(pdf: pd.DataFrame, group_starts: np.ndarray) -> pd.DataFrame:
+    """Columnar batch encode: rows are key-contiguous and doc_id-sorted
+    within each group; ``group_starts`` are the row indices where a new
+    (scope, lemma, shard) group begins. One varbyte pass per column for
+    the WHOLE frame, then per-block byte slicing."""
+    ids = pdf["doc_id"].to_numpy(np.int64)
+    tfs = pdf["tf"].to_numpy(np.int64)
+    dls = pdf["doc_len"].to_numpy(np.int64)
+    n = ids.size
+    # in-group row index → block boundaries (every group start is one)
+    gflag = np.zeros(n, dtype=np.int64)
+    gflag[group_starts] = 1
+    gid = np.cumsum(gflag) - 1
+    ig = np.arange(n, dtype=np.int64) - group_starts[gid]
+    block_starts = np.flatnonzero(ig % BLOCK_SIZE == 0)
+    block_ends = np.append(block_starts[1:], n)
+    # delta within block; block-leading values stay absolute (negative
+    # diffs at group boundaries are overwritten — every group start is a
+    # block start)
+    gaps = np.empty(n, dtype=np.uint64)
+    if n > 1:
+        gaps[1:] = (ids[1:] - ids[:-1]).astype(np.uint64)
+    gaps[block_starts] = ids[block_starts].astype(np.uint64)
+    id_buf, id_len = varbyte_encode_with_lengths(gaps)
+    tf_buf, tf_len = varbyte_encode_with_lengths(tfs.astype(np.uint64))
+    dl_buf, dl_len = varbyte_encode_with_lengths(dls.astype(np.uint64))
+
+    def offs(lens: np.ndarray) -> np.ndarray:
+        o = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(lens, out=o[1:])
+        return o
+
+    io, to, do = offs(id_len), offs(tf_len), offs(dl_len)
+    bs, be = block_starts, block_ends
     return pd.DataFrame(
-        rows,
-        columns=[
-            "scope", "lemma", "shard", "block_id",
-            "first_doc_id", "last_doc_id", "count",
-            "max_tf", "min_dl", "doc_ids", "tfs", "doc_lens",
-        ],
+        {
+            "scope": pdf["scope"].to_numpy()[bs],
+            "lemma": pdf["lemma"].to_numpy()[bs],
+            "shard": pdf["shard"].to_numpy(np.int32)[bs],
+            "block_id": (ig[bs] // BLOCK_SIZE).astype(np.int32),
+            "first_doc_id": ids[bs],
+            "last_doc_id": ids[be - 1],
+            "count": (be - bs).astype(np.int32),
+            "sum_tf": np.add.reduceat(tfs, bs),
+            "max_tf": np.maximum.reduceat(tfs, bs).astype(np.int32),
+            "min_dl": np.minimum.reduceat(dls, bs).astype(np.int32),
+            "doc_ids": [id_buf[io[s]:io[e]] for s, e in zip(bs, be)],
+            "tfs": [tf_buf[to[s]:to[e]] for s, e in zip(bs, be)],
+            "doc_lens": [dl_buf[do[s]:do[e]] for s, e in zip(bs, be)],
+        }
     )
+
+
+def _group_starts(pdf: pd.DataFrame) -> np.ndarray:
+    keys = pdf[_KEY]
+    change = (keys != keys.shift()).any(axis=1).to_numpy()
+    change[0] = True
+    return np.flatnonzero(change)
+
+
+def _encode_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Streaming encoder: groups are contiguous within the partition
+    (repartition by key + sortWithinPartitions), but may span Arrow batch
+    boundaries — the trailing (possibly incomplete) group carries over."""
+    carry: pd.DataFrame | None = None
+    for pdf in batches:
+        if pdf.empty:
+            continue
+        if carry is not None:
+            pdf = pd.concat([carry, pdf], ignore_index=True)
+        starts = _group_starts(pdf)
+        if starts.size == 1:
+            carry = pdf  # whole batch is one (unfinished) group
+            continue
+        last = starts[-1]
+        carry = pdf.iloc[last:].reset_index(drop=True)
+        yield _encode_frame(pdf.iloc[:last], starts[:-1])
+    if carry is not None and not carry.empty:
+        yield _encode_frame(carry, _group_starts(carry))
 
 
 def build_postings_compressed(
@@ -84,17 +144,16 @@ def build_postings_compressed(
 ) -> DataFrame:
     """postings_flat (lemma, doc_id, tf, scope, doc_len) → POSTINGS blocks.
 
-    One explicit shuffle: ``groupBy(scope, lemma, shard)`` feeds the
-    grouped-map encoder (Arrow batches; NumPy inside — no per-row Python).
-    The reference's analog is the 10k-row batched INSERT
-    (services/BatchIndexWriter.java:29-63); here batching is the block.
+    One explicit shuffle (the build's skew-managed one, SURVEY.md §3.2),
+    then the streaming columnar encoder. The reference's analog is the
+    10k-row batched INSERT (services/BatchIndexWriter.java:29-63); here
+    the batch is the block.
     """
     sharded = postings_flat.withColumn(
         "shard", ((F.col("doc_id") - 1) / F.lit(int(range_size))).cast("int")
     )
-    return sharded.groupBy("scope", "lemma", "shard").applyInPandas(
-        _encode_group, schema=POSTINGS
-    )
+    part = sharded.repartition(*_KEY).sortWithinPartitions(*_KEY, "doc_id")
+    return part.mapInPandas(_encode_partition, schema=POSTINGS)
 
 
 def decode_blocks(

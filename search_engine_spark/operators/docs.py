@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from oracle.oracle import N_SCOPES  # pinned scope derivation constant
-from search_engine_spark.functions.udfs import tokenize_lemmatize
+from search_engine_spark.functions.udfs import tokenize_lemmatize_counts
 
 
 def with_scope(df: DataFrame) -> DataFrame:
@@ -63,18 +63,25 @@ def assign_doc_ids(transcripts: DataFrame) -> DataFrame:
 
 def build_docs(transcripts: DataFrame, with_lemmas: bool = False) -> DataFrame:
     """Full docs table (FIXTURES.md §2). ``with_lemmas=True`` keeps the
-    tokenized ``lemmas`` column so the index build tokenizes exactly once.
+    tokenized ``lemma_counts`` column (array<struct<lemma,tf>>) so the
+    index build tokenizes exactly once AND needs no tf shuffle (counting
+    happens inside the UDF — see functions/udfs.py).
 
     Per-row invariant (input_hint): text carried through untouched; doc_id
-    strictly increasing in (conv_id, turn_idx) order.
+    strictly increasing in (conv_id, turn_idx) order. ``doc_len`` is the
+    indexed-token count = Σ tf (pinned: post-stopword; oracle twin
+    ``doc_length``).
     """
     d = with_scope(assign_doc_ids(transcripts))
-    d = d.withColumn("lemmas", tokenize_lemmatize(F.col("text")))
-    d = d.withColumn("doc_len", F.size("lemmas").cast("int"))
+    d = d.withColumn("lemma_counts", tokenize_lemmatize_counts(F.col("text")))
+    d = d.withColumn(
+        "doc_len",
+        F.expr("aggregate(lemma_counts, 0, (a, x) -> a + x.tf)").cast("int"),
+    )
     cols = [
         "doc_id", "conv_id", "turn_idx", "role", "tool", "ts",
         "scope", "text", "doc_len",
     ]
     if with_lemmas:
-        cols.append("lemmas")
+        cols.append("lemma_counts")
     return d.select(*cols)

@@ -88,6 +88,7 @@ POSTINGS = StructType(
         StructField("first_doc_id", LongType(), False),
         StructField("last_doc_id", LongType(), False),
         StructField("count", IntegerType(), False),
+        StructField("sum_tf", LongType(), False),
         StructField("max_tf", IntegerType(), False),
         StructField("min_dl", IntegerType(), False),
         StructField("doc_ids", BinaryType(), False),

@@ -87,14 +87,13 @@ def generate_transcripts(n_convs: int, seed: int = 42) -> pd.DataFrame:
     bounds = np.zeros(n_turns + 1, dtype=np.int64)
     np.cumsum(n_words, out=bounds[1:])
     hot = rng.random(n_turns) < HOT_TERM_TURN_PROB
-    texts = []
-    for t in range(n_turns):
-        ws = word_arr[bounds[t]:bounds[t + 1]]
-        s = " ".join(ws)
-        if hot[t]:
-            texts.append(HOT_TERM + " " + s)
-        else:
-            texts.append(s)
+    # plain-list slicing + str.join is ~10x faster than numpy-array joins
+    words = word_arr.tolist()
+    hot_prefix = HOT_TERM + " "
+    texts = [
+        (hot_prefix if hot[t] else "") + " ".join(words[bounds[t]:bounds[t + 1]])
+        for t in range(n_turns)
+    ]
 
     role = np.where(turn_idx % 2 == 0, "user", "assistant").astype(object)
     tool_mask = rng.random(n_turns) < 0.10
@@ -125,7 +124,11 @@ def generate_transcripts(n_convs: int, seed: int = 42) -> pd.DataFrame:
 
 
 def write_transcripts_parquet(path: str, n_convs: int, seed: int = 42) -> int:
-    """Write the corpus as a single deterministic parquet file; returns rows."""
+    """Write the corpus as a deterministic parquet file; returns rows.
+
+    Small row groups (16k rows) keep the file SPLITTABLE — a single
+    pandas-default row group would make Spark's initial scan effectively
+    one task regardless of requested partitions."""
     df = generate_transcripts(n_convs, seed)
-    df.to_parquet(path, index=False)
+    df.to_parquet(path, index=False, row_group_size=16_384)
     return len(df)

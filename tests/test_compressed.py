@@ -87,6 +87,25 @@ def test_blocks_rank_identical(
         assert gs == es, (qid, mode, gd)  # bit-identical float64
 
 
+def test_lemma_stats_from_blocks_match(blocks, engine_tables):
+    """Dictionary stats derived from block metadata == stats from flat
+    postings (the no-corpus-rescan path)."""
+    from search_engine_spark.operators.build import (
+        build_lemma_stats,
+        lemma_stats_from_blocks,
+    )
+
+    exp = {
+        (r["scope"], r["lemma"]): (r["df"], r["cf"])
+        for r in build_lemma_stats(engine_tables["postings_flat"]).collect()
+    }
+    got = {
+        (r["scope"], r["lemma"]): (r["df"], r["cf"])
+        for r in lemma_stats_from_blocks(blocks).collect()
+    }
+    assert got == exp
+
+
 def test_skew_range_size_invariance(engine_tables, oracle_idx):
     """Same ranking with pathological shard width (range_size=64 → every
     hot lemma split across ~33 shards)."""
