@@ -40,25 +40,41 @@ def with_scope(df: DataFrame) -> DataFrame:
     )
 
 
-def assign_doc_ids(transcripts: DataFrame) -> DataFrame:
-    """Adds dense 1-based ``doc_id`` ordered by (conv_id, turn_idx)."""
+def conv_offsets(transcripts: DataFrame) -> DataFrame:
+    """(conv_id, _n, _conv_offset): per-conversation turn counts and the
+    exclusive cumulative doc_id offset in conv_id order — the first pass
+    of the two-level deterministic id scheme. The window runs over the
+    CONVERSATION dictionary (|convs| ≈ |turns|/7), not the turns."""
     conv_sizes = transcripts.groupBy("conv_id").agg(F.count("*").alias("_n"))
     w_cum = (
         Window.orderBy("conv_id").rowsBetween(Window.unboundedPreceding, -1)
     )
-    conv_offsets = conv_sizes.select(
+    return conv_sizes.select(
         "conv_id",
+        "_n",
         F.coalesce(F.sum("_n").over(w_cum), F.lit(0)).alias("_conv_offset"),
     )
+
+
+def docs_from_offsets(transcripts: DataFrame, offsets: DataFrame) -> DataFrame:
+    """Second pass: doc_id = conv offset + row_number within conversation.
+    ``offsets`` may be pre-filtered to a subset of conversations (the
+    checkpointed bucket build, plans/job.py) — ids stay globally correct
+    because the offsets were computed over the full input."""
     w_turn = Window.partitionBy("conv_id").orderBy("turn_idx")
     return (
-        transcripts.join(conv_offsets, "conv_id")
+        transcripts.join(offsets.select("conv_id", "_conv_offset"), "conv_id")
         .withColumn(
             "doc_id",
             (F.col("_conv_offset") + F.row_number().over(w_turn)).cast("long"),
         )
         .drop("_conv_offset")
     )
+
+
+def assign_doc_ids(transcripts: DataFrame) -> DataFrame:
+    """Adds dense 1-based ``doc_id`` ordered by (conv_id, turn_idx)."""
+    return docs_from_offsets(transcripts, conv_offsets(transcripts))
 
 
 def build_docs(transcripts: DataFrame, with_lemmas: bool = False) -> DataFrame:
@@ -72,7 +88,13 @@ def build_docs(transcripts: DataFrame, with_lemmas: bool = False) -> DataFrame:
     indexed-token count = Σ tf (pinned: post-stopword; oracle twin
     ``doc_length``).
     """
-    d = with_scope(assign_doc_ids(transcripts))
+    return enrich_docs(assign_doc_ids(transcripts), with_lemmas)
+
+
+def enrich_docs(docs_with_ids: DataFrame, with_lemmas: bool = False) -> DataFrame:
+    """scope + tokenization + doc_len over a frame that already has
+    doc_id (shared by the single-pass build and the bucketed job)."""
+    d = with_scope(docs_with_ids)
     d = d.withColumn("lemma_counts", tokenize_lemmatize_counts(F.col("text")))
     d = d.withColumn(
         "doc_len",

@@ -1,0 +1,231 @@
+"""Resumable index-build job: per-partition checkpoints + lineage + metrics.
+
+North-rule requirement: "resumable from checkpoint with per-partition
+lineage + metrics tables". Reference analog: the site status heartbeat
+(model/Site.java:13-21, services/WebParser.java:130-136) and the
+cooperative-cancellation / restart flow (IndexingServiceImpl.java:36,
+50-64) — but the reference restarts FROM SCRATCH on every run
+(clearDataByUrlList, IndexingServiceImpl.java:173-193); this job resumes.
+
+Partitioning scheme: conversations are split into ``n_buckets``
+CONTIGUOUS ranges in conv_id order, sized by turn count from the offsets
+table, so each bucket covers a contiguous doc_id range. A bucket is the
+checkpoint unit: its docs and postings are rebuilt idempotently
+(mode=overwrite on the bucket directory), and a checkpoint row is
+appended only after the bucket's writes complete. On resume, buckets with
+a committed checkpoint row are skipped; a bucket that crashed mid-write
+has no row and is simply overwritten. The global doc_id assignment stays
+correct across resumes because stage 0 pins the conversation-offset table
+first (two-level id scheme, operators/docs.py).
+
+Note: a doc-range shard (operators/compress.py) may straddle a bucket
+boundary, in which case its blocks live in two bucket files; the query
+path never relies on block_id uniqueness or file order (the WAND kernel
+re-sorts decoded blocks), so this is benign — verified by
+tests/test_job.py rank-identity.
+
+Sandbox IO is plain parquet; on Iceberg the bucket commit becomes a
+snapshot and the checkpoint row records its snapshot id (SURVEY.md §7.4
+item 4).
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from search_engine_spark.operators.build import (
+    build_doc_stats,
+    build_postings_flat,
+    lemma_stats_from_blocks,
+)
+from search_engine_spark.operators.compress import (
+    DEFAULT_DOCS_PER_SHARD,
+    build_postings_compressed,
+    shard_spec,
+)
+from search_engine_spark.operators.docs import (
+    conv_offsets,
+    docs_from_offsets,
+    enrich_docs,
+)
+from search_engine_spark.schemas import CHECKPOINTS, LINEAGE, METRICS
+
+
+class IndexBuildJob:
+    """Checkpointed transcripts → (docs, postings, lemma_stats, doc_stats)
+    build. ``run()`` is idempotent: re-invoking after any crash completes
+    exactly the missing work and converges to the same tables."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        transcripts_path: str,
+        out_dir: str,
+        n_buckets: int = 8,
+        docs_per_shard: int = DEFAULT_DOCS_PER_SHARD,
+        run_id: str | None = None,
+    ):
+        self.spark = spark
+        self.transcripts_path = transcripts_path
+        self.out = out_dir.rstrip("/")
+        self.n_buckets = int(n_buckets)
+        self.docs_per_shard = int(docs_per_shard)
+        self.run_id = run_id or f"run-{uuid.uuid4().hex[:12]}"
+
+    # -- state tables -------------------------------------------------------
+
+    def _append(self, rows: list, schema, name: str) -> None:
+        self.spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(f"{self.out}/{name}")
+
+    def _checkpoint(self, stage: str, partition_id: int, rows: int, t0: float) -> None:
+        from datetime import datetime, timezone
+
+        started = datetime.fromtimestamp(t0, tz=timezone.utc)
+        now = datetime.now(timezone.utc)
+        self._append(
+            [(self.run_id, partition_id, stage, "done", rows, started, now)],
+            CHECKPOINTS,
+            "checkpoints",
+        )
+        self._append(
+            [
+                (self.run_id, stage, f"wall_sec_p{partition_id}",
+                 float(time.time() - t0), now),
+                (self.run_id, stage, f"rows_p{partition_id}", float(rows), now),
+            ],
+            METRICS,
+            "metrics",
+        )
+
+    def _done(self) -> set[tuple[str, int]]:
+        try:
+            cps = self.spark.read.parquet(f"{self.out}/checkpoints")
+        except Exception:
+            return set()
+        return {
+            (r["stage"], r["partition_id"])
+            for r in cps.filter(F.col("status") == "done").collect()
+        }
+
+    # -- stages -------------------------------------------------------------
+
+    def _stage_offsets(self, done: set) -> None:
+        """Stage 0: pin conversation offsets + bucket assignment (the
+        global-id anchor; everything downstream keys off this table)."""
+        if ("offsets", 0) in done:
+            return
+        t0 = time.time()
+        tr = self.spark.read.parquet(self.transcripts_path)
+        off = conv_offsets(tr)
+        total = tr.count()
+        per_bucket = max(1, -(-total // self.n_buckets))  # ceil
+        off = off.withColumn(
+            "bucket",
+            F.least(
+                (F.col("_conv_offset") / F.lit(per_bucket)).cast("int"),
+                F.lit(self.n_buckets - 1),
+            ),
+        )
+        off.write.mode("overwrite").parquet(f"{self.out}/conv_offsets")
+        self._append(
+            [
+                (self.run_id, "input_path", self.transcripts_path, None),
+                (self.run_id, "n_turns", str(total), None),
+                (self.run_id, "n_buckets", str(self.n_buckets), None),
+                (self.run_id, "docs_per_shard", str(self.docs_per_shard), None),
+                (self.run_id, "range_size",
+                 str(shard_spec(total, self.docs_per_shard)), None),
+            ],
+            LINEAGE,
+            "lineage",
+        )
+        self._checkpoint("offsets", 0, total, t0)
+
+    def _stage_bucket(self, b: int, range_size: int, done: set) -> None:
+        """Per-bucket: docs (tokenize once) then compressed postings."""
+        off = self.spark.read.parquet(f"{self.out}/conv_offsets").filter(
+            F.col("bucket") == b
+        )
+        if ("docs", b) not in done:
+            t0 = time.time()
+            tr = self.spark.read.parquet(self.transcripts_path)
+            docs_b = enrich_docs(docs_from_offsets(tr, off), with_lemmas=True)
+            docs_b.write.mode("overwrite").parquet(f"{self.out}/docs/bucket={b}")
+            n = self.spark.read.parquet(f"{self.out}/docs/bucket={b}").count()
+            self._checkpoint("docs", b, n, t0)
+        if ("postings", b) not in done:
+            t0 = time.time()
+            docs_b = self.spark.read.parquet(f"{self.out}/docs/bucket={b}")
+            blocks = build_postings_compressed(
+                build_postings_flat(docs_b), range_size=range_size
+            )
+            blocks.write.mode("overwrite").parquet(
+                f"{self.out}/postings/bucket={b}"
+            )
+            n = self.spark.read.parquet(f"{self.out}/postings/bucket={b}").count()
+            self._checkpoint("postings", b, n, t0)
+
+    def _stage_stats(self, done: set) -> None:
+        """Global stats from the small outputs (no corpus rescan)."""
+        if ("stats", 0) in done:
+            return
+        t0 = time.time()
+        blocks = self.spark.read.parquet(f"{self.out}/postings")
+        lemma_stats_from_blocks(blocks).write.mode("overwrite").parquet(
+            f"{self.out}/lemma_stats"
+        )
+        docs = self.spark.read.parquet(f"{self.out}/docs")
+        build_doc_stats(docs).write.mode("overwrite").parquet(
+            f"{self.out}/doc_stats"
+        )
+        self._checkpoint("stats", 0, self.n_buckets, t0)
+
+    # -- driver -------------------------------------------------------------
+
+    def run(self, fail_after_buckets: int | None = None) -> dict:
+        """Execute all missing stages. ``fail_after_buckets`` simulates a
+        crash after that many bucket builds (resume tests)."""
+        done = self._done()
+        self._stage_offsets(done)
+        lineage = {
+            r["key"]: r["value"]
+            for r in self.spark.read.parquet(f"{self.out}/lineage").collect()
+        }
+        range_size = int(lineage["range_size"])
+        built = 0
+        for b in range(self.n_buckets):
+            if ("docs", b) in done and ("postings", b) in done:
+                continue
+            self._stage_bucket(b, range_size, done)
+            built += 1
+            if fail_after_buckets is not None and built >= fail_after_buckets:
+                raise RuntimeError(
+                    f"simulated crash after {built} buckets (test hook)"
+                )
+        self._stage_stats(done)
+        return {
+            "run_id": self.run_id,
+            "out": self.out,
+            "buckets_built": built,
+            "n_buckets": self.n_buckets,
+        }
+
+    # -- read side ----------------------------------------------------------
+
+    def tables(self) -> dict[str, DataFrame]:
+        r = self.spark.read
+        return {
+            "docs": r.parquet(f"{self.out}/docs"),
+            "postings": r.parquet(f"{self.out}/postings"),
+            "lemma_stats": r.parquet(f"{self.out}/lemma_stats"),
+            "doc_stats": r.parquet(f"{self.out}/doc_stats"),
+            "checkpoints": r.parquet(f"{self.out}/checkpoints"),
+            "metrics": r.parquet(f"{self.out}/metrics"),
+            "lineage": r.parquet(f"{self.out}/lineage"),
+        }

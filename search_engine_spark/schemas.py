@@ -109,6 +109,15 @@ CHECKPOINTS = StructType(
     ]
 )
 
+LINEAGE = StructType(
+    [
+        StructField("run_id", StringType(), False),
+        StructField("key", StringType(), False),
+        StructField("value", StringType(), False),
+        StructField("ts", TimestampType()),
+    ]
+)
+
 METRICS = StructType(
     [
         StructField("run_id", StringType(), False),

@@ -1,0 +1,122 @@
+"""Checkpointed build job: resume correctness + lineage/metrics tables
+(SURVEY.md §5 item 5 "resume-from-checkpoint == single-run output";
+FIXTURES.md §4 resume fixture)."""
+
+from __future__ import annotations
+
+import pytest
+
+from oracle import oracle as orc
+from search_engine_spark.operators.wand import bm25_search_blocks
+from search_engine_spark.plans.job import IndexBuildJob
+from tests.test_spark_engine import QUERY_CASES, _rows
+
+
+@pytest.fixture(scope="module")
+def corpus_path(small_pdf, tmp_path_factory):
+    p = tmp_path_factory.mktemp("job") / "transcripts.parquet"
+    small_pdf.to_parquet(str(p), index=False, row_group_size=512)
+    return str(p)
+
+
+def _decoded_postings(blocks_df) -> dict:
+    from search_engine_spark.operators.compress import decode_blocks
+
+    out: dict = {}
+    for r in blocks_df.collect():
+        ids, tfs, _ = decode_blocks([r["doc_ids"]], [r["tfs"]], [r["doc_lens"]])
+        for i, t in zip(ids.tolist(), tfs.tolist()):
+            out[(r["lemma"], i)] = t
+    return out
+
+
+@pytest.fixture(scope="module")
+def full_run(spark, corpus_path, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("job") / "idx_full")
+    job = IndexBuildJob(spark, corpus_path, out, n_buckets=4, docs_per_shard=256)
+    job.run()
+    return job
+
+
+def test_job_docs_match_oracle(full_run, small_pdf):
+    exp = orc.build_docs(small_pdf)
+    got = (
+        full_run.tables()["docs"]
+        .select("doc_id", "conv_id", "turn_idx", "scope", "doc_len", "text")
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert len(got) == len(exp)
+    for g, (_, e) in zip(got, exp.iterrows()):
+        assert g["doc_id"] == e["doc_id"] and g["text"] == e["text"]
+
+
+def test_job_rank_identical(full_run, oracle_idx):
+    t = full_run.tables()
+    # representative subset (full matrix runs in test_compressed.py over
+    # the single-pass build; this guards the bucketed layout)
+    cases = [QUERY_CASES[i] for i in (0, 2, 7, 8, 11)]
+    for qid, query, scope, k, offset in cases:
+        exp = orc.search(oracle_idx, query, scope=scope, k=k, offset=offset)
+        got = _rows(
+            bm25_search_blocks(
+                t["postings"], t["lemma_stats"], t["doc_stats"],
+                query, scope=scope, k=k, offset=offset, mode="wand",
+            )
+        )
+        assert [(d, s) for d, s in got] == [(d, s) for d, s in exp], qid
+
+
+def test_resume_equals_single_run(spark, corpus_path, full_run, tmp_path_factory):
+    """Crash after 2 of 4 buckets, then resume with a NEW job instance:
+    all tables identical to the uninterrupted run."""
+    out = str(tmp_path_factory.mktemp("job") / "idx_resume")
+    j1 = IndexBuildJob(
+        spark, corpus_path, out, n_buckets=4, docs_per_shard=256, run_id="r1"
+    )
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        j1.run(fail_after_buckets=2)
+    done = {
+        (r["stage"], r["partition_id"])
+        for r in spark.read.parquet(f"{out}/checkpoints").collect()
+    }
+    assert ("offsets", 0) in done and len(done) < 9  # partial progress
+
+    j2 = IndexBuildJob(
+        spark, corpus_path, out, n_buckets=4, docs_per_shard=256, run_id="r2"
+    )
+    summary = j2.run()
+    assert 0 < summary["buckets_built"] <= 2  # only the missing buckets ran
+
+    a, b = full_run.tables(), j2.tables()
+    docs_a = {r["doc_id"]: r["text"] for r in a["docs"].collect()}
+    docs_b = {r["doc_id"]: r["text"] for r in b["docs"].collect()}
+    assert docs_a == docs_b
+    assert _decoded_postings(a["postings"]) == _decoded_postings(b["postings"])
+    ls_a = {(r["scope"], r["lemma"]): (r["df"], r["cf"]) for r in a["lemma_stats"].collect()}
+    ls_b = {(r["scope"], r["lemma"]): (r["df"], r["cf"]) for r in b["lemma_stats"].collect()}
+    assert ls_a == ls_b
+
+
+def test_rerun_is_noop(full_run):
+    """A second run() over a completed output builds nothing."""
+    again = IndexBuildJob(
+        full_run.spark, full_run.transcripts_path, full_run.out,
+        n_buckets=4, docs_per_shard=256, run_id="again",
+    ).run()
+    assert again["buckets_built"] == 0
+
+
+def test_metrics_and_lineage_present(full_run):
+    t = full_run.tables()
+    lineage = {r["key"]: r["value"] for r in t["lineage"].collect()}
+    assert lineage["input_path"] == full_run.transcripts_path
+    assert int(lineage["n_turns"]) > 0
+    metrics = t["metrics"].collect()
+    stages = {r["stage"] for r in metrics}
+    assert {"offsets", "docs", "postings", "stats"} <= stages
+    cps = t["checkpoints"].collect()
+    assert all(r["status"] == "done" for r in cps)
+    # per-partition coverage: one docs + one postings row per bucket
+    docs_parts = {r["partition_id"] for r in cps if r["stage"] == "docs"}
+    assert docs_parts == set(range(4))
