@@ -562,6 +562,24 @@ def q_fingerprint(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+def q_stats_rollup(spark, sf_dir):
+    """A7 — per-source doc/token counts + grand total via rollup
+    (statistics API analog, StatisticsServiceImpl.java:31-63)."""
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        docs.rollup("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.size(F.expr(TOKS_SQL))).cast("long").alias("n_tokens"),
+        )
+        .select(
+            F.coalesce("source", F.lit("<total>")).alias("source"),
+            "n_docs",
+            "n_tokens",
+        )
+    )
+
+
 def q_events_hourly(spark, sf_dir):
     """Tumbling 1h window per event_type: count + value sum."""
     ev = _read(spark, sf_dir, "events")
@@ -834,6 +852,12 @@ def _oracle_sql_map() -> dict[str, str]:
                        (acc, x) -> (acc * 31 + x) % {HASH_MOD}) AS fingerprint
             FROM t
         """,
+        "stats_rollup": f"""
+            SELECT coalesce(source, '<total>') AS source,
+                   count(*) AS n_docs,
+                   sum(len({TOKS_DUCK}))::BIGINT AS n_tokens
+            FROM documents GROUP BY ROLLUP (source)
+        """,
         "events_hourly": """
             SELECT date_trunc('hour', ts) AS hour, event_type,
                    count(*) AS n_events, round(sum(value), 6) AS value_sum
@@ -892,6 +916,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
+        "stats_rollup": q_stats_rollup,
         "events_hourly": q_events_hourly,
         "events_sessions": q_events_sessions,
         "tpch_pricing": q_tpch_pricing,

@@ -62,6 +62,27 @@ def build_doc_stats(docs: DataFrame) -> DataFrame:
     )
 
 
+def statistics(docs: DataFrame, lemma_stats: DataFrame) -> DataFrame:
+    """A7 — the statistics API equivalent (services/StatisticsServiceImpl.
+    java:31-63): per-scope doc/lemma/token counts plus a grand-total row
+    (scope=NULL) via ``rollup`` — one pass, Catalyst expands the grouping
+    sets."""
+    total = F.lit("<total>")  # rollup's NULL never equi-joins; use a sentinel
+    doc_side = docs.rollup("scope").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("doc_len").alias("n_tokens"),
+    ).select(F.coalesce("scope", total).alias("scope"), "n_docs", "n_tokens")
+    lemma_side = lemma_stats.rollup("scope").agg(
+        F.count("*").alias("n_lemmas"),
+        F.sum("cf").alias("n_postings_tf"),
+    ).select(
+        F.coalesce("scope", total).alias("scope"), "n_lemmas", "n_postings_tf"
+    )
+    return doc_side.join(lemma_side, ["scope"], "full_outer").select(
+        "scope", "n_docs", "n_tokens", "n_lemmas", "n_postings_tf"
+    )
+
+
 def build_all(docs_tok: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
     """postings_flat, lemma_stats, doc_stats from tokenized docs."""
     pf = build_postings_flat(docs_tok)
