@@ -38,18 +38,33 @@ def _derived_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship BM25 query over sf0.001; driver checks rows >= 0."""
+    """Flagship: full headline path over sf0.001 — pandas-UDF analyzer →
+    deterministic docs → compressed block postings (delta+varbyte,
+    doc-range shards) → block-max WAND top-k → snippeted results.
+    Driver checks rows >= 0 with a stable schema."""
+    from search_engine_spark.functions.analyze import query_lemmas
     from search_engine_spark.operators.build import build_all
+    from search_engine_spark.operators.compress import (
+        build_postings_compressed,
+        shard_spec,
+    )
     from search_engine_spark.operators.docs import build_docs
-    from search_engine_spark.operators.query import bm25_search, materialize_results
+    from search_engine_spark.operators.snippet import materialize_with_snippets
+    from search_engine_spark.operators.wand import bm25_search_blocks
 
     transcripts = _derived_transcripts(spark, SF0001)
     docs_tok = build_docs(transcripts, with_lemmas=True)
     postings_flat, lemma_stats, doc_stats = build_all(docs_tok)
-    results = bm25_search(
-        postings_flat, lemma_stats, doc_stats, FLAGSHIP_QUERY, k=10
+    n_docs = docs_tok.count()
+    blocks = build_postings_compressed(
+        postings_flat, range_size=shard_spec(n_docs, 4096)
     )
-    return materialize_results(results, docs_tok.drop("lemma_counts"))
+    results = bm25_search_blocks(
+        blocks, lemma_stats, doc_stats, FLAGSHIP_QUERY, k=10, mode="wand"
+    )
+    return materialize_with_snippets(
+        results, docs_tok.drop("lemma_counts"), query_lemmas(FLAGSHIP_QUERY)
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
