@@ -156,6 +156,15 @@ def build_postings_compressed(
     return part.mapInPandas(_encode_partition, schema=POSTINGS)
 
 
+# Design note (measured, 700k turns, local[4]): a "shuffle docs rows
+# instead of postings" variant — repartitionByRange(docs, shard) →
+# explode+sort within partitions — is 3x SLOWER than the flat-posting
+# shuffle above (195s vs 68s): range partitioning adds a sampling pass
+# over the child, and exchanging rows that carry array<struct> columns
+# costs far more per byte (nested UnsafeArrayData copy) than exchanging
+# 40x as many flat narrow rows. Narrow rows through the exchange win.
+
+
 def decode_blocks(
     doc_ids_bufs: Iterable[bytes],
     tfs_bufs: Iterable[bytes],

@@ -255,6 +255,12 @@ def bm25_search_blocks(
     blocks = postings.filter(F.col("lemma").isin(terms))
     if scope is not None:
         blocks = blocks.filter(F.col("scope") == scope)
+    # prune to what the kernels read — keeps scope/block_id/sum_tf out of
+    # the parquet ReadSchema (filters are already pushed to the scan)
+    blocks = blocks.select(
+        "shard", "lemma", "first_doc_id", "last_doc_id",
+        "count", "max_tf", "min_dl", "doc_ids", "tfs", "doc_lens",
+    )
     m = offset + k
     kernel = (_shard_wand_kernel if mode == "wand" else _shard_exact_kernel)(
         terms, idfs, avg_len, m
