@@ -36,6 +36,34 @@ def transcripts_sdf(spark, small_pdf):
 
 
 @pytest.fixture(scope="session")
+def base_index_dir(spark, small_pdf, tmp_path_factory):
+    """ONE checkpointed index build over the shared corpus, reused across
+    test modules. Read-only — mutating tests copy the directory
+    (copy_index) instead of rebuilding (~1 min saved per module)."""
+    from search_engine_spark.plans.job import IndexBuildJob
+
+    base = tmp_path_factory.mktemp("shared_idx")
+    corpus = str(base / "tr.parquet")
+    small_pdf.to_parquet(corpus, index=False, row_group_size=512)
+    out = str(base / "idx")
+    IndexBuildJob(
+        spark, corpus, out, n_buckets=4, docs_per_shard=256, run_id="shared"
+    ).run()
+    return {"corpus": corpus, "index": out}
+
+
+@pytest.fixture(scope="module")
+def copy_index(base_index_dir, tmp_path_factory):
+    """Private mutable copy of the shared index (cheap file copy), one
+    per test module."""
+    import shutil
+
+    dst = str(tmp_path_factory.mktemp("idxcopy") / "idx")
+    shutil.copytree(base_index_dir["index"], dst)
+    return {"corpus": base_index_dir["corpus"], "index": dst}
+
+
+@pytest.fixture(scope="session")
 def engine_tables(transcripts_sdf):
     from search_engine_spark.operators.build import build_all
     from search_engine_spark.operators.docs import build_docs

@@ -9,13 +9,20 @@ from search_engine_spark.api import SearchEngine
 
 
 @pytest.fixture(scope="module")
-def engine(spark, small_pdf, tmp_path_factory):
-    base = tmp_path_factory.mktemp("api")
+def engine(spark, copy_index):
+    return SearchEngine(spark, copy_index["index"])
+
+
+def test_start_indexing_builds(spark, small_pdf, tmp_path_factory):
+    """start_indexing endpoint itself (tiny corpus — the big build is
+    covered by the shared fixture)."""
+    base = tmp_path_factory.mktemp("api_build")
     corpus = str(base / "tr.parquet")
-    small_pdf.to_parquet(corpus, index=False, row_group_size=512)
-    return SearchEngine.start_indexing(
+    small_pdf.head(200).to_parquet(corpus, index=False, row_group_size=128)
+    eng = SearchEngine.start_indexing(
         spark, corpus, str(base / "idx"), n_buckets=2
     )
+    assert eng.statistics()["statistics"]["total"]["pages"] == 200
 
 
 def test_search_endpoint(engine, oracle_idx):

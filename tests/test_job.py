@@ -12,11 +12,6 @@ from search_engine_spark.plans.job import IndexBuildJob
 from tests.test_spark_engine import QUERY_CASES, _rows
 
 
-@pytest.fixture(scope="module")
-def corpus_path(small_pdf, tmp_path_factory):
-    p = tmp_path_factory.mktemp("job") / "transcripts.parquet"
-    small_pdf.to_parquet(str(p), index=False, row_group_size=512)
-    return str(p)
 
 
 def _decoded_postings(blocks_df) -> dict:
@@ -31,11 +26,12 @@ def _decoded_postings(blocks_df) -> dict:
 
 
 @pytest.fixture(scope="module")
-def full_run(spark, corpus_path, tmp_path_factory):
-    out = str(tmp_path_factory.mktemp("job") / "idx_full")
-    job = IndexBuildJob(spark, corpus_path, out, n_buckets=4, docs_per_shard=256)
-    job.run()
-    return job
+def full_run(spark, base_index_dir):
+    """Job handle over the session-shared completed build (read-only)."""
+    return IndexBuildJob(
+        spark, base_index_dir["corpus"], base_index_dir["index"],
+        n_buckets=4, docs_per_shard=256, run_id="shared-reader",
+    )
 
 
 def test_job_docs_match_oracle(full_run, small_pdf):
@@ -67,9 +63,10 @@ def test_job_rank_identical(full_run, oracle_idx):
         assert [(d, s) for d, s in got] == [(d, s) for d, s in exp], qid
 
 
-def test_resume_equals_single_run(spark, corpus_path, full_run, tmp_path_factory):
+def test_resume_equals_single_run(spark, full_run, tmp_path_factory):
     """Crash after 2 of 4 buckets, then resume with a NEW job instance:
     all tables identical to the uninterrupted run."""
+    corpus_path = full_run.transcripts_path
     out = str(tmp_path_factory.mktemp("job") / "idx_resume")
     j1 = IndexBuildJob(
         spark, corpus_path, out, n_buckets=4, docs_per_shard=256, run_id="r1"

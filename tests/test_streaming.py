@@ -9,17 +9,14 @@ from oracle import oracle as orc
 
 
 @pytest.fixture(scope="module")
-def stream_env(spark, small_pdf, tmp_path_factory):
+def stream_env(spark, copy_index, tmp_path_factory):
     from search_engine_spark.plans.job import IndexBuildJob
 
     base = tmp_path_factory.mktemp("stream")
-    corpus = str(base / "tr.parquet")
-    small_pdf.to_parquet(corpus, index=False, row_group_size=512)
     job = IndexBuildJob(
-        spark, corpus, str(base / "idx"), n_buckets=4, docs_per_shard=256,
-        run_id="stream-base",
+        spark, copy_index["corpus"], copy_index["index"],
+        n_buckets=4, docs_per_shard=256, run_id="stream-base",
     )
-    job.run()
     return job, base
 
 

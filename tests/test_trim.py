@@ -94,21 +94,17 @@ def test_statistics_rollup(engine_tables, oracle_idx):
 
 
 @pytest.fixture(scope="module")
-def upsert_env(spark, small_pdf, tmp_path_factory):
-    """Build base index, modify 5 turns, APPLY the upsert; return
-    (job, modified corpus, upsert summary)."""
+def upsert_env(spark, small_pdf, copy_index):
+    """Take a mutable copy of the shared index, modify 5 turns, APPLY the
+    upsert; return (job, modified corpus, upsert summary)."""
     from search_engine_spark.operators.upsert import upsert_turns
     from search_engine_spark.plans.job import IndexBuildJob
     from search_engine_spark.schemas import TRANSCRIPTS
 
-    base = tmp_path_factory.mktemp("ups")
-    corpus = str(base / "tr.parquet")
-    small_pdf.to_parquet(corpus, index=False, row_group_size=512)
     job = IndexBuildJob(
-        spark, corpus, str(base / "idx"), n_buckets=4, docs_per_shard=256,
-        run_id="base",
+        spark, copy_index["corpus"], copy_index["index"],
+        n_buckets=4, docs_per_shard=256, run_id="base",
     )
-    job.run()
 
     mod = small_pdf.copy()
     victims = mod.index[[3, 50, 400, 401, 1200]]
