@@ -522,6 +522,88 @@ def q_text_quality(spark, sf_dir):
     )
 
 
+def q_token_counts(spark, sf_dir):
+    """Token counting two ways per doc: whitespace words and a BPE-ish
+    pre-tokenization regex (letter runs / digit runs / single
+    punctuation), the shapes a training-data pipeline budgets with."""
+    docs = _read(spark, sf_dir, "documents")
+    ws = F.size(F.expr("regexp_extract_all(text, '[^\\\\s]+', 0)"))
+    bpe = F.size(
+        F.expr(
+            "regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\\\\s]', 0)"
+        )
+    )
+    return docs.select(
+        "doc_id",
+        ws.cast("long").alias("n_ws_tokens"),
+        bpe.cast("long").alias("n_bpe_tokens"),
+    )
+
+
+def q_ann_ivf_assign(spark, sf_dir):
+    """IVF coarse quantizer: assign each embedding to its nearest of 8
+    deterministic centroids (the partition step of IVF ANN — search then
+    probes only the query's cell instead of the full corpus). Centroid
+    c's component d = ±1 from pinned integer arithmetic; nearest by
+    max dot product, ties to lower centroid id."""
+    emb = _read(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "vec_id", F.posexplode("embedding").alias("d", "v")
+    ).withColumn("v", F.col("v").cast("double"))
+    cents = (
+        spark.range(8).select(F.col("id").cast("int").alias("c"))
+        .crossJoin(spark.range(EMB_DIM).select(F.col("id").cast("int").alias("d")))
+        .withColumn("s", F.expr(_plane_sign_sql("(c + 13)", "d")))
+    )
+    dots = (
+        dims.join(F.broadcast(cents), "d")
+        .groupBy("vec_id", "c")
+        .agg(F.sum(F.col("v") * F.col("s")).alias("dot"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("dot"), F.asc("c"))
+    return (
+        dots.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("c").alias("centroid"))
+    )
+
+
+def q_dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup pairs: candidates restricted to equal
+    hyperplane-LSH buckets (the scale path — avoids the all-pairs
+    quadratic join), verified by exact cosine >= 0.35 (the synthetic
+    embeddings' high-similarity tail; a real corpus would use ~0.95)."""
+    emb = _read(spark, sf_dir, "embeddings")
+    buckets = q_ann_lsh_buckets(spark, sf_dir)
+    e = emb.join(buckets, "vec_id").select(
+        "vec_id", "bucket",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("ev"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("a.ev"), F.col("b.ev"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    na = F.aggregate(
+        F.expr("transform(a.ev, x -> x * x)"), F.lit(0.0), lambda acc, x: acc + x
+    )
+    nb = F.aggregate(
+        F.expr("transform(b.ev, x -> x * x)"), F.lit(0.0), lambda acc, x: acc + x
+    )
+    pairs = (
+        e.alias("a")
+        .join(e.alias("b"), "bucket")
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("a_id"),
+            F.col("b.vec_id").alias("b_id"),
+            F.round(dot / (F.sqrt(na) * F.sqrt(nb)), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= 0.35)
+    )
+    return pairs
+
+
 def q_lang_id(spark, sf_dir):
     """Heuristic script classification: non-ASCII char ratio (language-id
     stand-in; real model would slot into the same shape)."""
@@ -831,6 +913,65 @@ def _oracle_sql_map() -> dict[str, str]:
                        / len(_t) ELSE 0.0 END, 6) AS digit_ratio
             FROM t
         """,
+        "token_counts": """
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '[^\\s]+'))::BIGINT
+                       AS n_ws_tokens,
+                   len(regexp_extract_all(lower(text),
+                       '[a-z]+|[0-9]|[^a-z0-9\\s]'))::BIGINT AS n_bpe_tokens
+            FROM documents
+        """,
+        "ann_ivf_assign": f"""
+            WITH dims AS (
+                SELECT vec_id, d0::INT AS d, embedding[d0 + 1]::DOUBLE AS v
+                FROM embeddings, (SELECT unnest(range(64)) AS d0)),
+            cents AS (
+                SELECT c::INT AS c, d::INT AS d, {_plane_sign_sql("(c + 13)", "d")} AS s
+                FROM (SELECT unnest(range(8)) AS c),
+                     (SELECT unnest(range({EMB_DIM})) AS d)),
+            dots AS (
+                SELECT vec_id, c, sum(v * s) AS dot
+                FROM dims JOIN cents USING (d) GROUP BY vec_id, c)
+            SELECT vec_id, c AS centroid
+            FROM dots
+            QUALIFY row_number() OVER (
+                PARTITION BY vec_id ORDER BY dot DESC, c ASC) = 1
+        """,
+        "dedup_embedding_cosine": f"""
+            WITH dims AS (
+                SELECT vec_id, d0::INT AS d, embedding[d0 + 1]::DOUBLE AS v
+                FROM embeddings, (SELECT unnest(range(64)) AS d0)),
+            planes AS (
+                SELECT j::INT AS j, d::INT AS d, {_plane_sign_sql("j", "d")} AS s
+                FROM (SELECT unnest(range({N_PLANES})) AS j),
+                     (SELECT unnest(range({EMB_DIM})) AS d)),
+            proj AS (
+                SELECT vec_id, j, sum(v * s) AS p
+                FROM dims JOIN planes USING (d) GROUP BY vec_id, j),
+            buckets AS (
+                SELECT vec_id,
+                       sum(CASE WHEN p > 0 THEN 1::BIGINT << j ELSE 0 END)::BIGINT
+                           AS bucket
+                FROM proj GROUP BY vec_id),
+            e AS (SELECT b.vec_id, b.bucket, embedding
+                  FROM embeddings JOIN buckets b USING (vec_id))
+            SELECT * FROM (
+                SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                       round(
+                         list_reduce(list_prepend(0.0,
+                             [a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE
+                              for i in range(1, {EMB_DIM + 1})]), (x, y) -> x + y)
+                         / (sqrt(list_reduce(list_prepend(0.0,
+                             [a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE
+                              for i in range(1, {EMB_DIM + 1})]), (x, y) -> x + y))
+                          * sqrt(list_reduce(list_prepend(0.0,
+                             [b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE
+                              for i in range(1, {EMB_DIM + 1})]), (x, y) -> x + y)))
+                       , 6) AS cos
+                FROM e a JOIN e b
+                  ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+            WHERE cos >= 0.35
+        """,
         "lang_id": """
             SELECT doc_id,
                    round(CASE WHEN length(text) > 0 THEN
@@ -913,6 +1054,9 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_buckets": q_ann_lsh_buckets,
+        "ann_ivf_assign": q_ann_ivf_assign,
+        "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "token_counts": q_token_counts,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
