@@ -197,11 +197,10 @@ def q_sumtf_topk(spark, sf_dir):
             F.round(F.col("_sum").cast("double") / F.col("_max"), 6).alias("score"),
         )
     )
-    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 10)
-    )
+    # orderBy().limit() → TakeOrderedAndProject (per-partition top-k +
+    # k-row merge); a global row_number() window would single-partition
+    # the whole scored set. Rank is implied by (score desc, doc_id asc).
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
 
 
 def q_bm25_topk(spark, sf_dir):
@@ -246,11 +245,7 @@ def q_bm25_topk(spark, sf_dir):
         .filter(F.col("_nm") == len(BM25_TERMS))
         .select("doc_id", "score")
     )
-    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 10)
-    )
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
 
 
 def q_docs_ids(spark, sf_dir):
@@ -445,10 +440,7 @@ def q_ann_cosine_topk(spark, sf_dir):
     scored = emb.filter(F.col("vec_id") != 0).select(
         "vec_id", F.round(_cosine_expr(qvec), 6).alias("sim")
     )
-    w = Window.orderBy(F.desc("sim"), F.asc("vec_id"))
-    return scored.withColumn("rnk", F.row_number().over(w)).filter(
-        F.col("rnk") <= 10
-    )
+    return scored.orderBy(F.desc("sim"), F.asc("vec_id")).limit(10)
 
 
 def _plane_sign_sql(j: str, d: str) -> str:
@@ -555,10 +547,13 @@ def q_ann_ivf_assign(spark, sf_dir):
         .crossJoin(spark.range(EMB_DIM).select(F.col("id").cast("int").alias("d")))
         .withColumn("s", F.expr(_plane_sign_sql("(c + 13)", "d")))
     )
+    # round before ranking: groupBy().sum() float accumulation order is
+    # not pinned, so a near-tie dot could differ in the last ulp between
+    # engines and flip the argmax — 6dp rounding matches both sides.
     dots = (
         dims.join(F.broadcast(cents), "d")
         .groupBy("vec_id", "c")
-        .agg(F.sum(F.col("v") * F.col("s")).alias("dot"))
+        .agg(F.round(F.sum(F.col("v") * F.col("s")), 6).alias("dot"))
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("dot"), F.asc("c"))
     return (
@@ -723,10 +718,7 @@ def q_tpch_top_customers(spark, sf_dir):
             "revenue",
         )
     )
-    w = Window.orderBy(F.desc("revenue"), F.asc("custkey"))
-    return rev.withColumn("rnk", F.row_number().over(w)).filter(
-        F.col("rnk") <= 10
-    )
+    return rev.orderBy(F.desc("revenue"), F.asc("custkey")).limit(10)
 
 
 # ---------------------------------------------------------------------------
@@ -791,10 +783,8 @@ def _oracle_sql_map() -> dict[str, str]:
                 FROM ({_TF_DUCK})
                 WHERE term IN ('dup', 'key', 'window')
                 GROUP BY doc_id HAVING count(*) = 3)
-            SELECT doc_id, score,
-                   row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rnk
-            FROM scored
-            QUALIFY rnk <= 10
+            SELECT doc_id, score FROM scored
+            ORDER BY score DESC, doc_id ASC LIMIT 10
         """,
         "bm25_topk": f"""
             WITH lens AS (
@@ -813,10 +803,8 @@ def _oracle_sql_map() -> dict[str, str]:
             scored AS (
                 SELECT doc_id, round(sum(_s), 6) AS score
                 FROM per GROUP BY doc_id HAVING count(*) = 2)
-            SELECT doc_id, score,
-                   row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rnk
-            FROM scored
-            QUALIFY rnk <= 10
+            SELECT doc_id, score FROM scored
+            ORDER BY score DESC, doc_id ASC LIMIT 10
         """,
         "docs_ids": """
             WITH tr AS (
@@ -930,7 +918,7 @@ def _oracle_sql_map() -> dict[str, str]:
                 FROM (SELECT unnest(range(8)) AS c),
                      (SELECT unnest(range({EMB_DIM})) AS d)),
             dots AS (
-                SELECT vec_id, c, sum(v * s) AS dot
+                SELECT vec_id, c, round(sum(v * s), 6) AS dot
                 FROM dims JOIN cents USING (d) GROUP BY vec_id, c)
             SELECT vec_id, c AS centroid
             FROM dots
@@ -1027,13 +1015,11 @@ def _oracle_sql_map() -> dict[str, str]:
             WITH rev AS (
                 SELECT o_custkey, round(sum(o_totalprice), 6) AS revenue
                 FROM orders GROUP BY o_custkey)
-            SELECT c_custkey AS custkey, n_name AS nation, revenue,
-                   row_number() OVER (ORDER BY revenue DESC, c_custkey ASC)
-                       AS rnk
+            SELECT c_custkey AS custkey, n_name AS nation, revenue
             FROM rev
             JOIN customer ON o_custkey = c_custkey
             JOIN nation ON c_nationkey = n_nationkey
-            QUALIFY rnk <= 10
+            ORDER BY revenue DESC, c_custkey ASC LIMIT 10
         """,
     }
 
@@ -1088,9 +1074,7 @@ def duckdb_oracles() -> dict[str, str]:
                           for i in range(1, {EMB_DIM + 1})]), (a, b) -> a + b)))
                    , 6) AS sim
             FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0)
-        SELECT vec_id, sim,
-               row_number() OVER (ORDER BY sim DESC, vec_id ASC) AS rnk
-        FROM scored
-        QUALIFY rnk <= 10
+        SELECT vec_id, sim FROM scored
+        ORDER BY sim DESC, vec_id ASC LIMIT 10
     """
     return m

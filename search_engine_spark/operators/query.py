@@ -14,7 +14,7 @@ idf is computed driver-side with the same libm ``math.log``.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from search_engine_spark import BM25_B, BM25_K1
@@ -66,17 +66,13 @@ def _candidates(
 
 
 def _paginate(scored: DataFrame, k: int, offset: int) -> DataFrame:
-    """orderBy + limit(offset+k) → TakeOrderedAndProject; the offset slice
-    runs on ≤ offset+k rows (O2, SearchServiceImpl.java:359-364)."""
-    top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(offset + k)
-    if offset == 0:
-        return top.select("doc_id", "score")
-    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
-    return (
-        top.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") > offset)
-        .select("doc_id", "score")
-    )
+    """orderBy + offset + limit → one TakeOrderedAndProject(limit=offset+k,
+    offset=offset): per-partition top-(offset+k), k-row global merge, no
+    window anywhere (O2, SearchServiceImpl.java:359-364)."""
+    top = scored.orderBy(F.desc("score"), F.asc("doc_id"))
+    if offset > 0:
+        top = top.offset(offset)
+    return top.limit(k).select("doc_id", "score")
 
 
 def bm25_search(
