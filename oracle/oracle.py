@@ -99,9 +99,18 @@ def search(
     k: int = 10,
     offset: int = 0,
     scorer: str = "bm25",
+    combine: str = "and",
 ) -> list[tuple[int, float]]:
     """Top-k (doc_id, float64 score), pinned semantics. Returns [] on any
-    cutoff/no-match path."""
+    cutoff/no-match path.
+
+    ``combine``: "and" = conjunction over all terms (the reference's only
+    mode); "or" = disjunction with PER-TERM cutoff semantics — a term
+    whose df exceeds the 5% cutoff is DROPPED (X2's purpose, applied
+    per-term instead of killing the whole query), the rest union; a doc's
+    score sums the scores of the terms it contains, still accumulated in
+    lexicographic term order. "or" is bm25-only.
+    """
     terms = query_lemmas(query)  # sorted unique lemmas
     if not terms:
         return []
@@ -110,10 +119,35 @@ def search(
     if n_docs == 0:
         return []
     dfs = [_df_of(idx, t, scope) for t in terms]
+    scope_set = set(scope_ids)
+
+    if combine == "or":
+        if scorer != "bm25":
+            raise ValueError("combine='or' supports scorer='bm25' only")
+        cutoff = df_cutoff(n_docs)
+        usable = [(t, df) for t, df in zip(terms, dfs) if df <= cutoff]
+        if not usable:
+            return []
+        avg_len = sum(idx.doc_len[d] for d in scope_ids) / n_docs
+        scores: dict[int, float] = {}
+        for t, df in usable:  # lexicographic term order (pinned)
+            idf = bm25_idf(df, n_docs)
+            for d, tf in idx.postings.get(t, {}).items():
+                if d in scope_set:
+                    scores[d] = scores.get(d, 0.0) + bm25_term_score(
+                        float(tf), float(idx.doc_len[d]), avg_len, idf,
+                        BM25_K1, BM25_B,
+                    )
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        lo = max(0, min(offset, len(ranked)))
+        hi = max(lo, min(offset + k, len(ranked)))
+        return ranked[lo:hi]
+    if combine != "and":
+        raise ValueError(f"unknown combine {combine!r}")
+
     if query_killed_by_cutoff(dfs, n_docs):
         return []
 
-    scope_set = set(scope_ids)
     matched: set[int] | None = None
     for t in terms:
         docs_t = {d for d in idx.postings.get(t, {}) if d in scope_set}

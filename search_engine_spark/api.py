@@ -42,6 +42,9 @@ class SearchEngine:
         # repeated-query result cache (SearchServiceImpl.java:26-28)
         self._cache_key: tuple | None = None
         self._cache_rows: list[dict] | None = None
+        # True when the priming fetch returned fewer rows than it asked
+        # for — the cache then holds EVERY match and any offset is valid
+        self._cache_exhausted: bool = False
 
     # -- GET /api/search ----------------------------------------------------
 
@@ -52,9 +55,19 @@ class SearchEngine:
         offset: int = 0,
         limit: int = 20,  # API defaults (ApiController.java:48-51)
         scorer: str = "bm25",
+        combine: str = "and",  # "or" = disjunctive weak-AND (bm25 only)
     ) -> dict:
-        key = (query, scope, scorer)
-        if self._cache_key == key and self._cache_rows is not None:
+        key = (query, scope, scorer, combine)
+        if (
+            self._cache_key == key
+            and self._cache_rows is not None
+            # a deeper page than the priming fetch covered must refetch —
+            # slicing past the cached depth would fake an empty tail
+            and (
+                self._cache_exhausted
+                or offset + limit <= len(self._cache_rows)
+            )
+        ):
             data = self._cache_rows[offset:offset + limit]
             return {"result": True, "count": len(self._cache_rows), "data": data}
 
@@ -65,16 +78,17 @@ class SearchEngine:
             results = bm25_search_blocks(
                 self._blocks, self._lemma_stats, self._doc_stats,
                 query, scope=scope, k=deep, offset=0, mode="wand",
+                combine=combine,
             )
         else:
             # legacy reference scorer (Σtf/max-tf + global-max norm) —
-            # served from flat postings derived on the fly from docs
-            from search_engine_spark.operators.build import build_postings_flat
+            # served from a flat-postings view materialized ONCE per index
+            # epoch (a per-query corpus re-explode is a full scan at scale)
             from search_engine_spark.operators.query import reftf_search
 
             deep = 10 * (offset + limit)
             results = reftf_search(
-                build_postings_flat(self._docs), self._lemma_stats,
+                self._flat_postings(), self._lemma_stats,
                 self._doc_stats, query, scope=scope, k=deep, offset=0,
             )
         rows = materialize_with_snippets(
@@ -92,11 +106,28 @@ class SearchEngine:
             for r in rows
         ]
         self._cache_key, self._cache_rows = key, data
+        self._cache_exhausted = len(data) < deep
+        # count is the fetched depth (a lower bound when the deep page
+        # filled up), matching the reference's capped-result behavior
         return {
             "result": True,
             "count": len(data),
             "data": data[offset:offset + limit],
         }
+
+    def _flat_postings(self):
+        """(lemma, doc_id, tf, scope, doc_len) parquet view derived from
+        docs, written once per index epoch (upserts/rebuilds delete it).
+        Queries then hit a pushed ``IN (lemma)`` parquet filter instead of
+        re-exploding the corpus per request."""
+        import os
+
+        from search_engine_spark.operators.build import build_postings_flat
+
+        path = f"{self.index_dir}/.cache_postings_flat"
+        if not os.path.exists(path):
+            build_postings_flat(self._docs).write.mode("overwrite").parquet(path)
+        return read_table(self.spark, path)
 
     # -- GET /api/statistics -------------------------------------------------
 
@@ -123,7 +154,10 @@ class SearchEngine:
             },
         }
 
-    # -- GET /api/startIndexing ----------------------------------------------
+    # -- GET /api/startIndexing / /api/stopIndexing ---------------------------
+
+    _active_job: IndexBuildJob | None = None  # singleton, like the
+    # reference's IndexingService (one indexing run at a time)
 
     @classmethod
     def start_indexing(
@@ -133,9 +167,33 @@ class SearchEngine:
         index_dir: str,
         n_buckets: int = 8,
     ) -> "SearchEngine":
-        """Full (re)build via the checkpointed job, then open the index."""
-        IndexBuildJob(spark, transcripts_path, index_dir, n_buckets=n_buckets).run()
+        """Full (re)build via the checkpointed job, then open the index.
+        ``stop_indexing()`` from another thread cancels cooperatively; a
+        cancelled build raises RuntimeError (resume by calling again)."""
+        job = IndexBuildJob(
+            spark, transcripts_path, index_dir, n_buckets=n_buckets
+        )
+        cls._active_job = job
+        try:
+            res = job.run()
+        finally:
+            cls._active_job = None
+        if res["cancelled"]:
+            raise RuntimeError(
+                "indexing cancelled after "
+                f"{res['buckets_built']} buckets (resume: start_indexing again)"
+            )
         return cls(spark, index_dir)
+
+    @classmethod
+    def stop_indexing(cls) -> dict:
+        """GET /api/stopIndexing (ApiController.java:35-38): flag the
+        active build to stop after its current bucket."""
+        job = cls._active_job
+        if job is None:
+            return {"result": False, "error": "indexing is not running"}
+        job.cancel()
+        return {"result": True}
 
     # -- POST /api/indexPage ---------------------------------------------------
 

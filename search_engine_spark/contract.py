@@ -112,10 +112,13 @@ _SHINGLES_FLAT_DUCK = f"""
     SELECT doc_id, unnest(shs) AS sh FROM ({_SHINGLES_DUCK})
 """
 
-# md5-based 60-bit token hash, identical in both engines
-_TOKHASH_SPARK = (
-    "cast(conv(substring(md5(cast({col} as binary)), 1, 15), 16, 10) as bigint)"
+# md5-based 60-bit token hash, identical in both engines (Spark form is
+# the single source of truth in operators/dedup.py)
+from search_engine_spark.operators.dedup import TOKHASH_SQL as _TOKHASH_SPARK  # noqa: E402
+from search_engine_spark.operators.text import (  # noqa: E402
+    lang_id_oracle_sql as _lang_id_oracle_sql,
 )
+
 _TOKHASH_DUCK = "(('0x' || substr(md5({col}), 1, 15))::BIGINT)"
 
 
@@ -203,9 +206,9 @@ def q_sumtf_topk(spark, sf_dir):
     return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
 
 
-def q_bm25_topk(spark, sf_dir):
-    """Flagship scoring math in pure SQL form: conjunctive BM25 top-10
-    (k1=1.2, b=0.75, Lucene idf), both engines computing ln identically."""
+def _bm25_per_term(spark, sf_dir, terms):
+    """(doc_id, _s) one row per (doc, query-term) BM25 partial score —
+    shared by the AND and OR top-k twins."""
     docs = _read(spark, sf_dir, "documents")
     lens = docs.select(
         "doc_id", F.size(F.expr(TOKS_SQL)).cast("double").alias("dl")
@@ -214,9 +217,9 @@ def q_bm25_topk(spark, sf_dir):
         F.count("*").alias("n"), F.avg("dl").alias("avgdl")
     ).collect()[0]
     n, avgdl = stats["n"], stats["avgdl"]
-    tf = _tf(spark, sf_dir).filter(F.col("term").isin(BM25_TERMS))
+    tf = _tf(spark, sf_dir).filter(F.col("term").isin(terms))
     dfs = tf.groupBy("term").agg(F.count("*").alias("df"))
-    per = (
+    return (
         tf.join(dfs, "term")
         .join(lens, "doc_id")
         .withColumn(
@@ -239,10 +242,29 @@ def q_bm25_topk(spark, sf_dir):
             ),
         )
     )
+
+
+def q_bm25_topk(spark, sf_dir):
+    """Flagship scoring math in pure SQL form: conjunctive BM25 top-10
+    (k1=1.2, b=0.75, Lucene idf), both engines computing ln identically."""
+    per = _bm25_per_term(spark, sf_dir, BM25_TERMS)
     scored = (
         per.groupBy("doc_id")
         .agg(F.count("*").alias("_nm"), F.round(F.sum("_s"), 6).alias("score"))
         .filter(F.col("_nm") == len(BM25_TERMS))
+        .select("doc_id", "score")
+    )
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
+
+
+def q_bm25_or_topk(spark, sf_dir):
+    """Disjunctive (OR / weak-AND result set) BM25 top-10: same per-term
+    math, no all-terms gate — the oracle twin for the engine's
+    combine='or' block-max weak-AND path (operators/wand.py)."""
+    per = _bm25_per_term(spark, sf_dir, BM25_TERMS)
+    scored = (
+        per.groupBy("doc_id")
+        .agg(F.round(F.sum("_s"), 6).alias("score"))
         .select("doc_id", "score")
     )
     return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
@@ -271,132 +293,38 @@ def q_docs_ids(spark, sf_dir):
 
 def q_dedup_exact(spark, sf_dir):
     """Exact dedup via content hash — groups sized >= 1 summarized."""
-    docs = _read(spark, sf_dir, "documents")
-    return docs.agg(
-        F.count("*").alias("n_docs"),
-        F.countDistinct(F.md5(F.col("text").cast("binary"))).alias("n_distinct_texts"),
-    )
+    from search_engine_spark.operators.dedup import exact_dedup_summary
+
+    return exact_dedup_summary(_read(spark, sf_dir, "documents"))
 
 
 def q_dedup_ngram_jaccard(spark, sf_dir):
     """Exact 3-shingle Jaccard >= 0.8 pairs (the near-dup ground truth)."""
-    sh = _shingles(spark, sf_dir)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    common = (
-        sh.alias("a")
-        .join(sh.alias("b"), "sh")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(
-            F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
-        )
-        .agg(F.count("*").alias("_c"))
-    )
-    return (
-        common.join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("sz", "_sa"), "a_id")
-        .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("sz", "_sb"), "b_id")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("_c").cast("double")
-                / (F.col("_sa") + F.col("_sb") - F.col("_c")),
-                6,
-            ),
-        )
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-        .select("a_id", "b_id", "jaccard")
-    )
+    from search_engine_spark.operators.dedup import jaccard_pairs
 
-
-def _minhash_sigs(spark, sf_dir) -> DataFrame:
-    """(doc_id, i, mh) — N_MINHASH permutation minima per doc."""
-    sh = _shingles(spark, sf_dir).withColumn(
-        "x", F.expr(_TOKHASH_SPARK.format(col="sh")) % F.lit(HASH_MOD)
-    )
-    seeds = spark.createDataFrame(
-        [(i, MH_A[i], MH_B[i]) for i in range(N_MINHASH)], "i int, a long, b long"
-    )
-    return (
-        sh.crossJoin(F.broadcast(seeds))
-        .withColumn("h", (F.col("a") * F.col("x") + F.col("b")) % F.lit(HASH_MOD))
-        .groupBy("doc_id", "i")
-        .agg(F.min("h").alias("mh"))
-    )
+    return jaccard_pairs(_shingles(spark, sf_dir), JACCARD_THRESHOLD)
 
 
 def q_dedup_minhash_lsh(spark, sf_dir):
     """MinHash(16) + LSH(4 bands × 4 rows) candidate pairs, then exact
     Jaccard verification >= 0.8 — the scale path for near-dup detection
-    (shingle→minhash→band→bucket-join)."""
-    sigs = _minhash_sigs(spark, sf_dir)
-    rows_per_band = N_MINHASH // N_BANDS
-    bands = (
-        sigs.withColumn("band", (F.col("i") / rows_per_band).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.concat_ws(
-                ",",
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("i", "mh"))),
-                    lambda s: s["mh"].cast("string"),
-                ),
-            ).alias("sig")
-        )
-    )
-    cand = (
-        bands.alias("a")
-        .join(bands.alias("b"), ["band", "sig"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
-        )
-        .distinct()
-    )
-    # verify candidates with exact shingle Jaccard (join on (id, sh) twice)
-    sh = _shingles(spark, sf_dir)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    sh_a = sh.select(F.col("doc_id").alias("a_id"), "sh")
-    sh_b = sh.select(F.col("doc_id").alias("b_id"), "sh")
-    common = (
-        cand.join(sh_a, "a_id").join(sh_b, ["b_id", "sh"])
-        .groupBy("a_id", "b_id")
-        .agg(F.count("*").alias("_c"))
-    )
-    return (
-        common.join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("sz", "_sa"), "a_id")
-        .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("sz", "_sb"), "b_id")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("_c").cast("double")
-                / (F.col("_sa") + F.col("_sb") - F.col("_c")),
-                6,
-            ),
-        )
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-        .select("a_id", "b_id", "jaccard")
+    (shingle→minhash→band→bucket-join), served by the library operator
+    (operators/dedup.py: vectorized signature kernel, no seed crossJoin)."""
+    from search_engine_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _shingles(spark, sf_dir), JACCARD_THRESHOLD,
+        MH_A, MH_B, HASH_MOD, N_BANDS,
     )
 
 
 def q_dedup_simhash(spark, sf_dir):
-    """63-bit SimHash fingerprint per doc (tf-weighted token hashes)."""
-    tf = _tf(spark, sf_dir).withColumn(
-        "th", F.expr(_TOKHASH_SPARK.format(col="term"))
-    )
-    bits = spark.range(63).select(F.col("id").cast("int").alias("bit"))
-    contrib = tf.crossJoin(F.broadcast(bits)).withColumn(
-        "w", F.expr("tf * ((cast(shiftright(th, bit) as bigint) & 1) * 2 - 1)")
-    )
-    return (
-        contrib.groupBy("doc_id", "bit")
-        .agg(F.sum("w").alias("s"))
-        .withColumn("bitval", F.when(F.col("s") > 0, F.lit(1)).otherwise(F.lit(0)))
-        .groupBy("doc_id")
-        .agg(
-            F.sum(
-                F.expr("cast(bitval as bigint) * shiftleft(cast(1 as bigint), bit)")
-            ).alias("simhash")
-        )
-    )
+    """63-bit SimHash fingerprint per doc (tf-weighted token hashes),
+    served by the library operator (operators/dedup.py: one NumPy pass
+    per batch — no 63×-per-posting explode)."""
+    from search_engine_spark.operators.dedup import simhash
+
+    return simhash(_tf(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------
@@ -414,33 +342,15 @@ def _query_vec(spark, sf_dir) -> list[float]:
     return [float(x) for x in row["embedding"]]
 
 
-def _cosine_expr(qvec: list[float]) -> F.Column:
-    """Left-to-right folded cosine(embedding, qvec) — deterministic order."""
-    q = F.array(*[F.lit(v) for v in qvec])
-    e = F.expr("transform(embedding, x -> cast(x as double))")
-    dot = F.aggregate(
-        F.zip_with(e, q, lambda a, b: a * b),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    na = F.aggregate(e, F.lit(0.0), lambda acc, x: acc + x * x)
-    # left-to-right fold to mirror DuckDB's list_reduce exactly
-    nb = 0.0
-    for v in qvec:
-        nb = nb + v * v
-    import math
-
-    return dot / (F.sqrt(na) * F.lit(math.sqrt(nb)))
-
-
 def q_ann_cosine_topk(spark, sf_dir):
-    """Brute-force cosine top-10 vs vec 0 (baseline ANN path)."""
-    emb = _read(spark, sf_dir, "embeddings")
-    qvec = _query_vec(spark, sf_dir)
-    scored = emb.filter(F.col("vec_id") != 0).select(
-        "vec_id", F.round(_cosine_expr(qvec), 6).alias("sim")
+    """Brute-force cosine top-10 vs vec 0 (baseline ANN path), served by
+    the library operator (operators/ann.py: ordered-fold NumPy kernel)."""
+    from search_engine_spark.operators.ann import cosine_topk
+
+    return cosine_topk(
+        _read(spark, sf_dir, "embeddings"), _query_vec(spark, sf_dir),
+        k=10, exclude_id=0,
     )
-    return scored.orderBy(F.desc("sim"), F.asc("vec_id")).limit(10)
 
 
 def _plane_sign_sql(j: str, d: str) -> str:
@@ -454,27 +364,14 @@ def _plane_sign_sql(j: str, d: str) -> str:
 
 def q_ann_lsh_buckets(spark, sf_dir):
     """Hyperplane-LSH bucket id per vector — the scale path for ANN
-    (search only the query's bucket instead of the full corpus)."""
-    emb = _read(spark, sf_dir, "embeddings")
-    dims = (
-        emb.select("vec_id", F.posexplode("embedding").alias("d", "v"))
-        .withColumn("v", F.col("v").cast("double"))
-    )
-    planes = spark.range(N_PLANES).select(
-        F.col("id").cast("int").alias("j")
-    ).crossJoin(
-        spark.range(EMB_DIM).select(F.col("id").cast("int").alias("d"))
-    ).withColumn("s", F.expr(_plane_sign_sql("j", "d")))
-    proj = (
-        dims.join(F.broadcast(planes), "d")
-        .groupBy("vec_id", "j")
-        .agg(F.sum(F.col("v") * F.col("s")).alias("p"))
-        .withColumn("bit", F.when(F.col("p") > 0, 1).otherwise(0))
-    )
-    return proj.groupBy("vec_id").agg(
-        F.sum(
-            F.expr("cast(bit as bigint) * shiftleft(cast(1 as bigint), j)")
-        ).alias("bucket")
+    (search only the query's bucket instead of the full corpus), served
+    by the library operator (operators/ann.py: one matmul-shaped pass per
+    Arrow batch against the broadcast plane matrix — no posexplode)."""
+    from search_engine_spark.operators.ann import lsh_buckets, pinned_sign_matrix
+
+    return lsh_buckets(
+        _read(spark, sf_dir, "embeddings"),
+        pinned_sign_matrix(N_PLANES, EMB_DIM),
     )
 
 
@@ -485,81 +382,36 @@ def q_ann_lsh_buckets(spark, sf_dir):
 
 def q_text_quality(spark, sf_dir):
     """Quality metrics per doc: token count, avg token length, stopword
-    ratio, digit ratio."""
-    docs = _read(spark, sf_dir, "documents").select(
-        "doc_id", F.expr(TOKS_SQL).alias("_t"), "text"
-    )
-    n_tok = F.size("_t")
-    n_stop = F.size(F.expr(
-        "filter(_t, x -> x = 'a' or x = 'the')"
-    ))
-    n_dig = F.size(F.expr("filter(_t, x -> x rlike '^[0-9]+$')"))
-    tok_chars = F.aggregate(
-        F.expr("transform(_t, x -> length(x))"),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    )
-    return docs.select(
-        "doc_id",
-        n_tok.cast("long").alias("n_tokens"),
-        F.round(
-            F.when(n_tok > 0, tok_chars.cast("double") / n_tok).otherwise(0.0), 6
-        ).alias("avg_token_len"),
-        F.round(
-            F.when(n_tok > 0, n_stop.cast("double") / n_tok).otherwise(0.0), 6
-        ).alias("stop_ratio"),
-        F.round(
-            F.when(n_tok > 0, n_dig.cast("double") / n_tok).otherwise(0.0), 6
-        ).alias("digit_ratio"),
+    ratio, digit ratio (library operator: operators/text.py)."""
+    from search_engine_spark.operators.text import text_quality
+
+    return text_quality(
+        _read(spark, sf_dir, "documents"), TOKS_SQL, STOP_TERMS
     )
 
 
 def q_token_counts(spark, sf_dir):
     """Token counting two ways per doc: whitespace words and a BPE-ish
     pre-tokenization regex (letter runs / digit runs / single
-    punctuation), the shapes a training-data pipeline budgets with."""
-    docs = _read(spark, sf_dir, "documents")
-    ws = F.size(F.expr("regexp_extract_all(text, '[^\\\\s]+', 0)"))
-    bpe = F.size(
-        F.expr(
-            "regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\\\\s]', 0)"
-        )
-    )
-    return docs.select(
-        "doc_id",
-        ws.cast("long").alias("n_ws_tokens"),
-        bpe.cast("long").alias("n_bpe_tokens"),
-    )
+    punctuation), the shapes a training-data pipeline budgets with
+    (library operator: operators/text.py)."""
+    from search_engine_spark.operators.text import token_counts
+
+    return token_counts(_read(spark, sf_dir, "documents"))
 
 
 def q_ann_ivf_assign(spark, sf_dir):
     """IVF coarse quantizer: assign each embedding to its nearest of 8
     deterministic centroids (the partition step of IVF ANN — search then
-    probes only the query's cell instead of the full corpus). Centroid
-    c's component d = ±1 from pinned integer arithmetic; nearest by
-    max dot product, ties to lower centroid id."""
-    emb = _read(spark, sf_dir, "embeddings")
-    dims = emb.select(
-        "vec_id", F.posexplode("embedding").alias("d", "v")
-    ).withColumn("v", F.col("v").cast("double"))
-    cents = (
-        spark.range(8).select(F.col("id").cast("int").alias("c"))
-        .crossJoin(spark.range(EMB_DIM).select(F.col("id").cast("int").alias("d")))
-        .withColumn("s", F.expr(_plane_sign_sql("(c + 13)", "d")))
-    )
-    # round before ranking: groupBy().sum() float accumulation order is
-    # not pinned, so a near-tie dot could differ in the last ulp between
-    # engines and flip the argmax — 6dp rounding matches both sides.
-    dots = (
-        dims.join(F.broadcast(cents), "d")
-        .groupBy("vec_id", "c")
-        .agg(F.round(F.sum(F.col("v") * F.col("s")), 6).alias("dot"))
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("dot"), F.asc("c"))
-    return (
-        dots.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", F.col("c").alias("centroid"))
+    probes only the query's cell instead of the full corpus). Served by
+    the library operator (operators/ann.py: batch matmul against the
+    broadcast centroid matrix, dots rounded to 6dp before the argmax so
+    float accumulation order can't flip near-ties, ties to lower id)."""
+    from search_engine_spark.operators.ann import ivf_assign, pinned_sign_matrix
+
+    return ivf_assign(
+        _read(spark, sf_dir, "embeddings"),
+        pinned_sign_matrix(8, EMB_DIM, row_offset=13),
     )
 
 
@@ -568,70 +420,38 @@ def q_dedup_embedding_cosine(spark, sf_dir):
     hyperplane-LSH buckets (the scale path — avoids the all-pairs
     quadratic join), verified by exact cosine >= 0.35 (the synthetic
     embeddings' high-similarity tail; a real corpus would use ~0.95)."""
-    emb = _read(spark, sf_dir, "embeddings")
-    buckets = q_ann_lsh_buckets(spark, sf_dir)
-    e = emb.join(buckets, "vec_id").select(
-        "vec_id", "bucket",
-        F.expr("transform(embedding, x -> cast(x as double))").alias("ev"),
+    from search_engine_spark.operators.ann import (
+        cosine_pairs_lsh,
+        pinned_sign_matrix,
     )
-    dot = F.aggregate(
-        F.zip_with(F.col("a.ev"), F.col("b.ev"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+
+    return cosine_pairs_lsh(
+        _read(spark, sf_dir, "embeddings"),
+        pinned_sign_matrix(N_PLANES, EMB_DIM),
+        threshold=0.35,
     )
-    na = F.aggregate(
-        F.expr("transform(a.ev, x -> x * x)"), F.lit(0.0), lambda acc, x: acc + x
-    )
-    nb = F.aggregate(
-        F.expr("transform(b.ev, x -> x * x)"), F.lit(0.0), lambda acc, x: acc + x
-    )
-    pairs = (
-        e.alias("a")
-        .join(e.alias("b"), "bucket")
-        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("a_id"),
-            F.col("b.vec_id").alias("b_id"),
-            F.round(dot / (F.sqrt(na) * F.sqrt(nb)), 6).alias("cos"),
-        )
-        .filter(F.col("cos") >= 0.35)
-    )
-    return pairs
 
 
 def q_lang_id(spark, sf_dir):
-    """Heuristic script classification: non-ASCII char ratio (language-id
-    stand-in; real model would slot into the same shape)."""
-    docs = _read(spark, sf_dir, "documents")
-    total = F.length("text")
-    non_ascii = F.length(F.regexp_replace(F.col("text"), "[ -~]", ""))
-    return docs.select(
-        "doc_id",
-        F.round(
-            F.when(total > 0, non_ascii.cast("double") / total).otherwise(0.0), 6
-        ).alias("non_ascii_ratio"),
-        F.when(
-            F.when(total > 0, non_ascii.cast("double") / total).otherwise(0.0)
-            > 0.3,
-            F.lit("non_latin"),
-        )
-        .otherwise(F.lit("latin"))
-        .alias("script_class"),
-    )
+    """Character-trigram language-ID (Cavnar & Trenkle profile scoring)
+    over pinned public trigram profiles — the real n-gram shape, replacing
+    the round-1 script-ratio stand-in (library operator:
+    operators/text.py, which also documents why accuracy against the
+    synthetic corpus's random ``lang`` labels is not the target)."""
+    from search_engine_spark.operators.text import lang_id_ngram
+
+    return lang_id_ngram(_read(spark, sf_dir, "documents"))
 
 
 def q_fingerprint(spark, sf_dir):
     """Order-sensitive document fingerprint: left-fold polynomial rolling
-    hash over the token stream (mod 1e9+7)."""
-    docs = _read(spark, sf_dir, "documents").select(
-        "doc_id", F.expr(TOKS_SQL).alias("_t")
+    hash over the token stream, mod 1e9+7 (library operator:
+    operators/text.py)."""
+    from search_engine_spark.operators.text import fingerprint
+
+    return fingerprint(
+        _read(spark, sf_dir, "documents"), TOKS_SQL, _TOKHASH_SPARK, HASH_MOD
     )
-    th = _TOKHASH_SPARK.format(col="x")
-    fp = F.expr(
-        f"aggregate(_t, cast(0 as bigint), "
-        f"(acc, x) -> (acc * 31 + {th} % {HASH_MOD}) % {HASH_MOD})"
-    )
-    return docs.select("doc_id", fp.alias("fingerprint"))
 
 
 # ---------------------------------------------------------------------------
@@ -806,6 +626,26 @@ def _oracle_sql_map() -> dict[str, str]:
             SELECT doc_id, score FROM scored
             ORDER BY score DESC, doc_id ASC LIMIT 10
         """,
+        "bm25_or_topk": f"""
+            WITH lens AS (
+                SELECT doc_id, len({TOKS_DUCK})::DOUBLE AS dl FROM documents),
+            st AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM lens),
+            tf AS (SELECT * FROM ({_TF_DUCK}) WHERE term IN ('dup', 'merge')),
+            dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            per AS (
+                SELECT tf.doc_id,
+                       ln(1.0 + ((SELECT n FROM st) - dfs.df + 0.5)
+                                 / (dfs.df + 0.5))
+                       * tf.tf * {BM25_K1 + 1.0}
+                       / (tf.tf + {BM25_K1} * ({1.0 - BM25_B} + {BM25_B}
+                          * lens.dl / (SELECT avgdl FROM st))) AS _s
+                FROM tf JOIN dfs USING (term) JOIN lens USING (doc_id)),
+            scored AS (
+                SELECT doc_id, round(sum(_s), 6) AS score
+                FROM per GROUP BY doc_id)
+            SELECT doc_id, score FROM scored
+            ORDER BY score DESC, doc_id ASC LIMIT 10
+        """,
         "docs_ids": """
             WITH tr AS (
                 SELECT source AS conv_id,
@@ -960,17 +800,7 @@ def _oracle_sql_map() -> dict[str, str]:
                   ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
             WHERE cos >= 0.35
         """,
-        "lang_id": """
-            SELECT doc_id,
-                   round(CASE WHEN length(text) > 0 THEN
-                       length(regexp_replace(text, '[ -~]', '', 'g'))::DOUBLE
-                       / length(text) ELSE 0.0 END, 6) AS non_ascii_ratio,
-                   CASE WHEN (CASE WHEN length(text) > 0 THEN
-                       length(regexp_replace(text, '[ -~]', '', 'g'))::DOUBLE
-                       / length(text) ELSE 0.0 END) > 0.3
-                        THEN 'non_latin' ELSE 'latin' END AS script_class
-            FROM documents
-        """,
+        "lang_id": _lang_id_oracle_sql(),
         "fingerprint": f"""
             WITH t AS (SELECT doc_id, {TOKS_DUCK} AS _t FROM documents)
             SELECT doc_id,
@@ -1033,6 +863,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cutoff_terms": q_cutoff_terms,
         "sumtf_topk": q_sumtf_topk,
         "bm25_topk": q_bm25_topk,
+        "bm25_or_topk": q_bm25_or_topk,
         "docs_ids": q_docs_ids,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,

@@ -1,0 +1,198 @@
+"""Embedding similarity operators: brute-force cosine top-k, hyperplane
+LSH bucketing, IVF coarse assignment, LSH-bucketed near-dup pairs.
+
+Production kernels for the contract's embedding queries: one Arrow batch
+→ one NumPy matmul against a broadcast plane/centroid matrix (shipped to
+workers as a closure constant — a few KiB), instead of the
+posexplode × plane-join form (4,096 intermediate rows per 64-dim vector).
+The contract queries (contract.py) now call these operators; their DuckDB
+twins remain the correctness oracle.
+
+Float determinism: dot products and norms accumulate LEFT-TO-RIGHT over
+the dimension axis (``np.cumsum`` is a sequential fold), mirroring the
+pinned ``F.aggregate`` / DuckDB ``list_reduce`` evaluation the contract
+uses everywhere; rounding to 6dp happens Spark-side (native ``F.round``)
+wherever the value is an output column.
+
+Scale notes: every operator here is a narrow map over the embeddings scan
+(no shuffle) except the final ``orderBy().limit(k)`` merge of cosine_topk
+(TakeOrderedAndProject) and the near-dup bucket self-join, whose
+candidate volume is bounded by bucket sizes — the point of LSH.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pinned_sign_matrix(n_rows: int, dim: int, row_offset: int = 0) -> np.ndarray:
+    """±1 matrix from pinned integer arithmetic — identical to the
+    contract's ``_plane_sign_sql``: entry (r, d) = -1 iff
+    ``((r + row_offset) * dim + d + 1) * 2654435761 % 97 < 48``."""
+    r = np.arange(n_rows, dtype=object).reshape(-1, 1) + row_offset
+    d = np.arange(dim, dtype=object).reshape(1, -1)
+    h = ((r * dim + d + 1) * 2654435761) % 97  # object dtype: exact ints
+    return np.where(h.astype(np.int64) < 48, -1.0, 1.0)
+
+
+def _ordered_dot(E: np.ndarray, w: np.ndarray) -> np.ndarray:
+    """Σ_d E[:, d] * w[d] accumulated strictly left-to-right in float64 —
+    bit-identical to the F.aggregate / list_reduce fold."""
+    return np.cumsum(E * w[None, :], axis=1)[:, -1]
+
+
+def _batch_matrix(pdf: pd.DataFrame, vec_col: str) -> np.ndarray:
+    return np.array(pdf[vec_col].to_list(), dtype=np.float64)
+
+
+def lsh_buckets(
+    emb: DataFrame,
+    planes: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, bucket): bucket bit j set iff the ordered-fold projection onto
+    plane j is > 0. One matmul-shaped pass per Arrow batch; the plane
+    matrix rides along as a closure constant."""
+    S = np.ascontiguousarray(planes, dtype=np.float64)
+    weights = (np.int64(1) << np.arange(S.shape[0], dtype=np.int64))
+
+    def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            E = _batch_matrix(pdf, vec_col)
+            P = np.stack([_ordered_dot(E, S[j]) for j in range(S.shape[0])], axis=1)
+            bucket = ((P > 0).astype(np.int64) * weights[None, :]).sum(axis=1)
+            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), "bucket": bucket})
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        kern, schema=f"{id_col} long, bucket long"
+    )
+
+
+def ivf_assign(
+    emb: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, centroid): nearest centroid by max dot product, dots rounded
+    to 6dp before the argmax (HALF_UP, matching Spark/DuckDB ``round``)
+    so unpinned accumulation order can't flip near-ties; remaining ties go
+    to the lowest centroid id (np.argmax takes the first maximum)."""
+    C = np.ascontiguousarray(centroids, dtype=np.float64)
+
+    def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            E = _batch_matrix(pdf, vec_col)
+            D = np.stack([_ordered_dot(E, C[c]) for c in range(C.shape[0])], axis=1)
+            D = np.copysign(np.floor(np.abs(D) * 1e6 + 0.5), D) / 1e6
+            cent = D.argmax(axis=1).astype(np.int32)
+            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), "centroid": cent})
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        kern, schema=f"{id_col} long, centroid int"
+    )
+
+
+def cosine_scores(
+    emb: DataFrame,
+    query_vec: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "sim",
+) -> DataFrame:
+    """(id, sim): cosine similarity to ``query_vec``, ordered-fold dot and
+    norms, raw float64 (callers round natively if the value is output)."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = 0.0
+    for v in query_vec:  # same scalar fold as the contract's driver loop
+        qn = qn + float(v) * float(v)
+    qn = float(np.sqrt(qn))
+
+    def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            E = _batch_matrix(pdf, vec_col)
+            dot = _ordered_dot(E, q)
+            na = np.cumsum(E * E, axis=1)[:, -1]
+            sim = dot / (np.sqrt(na) * qn)
+            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), out_col: sim})
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        kern, schema=f"{id_col} long, {out_col} double"
+    )
+
+
+def cosine_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    exclude_id: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force cosine top-k (the exact ANN baseline): per-batch kernel
+    scores, native 6dp round, TakeOrderedAndProject merge."""
+    src = emb
+    if exclude_id is not None:
+        src = src.filter(F.col(id_col) != exclude_id)
+    scored = cosine_scores(src, query_vec, id_col, vec_col).select(
+        id_col, F.round(F.col("sim"), 6).alias("sim")
+    )
+    return scored.orderBy(F.desc("sim"), F.asc(id_col)).limit(k)
+
+
+def cosine_pairs_lsh(
+    emb: DataFrame,
+    planes: np.ndarray,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate pairs (a_id, b_id, cos >= threshold): candidates are
+    restricted to EQUAL LSH buckets (never the all-pairs quadratic join),
+    then verified by exact pairwise cosine in a vectorized kernel."""
+    buckets = lsh_buckets(emb, planes, id_col, vec_col)
+    e = emb.join(buckets, id_col).select(
+        F.col(id_col), "bucket",
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    a = e.select(
+        F.col(id_col).alias("a_id"), "bucket", F.col("_v").alias("_va")
+    )
+    b = e.select(
+        F.col(id_col).alias("b_id"), "bucket", F.col("_v").alias("_vb")
+    )
+    cand = a.join(b, "bucket").filter(F.col("a_id") < F.col("b_id"))
+
+    def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            A = np.array(pdf["_va"].to_list(), dtype=np.float64)
+            B = np.array(pdf["_vb"].to_list(), dtype=np.float64)
+            dot = np.cumsum(A * B, axis=1)[:, -1]
+            na = np.cumsum(A * A, axis=1)[:, -1]
+            nb = np.cumsum(B * B, axis=1)[:, -1]
+            cos = dot / (np.sqrt(na) * np.sqrt(nb))
+            yield pd.DataFrame(
+                {"a_id": pdf["a_id"].to_numpy(),
+                 "b_id": pdf["b_id"].to_numpy(), "cos": cos}
+            )
+
+    scored = cand.select("a_id", "b_id", "_va", "_vb").mapInPandas(
+        kern, schema="a_id long, b_id long, cos double"
+    )
+    return scored.select(
+        "a_id", "b_id", F.round(F.col("cos"), 6).alias("cos")
+    ).filter(F.col("cos") >= threshold)

@@ -19,7 +19,11 @@ from pyspark.sql import functions as F
 
 from search_engine_spark import BM25_B, BM25_K1
 from search_engine_spark.functions.analyze import query_lemmas
-from search_engine_spark.functions.scoring import bm25_idf, query_killed_by_cutoff
+from search_engine_spark.functions.scoring import (
+    bm25_idf,
+    df_cutoff,
+    query_killed_by_cutoff,
+)
 from search_engine_spark.schemas import SEARCH_RESULT
 
 
@@ -83,9 +87,12 @@ def bm25_search(
     scope: str | None = None,
     k: int = 10,
     offset: int = 0,
+    combine: str = "and",
 ) -> DataFrame:
-    """Top-k conjunctive BM25 → DataFrame(doc_id, score), pinned semantics
-    (oracle.search is the twin)."""
+    """Top-k BM25 → DataFrame(doc_id, score), pinned semantics
+    (oracle.search is the twin). ``combine``: "and" = conjunction with the
+    whole-query cutoff kill; "or" = disjunction with per-term cutoff DROP
+    (see oracle.search docstring)."""
     spark = postings_flat.sparkSession
     terms = query_lemmas(query)
     if not terms:
@@ -94,7 +101,12 @@ def bm25_search(
     if n_docs == 0:
         return _empty(spark)
     dfs = _term_dfs(lemma_stats, terms, scope)
-    if query_killed_by_cutoff(list(dfs.values()), n_docs):
+    if combine == "or":
+        cutoff = df_cutoff(n_docs)
+        terms = [t for t in terms if dfs[t] <= cutoff]
+        if not terms:
+            return _empty(spark)
+    elif query_killed_by_cutoff(list(dfs.values()), n_docs):
         return _empty(spark)
 
     cand = _candidates(postings_flat, terms, scope)
@@ -114,11 +126,16 @@ def bm25_search(
         )
     aggs.append(F.count("*").alias("_nmatch"))
     grouped = cand.groupBy("doc_id").agg(*aggs)
-    conj = grouped.filter(F.col("_nmatch") == len(terms))
+    if combine == "and":
+        grouped = grouped.filter(F.col("_nmatch") == len(terms))
     total = F.lit(0.0)
     for i in range(len(terms)):  # left-to-right, matches oracle's += order
-        total = total + F.col(f"_s{i}")
-    scored = conj.select("doc_id", total.alias("score"))
+        # missing term → +0.0, exact in IEEE for the positive partials
+        term_col = F.col(f"_s{i}")
+        total = total + (
+            F.coalesce(term_col, F.lit(0.0)) if combine == "or" else term_col
+        )
+    scored = grouped.select("doc_id", total.alias("score"))
     return _paginate(scored, k, offset)
 
 

@@ -1,0 +1,131 @@
+"""Long-lived query serving: dictionary + corpus stats cached once.
+
+The functional path (``bm25_search_blocks``) resolves stats with two
+driver collects per query — correct, but at ~0.2s/job it dominates p50
+latency for a serving process answering many queries. ``QueryServer``
+amortizes them:
+
+- ``doc_stats`` (one row per scope — 4 here) collected once at open;
+- the dictionary (per-term df) collected ONCE when small enough
+  (``preload_dict_max_rows`` guard — the in-memory term dictionary every
+  native engine keeps; at 10^12-turn scale the dictionary exceeds driver
+  memory, so the guard falls back to per-query pushed-filter lookups that
+  are memoized, bounding driver memory by the QUERIED vocabulary);
+- the postings blocks DataFrame persisted (binary columns — cheap to
+  cache, unlike array<struct> rows; see CLAUDE.md perf notes).
+
+Each query then runs exactly ONE Spark job: pruned block scan → per-shard
+kernel → TakeOrderedAndProject. Reference analog: the always-resident
+MySQL indexes + in-process caches of the Spring service
+(services/SearchServiceImpl.java:26-28).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from search_engine_spark.functions.analyze import query_lemmas
+from search_engine_spark.functions.scoring import (
+    bm25_idf,
+    df_cutoff,
+    query_killed_by_cutoff,
+)
+from search_engine_spark.operators.wand import _blocks_core, prune_blocks
+
+
+class QueryServer:
+    """Serving facade over a built index directory. ``search()`` returns
+    driver-side rows [(doc_id, score)] — endpoint semantics."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        index_dir: str,
+        cache_blocks: bool = True,
+        preload_dict_max_rows: int = 2_000_000,
+    ):
+        self.spark = spark
+        self.index_dir = index_dir.rstrip("/")
+        self.blocks = spark.read.parquet(f"{self.index_dir}/postings")
+        if cache_blocks:
+            self.blocks = self.blocks.persist()
+        self._lemma_stats = spark.read.parquet(f"{self.index_dir}/lemma_stats")
+        # scope stats: one row per scope, collected once
+        self._scope_rows = spark.read.parquet(
+            f"{self.index_dir}/doc_stats"
+        ).collect()
+        # dictionary: (scope, lemma) -> df; full preload behind a row guard
+        self._dfs: dict[tuple[str, str], int] = {}
+        self._all_loaded = False
+        n_dict = self._lemma_stats.count()
+        if n_dict <= preload_dict_max_rows:
+            for r in self._lemma_stats.select("scope", "lemma", "df").collect():
+                self._dfs[(r["scope"], r["lemma"])] = int(r["df"])
+            self._all_loaded = True
+        self._known_terms: set[str] = set()
+
+    # -- stats ---------------------------------------------------------------
+
+    def _scope_stats(self, scope: str | None) -> tuple[int, float]:
+        rows = self._scope_rows
+        if scope is not None:
+            rows = [r for r in rows if r["scope"] == scope]
+        n = sum(r["n_docs"] for r in rows)
+        if n == 0:
+            return 0, 0.0
+        return n, sum(r["sum_doc_len"] for r in rows) / n
+
+    def _term_dfs(self, terms: list[str], scope: str | None) -> dict[str, int]:
+        missing = [
+            t for t in terms if t not in self._known_terms
+        ] if not self._all_loaded else []
+        if missing:
+            rows = (
+                self._lemma_stats.filter(F.col("lemma").isin(missing))
+                .select("scope", "lemma", "df")
+                .collect()
+            )
+            for r in rows:
+                self._dfs[(r["scope"], r["lemma"])] = int(r["df"])
+            self._known_terms.update(missing)
+        if scope is not None:
+            return {t: self._dfs.get((scope, t), 0) for t in terms}
+        out = {}
+        for t in terms:
+            out[t] = sum(
+                v for (s, lem), v in self._dfs.items() if lem == t
+            ) if self._all_loaded or t in self._known_terms else 0
+        return out
+
+    # -- query ---------------------------------------------------------------
+
+    def search(
+        self,
+        query: str,
+        scope: str | None = None,
+        k: int = 10,
+        offset: int = 0,
+        mode: str = "wand",
+        combine: str = "and",
+    ) -> list[tuple[int, float]]:
+        terms = query_lemmas(query)
+        if not terms:
+            return []
+        n_docs, avg_len = self._scope_stats(scope)
+        if n_docs == 0:
+            return []
+        dfs = self._term_dfs(terms, scope)
+        if combine == "or":
+            cutoff = df_cutoff(n_docs)
+            terms = [t for t in terms if dfs[t] <= cutoff]
+            if not terms:
+                return []
+        elif query_killed_by_cutoff(list(dfs.values()), n_docs):
+            return []
+        idfs = [bm25_idf(dfs[t], n_docs) for t in terms]
+        rows = _blocks_core(
+            prune_blocks(self.blocks, terms, scope),
+            terms, idfs, avg_len, k, offset, mode, combine,
+        ).collect()
+        return [(r["doc_id"], r["score"]) for r in rows]

@@ -26,10 +26,21 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import StringType
 
-from search_engine_spark.functions.analyze import TOKEN_RE, fold, lemmatize
+from search_engine_spark.functions.analyze import TOKEN_RE, lemmatize
 
 MAX_SNIPPET_SIZE = 280   # application.yaml:48
 MIN_CHARS_AROUND = 10    # application.yaml:49
+
+
+def _fold_preserving(text: str) -> str:
+    """Length-preserving fold for OFFSET-carrying matching: hit offsets
+    are found on the folded text but sliced from the original, so the
+    fold must be 1:1 per character. ``str.lower()`` is not ('İ' → 'i̇'),
+    hence per-char lowering that leaves length-changing code points
+    untouched (they aren't analyzer tokens anyway), then the 1:1 ё→е."""
+    return "".join(
+        (low if len(low := c.lower()) == 1 else c) for c in text
+    ).replace("ё", "е")
 
 
 def make_snippet(
@@ -42,7 +53,7 @@ def make_snippet(
     hit windows into the budget left-to-right, joined by ``...``."""
     if not text or not query_lemma_set:
         return ""
-    folded = fold(text)
+    folded = _fold_preserving(text)
     hits = [
         (m.start(), m.end())
         for m in TOKEN_RE.finditer(folded)

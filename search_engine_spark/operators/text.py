@@ -1,0 +1,202 @@
+"""Text-analysis operators: n-gram language-ID, quality scoring, token
+counting, document fingerprinting — the training-data text suite as a
+public library API (contract.py's twins call these).
+
+Everything is NATIVE Catalyst (higher-order functions + one broadcast
+profile join) — no Python in the row path; the trigram explode is the
+only row inflation and it is inherent to character-n-gram analysis.
+
+Language-ID: classic character-trigram profile scoring (Cavnar & Trenkle
+"N-Gram-Based Text Categorization") over pinned profiles of publicly
+well-known frequent trigrams per language. On the synthetic corpus the
+``lang`` column is an independent random label (the text itself is
+English-ish word soup for every label), so accuracy against it is not a
+meaningful target — the contract verifies ENGINE PARITY (Spark == DuckDB)
+of the real scoring shape a deployment would use with trained profiles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# pinned trigram profiles (lowercase, space-padded word boundaries) —
+# common character trigrams of each language, public knowledge
+LANG_PROFILES: dict[str, list[str]] = {
+    "de": [" de", "der", "er ", "ie ", " di", "die", "sch", "ein", "ich",
+           "nde", "en ", "ch ", "cht", "und", " un", "nd ", "ung", "ng ",
+           "ten", "ber"],
+    "en": [" th", "the", "he ", " an", "and", "nd ", "ing", "ng ", " of",
+           "of ", " to", "to ", "ion", " in", "in ", "ed ", " co", "er ",
+           "es ", "ati"],
+    "es": [" de", "de ", " la", "la ", "os ", " el", "el ", "ión", "ció",
+           "aci", "es ", " en", "en ", "as ", " qu", "que", "ue ", "ar ",
+           " co", "nte"],
+    "fr": [" de", "de ", " le", "le ", "es ", "ent", "nt ", " la", "la ",
+           "ion", "on ", "re ", " et", "et ", " pa", "ait", "que", " qu",
+           "ue ", "eur"],
+}
+
+# NB: guard the short-text case explicitly — Spark's sequence(1, 0) is a
+# DESCENDING [1, 0], not empty
+_TRIGRAMS_SQL = (
+    "case when length(_lt) >= 3 then "
+    "transform(sequence(1, length(_lt) - 2), i -> substring(_lt, i, 3)) "
+    "else array() end"
+)
+
+
+def lang_id_ngram(
+    docs: DataFrame,
+    profiles: dict[str, list[str]] | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, lang, match_ratio): per doc, the profile language whose
+    trigram list matches the largest share of the doc's character
+    trigrams; ties go to the lexicographically smaller language (encoded
+    as a unique argmax key so both engines break ties identically);
+    docs with no profile match (or fewer than 3 chars) → ('und', 0.0).
+
+    Plan shape: trigram explode → ONE broadcast join against the profile
+    table (|langs|·|profile| rows) → per-(doc, lang) counts → native
+    max_by. Scales as a narrow map + one aggregation on (doc, lang)."""
+    profiles = profiles if profiles is not None else LANG_PROFILES
+    langs = sorted(profiles)
+    spark = docs.sparkSession
+    prof = spark.createDataFrame(
+        [(lang, tg) for lang in langs for tg in profiles[lang]],
+        "lang string, tg string",
+    )
+    lang_idx = F.array_position(
+        F.array(*[F.lit(lg) for lg in langs]), F.col("lang")
+    ).cast("long")
+
+    base = docs.select(
+        F.col(id_col), F.lower(F.col(text_col)).alias("_lt")
+    )
+    tgs = base.select(
+        id_col, F.explode(F.expr(_TRIGRAMS_SQL)).alias("tg")
+    )
+    totals = tgs.groupBy(id_col).agg(F.count("*").alias("_total"))
+    counts = (
+        tgs.join(F.broadcast(prof), "tg")
+        .groupBy(id_col, "lang")
+        .agg(F.count("*").alias("_cnt"))
+    )
+    # unique argmax key: count dominates, lower lang index wins ties
+    best = counts.groupBy(id_col).agg(
+        F.max_by(
+            F.struct("lang", "_cnt"),
+            F.col("_cnt") * (len(langs) + 1) - lang_idx,
+        ).alias("_b")
+    )
+    return (
+        docs.select(id_col)
+        .join(best, id_col, "left")
+        .join(totals, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("_b.lang"), F.lit("und")).alias("lang"),
+            F.round(
+                F.coalesce(
+                    F.col("_b._cnt").cast("double") / F.col("_total"),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("match_ratio"),
+        )
+    )
+
+
+def lang_id_oracle_sql(profiles: dict[str, list[str]] | None = None) -> str:
+    """DuckDB twin of ``lang_id_ngram`` over the ``documents`` view."""
+    profiles = profiles if profiles is not None else LANG_PROFILES
+    langs = sorted(profiles)
+    values = ", ".join(
+        f"('{lang}', '{tg}', {i + 1})"
+        for i, lang in enumerate(langs)
+        for tg in profiles[lang]
+    )
+    n = len(langs) + 1
+    return f"""
+        WITH prof(lang, tg, idx) AS (VALUES {values}),
+        base AS (SELECT doc_id, lower(text) AS _lt FROM documents),
+        tgs AS (
+            SELECT doc_id, substr(_lt, i, 3) AS tg
+            FROM base, (SELECT unnest(range(1, length(_lt) - 1)) AS i)
+            WHERE length(_lt) >= 3),
+        totals AS (SELECT doc_id, count(*) AS _total FROM tgs GROUP BY doc_id),
+        counts AS (
+            SELECT doc_id, lang, min(idx) AS idx, count(*) AS _cnt
+            FROM tgs JOIN prof USING (tg) GROUP BY doc_id, lang),
+        best AS (
+            SELECT doc_id, arg_max(lang, _cnt * {n} - idx) AS lang,
+                   max(_cnt * {n} - idx) AS _key, arg_max(_cnt, _cnt * {n} - idx) AS _cnt
+            FROM counts GROUP BY doc_id)
+        SELECT d.doc_id,
+               coalesce(best.lang, 'und') AS lang,
+               round(coalesce(best._cnt::DOUBLE / totals._total, 0.0), 6)
+                   AS match_ratio
+        FROM documents d
+        LEFT JOIN best USING (doc_id)
+        LEFT JOIN totals USING (doc_id)
+    """
+
+
+def text_quality(
+    docs: DataFrame,
+    tokens_sql: str,
+    stop_terms: list[str],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, n_tokens, avg_token_len, stop_ratio, digit_ratio) — the
+    length/punct/stopword quality signals a pretraining filter keys on."""
+    d = docs.select(id_col, F.expr(tokens_sql).alias("_t"))
+    n_tok = F.size("_t")
+    stop_pred = " or ".join(f"x = '{s}'" for s in stop_terms)
+    n_stop = F.size(F.expr(f"filter(_t, x -> {stop_pred})"))
+    n_dig = F.size(F.expr("filter(_t, x -> x rlike '^[0-9]+$')"))
+    tok_chars = F.aggregate(
+        F.expr("transform(_t, x -> length(x))"), F.lit(0), lambda a, x: a + x
+    )
+    ratio = lambda num: F.round(  # noqa: E731
+        F.when(n_tok > 0, num.cast("double") / n_tok).otherwise(0.0), 6
+    )
+    return d.select(
+        id_col,
+        n_tok.cast("long").alias("n_tokens"),
+        ratio(tok_chars).alias("avg_token_len"),
+        ratio(n_stop).alias("stop_ratio"),
+        ratio(n_dig).alias("digit_ratio"),
+    )
+
+
+def token_counts(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, n_ws_tokens, n_bpe_tokens): whitespace words and a BPE-ish
+    pre-tokenization regex (letter runs / single digits / punctuation) —
+    the two token budgets a training pipeline plans with."""
+    ws = F.size(F.expr("regexp_extract_all(text, '[^\\\\s]+', 0)"))
+    bpe = F.size(
+        F.expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\\\\s]', 0)")
+    )
+    return docs.select(
+        id_col,
+        ws.cast("long").alias("n_ws_tokens"),
+        bpe.cast("long").alias("n_bpe_tokens"),
+    )
+
+
+def fingerprint(
+    docs: DataFrame, tokens_sql: str, tokhash_sql: str, mod: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, fingerprint): order-sensitive left-fold polynomial rolling
+    hash over the token stream (acc*31 + hash(tok)) % mod."""
+    d = docs.select(id_col, F.expr(tokens_sql).alias("_t"))
+    th = tokhash_sql.format(col="x")
+    fp = F.expr(
+        f"aggregate(_t, cast(0 as bigint), "
+        f"(acc, x) -> (acc * 31 + {th} % {mod}) % {mod})"
+    )
+    return d.select(id_col, fp.alias("fingerprint"))

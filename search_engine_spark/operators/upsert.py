@@ -1,37 +1,48 @@
-"""Incremental single-turn upsert (reference S7/J8, set-oriented).
+"""Incremental turn upsert (reference S4/S7/J8, set-oriented).
 
-Reference flow for ``POST /api/indexPage``: delete the page's postings,
-decrement each affected lemma's df (dropping rows that reach 0), then
-refetch and re-add (services/WebParser.java:212-243,
+Reference flow for ``POST /api/indexPage``: validate, delete the page's
+postings, decrement each affected lemma's df (dropping rows that reach 0),
+then refetch and re-add — and crucially, a page the engine has NEVER seen
+is simply indexed (services/WebParser.java:88-91, 212-243,
 IndexingServiceImpl.java:86-118) — one row at a time over JDBC.
 
 Spark re-expression over the checkpointed bucket layout (plans/job.py):
-the incremental unit is the BUCKET. A delta of changed turns (text
-updates for existing (conv_id, turn_idx) keys — doc identity is the key,
-so doc_id is stable, unlike the reference's delete+reinsert id churn):
+the incremental unit is the BUCKET. A delta of turns splits into
 
-1. bind delta rows to their doc_id/bucket via the existing docs table;
-2. per affected bucket: docs' = old docs anti-join delta keys ∪ re-
-   tokenized delta rows (J8's anti-join form), swapped in atomically via
-   a staging directory (the Iceberg deployment replaces this with
-   ``MERGE INTO`` + snapshot commit);
-3. rebuild that bucket's compressed postings from docs' — the whole
-   bucket, bounded work, no partial-block surgery;
-4. refresh lemma_stats/doc_stats from block metadata / docs (cheap;
-   a lemma whose last posting vanished drops out, mirroring the
-   reference's delete-at-df-0, WebParser.java:231-237).
+- UPDATES — existing (conv_id, turn_idx) keys keep their doc_id (doc
+  identity is the key, so ids are stable, unlike the reference's
+  delete+reinsert id churn);
+- INSERTS — never-seen keys get doc_ids APPENDED at the end of the dense
+  range (old_max + dense rank over the delta's (conv_id, turn_idx)
+  order, via the same conv-offset operator the full build uses), so
+  existing ids never move. Appended ids map to the last bucket under the
+  build's ``offset // per_bucket`` rule, so queries need no special case.
 
-Unchanged buckets are untouched — verified byte-level by
-tests/test_upsert.py.
+Within-delta duplicates of one key collapse to the latest ``ts`` (same
+MERGE semantics as streaming/ingest.py) BEFORE binding, so a dirty delta
+cannot double-count postings.
+
+Per affected bucket: docs' = old docs anti-join delta keys ∪ re-tokenized
+delta rows (J8's anti-join form), swapped in via a crash-safe directory
+dance (write staging → rename live aside → rename staging in → drop old;
+a crash in any window is recovered on the next run — the Iceberg
+deployment replaces all of this with ``MERGE INTO`` + snapshot commit);
+then that bucket's compressed postings are rebuilt from docs' — the whole
+bucket, bounded work, no partial-block surgery. Stats refresh from block
+metadata / docs (cheap; a lemma whose last posting vanished drops out,
+mirroring the reference's delete-at-df-0, WebParser.java:231-237).
+
+Unchanged buckets are untouched — verified byte-level by tests/test_trim.py.
 """
 
 from __future__ import annotations
 
+import glob
 import os
 import shutil
 import time
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from search_engine_spark.functions.udfs import tokenize_lemmatize_counts
@@ -41,15 +52,32 @@ from search_engine_spark.operators.build import (
     lemma_stats_from_blocks,
 )
 from search_engine_spark.operators.compress import build_postings_compressed
-from search_engine_spark.operators.docs import with_scope
+from search_engine_spark.operators.docs import (
+    conv_offsets,
+    docs_from_offsets,
+    with_scope,
+)
 from search_engine_spark.plans.job import IndexBuildJob
 
+_KEY = ["conv_id", "turn_idx"]
 
-def _retokenized(delta: DataFrame, docs: DataFrame) -> DataFrame:
-    """delta (transcripts schema) → full docs rows with PRESERVED doc_id
-    and fresh text/lemma_counts/doc_len."""
-    keyed = docs.select("doc_id", "conv_id", "turn_idx", "bucket")
-    d = delta.join(keyed, ["conv_id", "turn_idx"], "inner")
+
+def _dedup_delta(delta: DataFrame) -> DataFrame:
+    """Last write per turn key wins (ts desc), mirroring MERGE semantics —
+    the same rule streaming/ingest.py applies per micro-batch. Without
+    this, a delta repeating one key would union two doc rows and
+    double-count postings."""
+    w = Window.partitionBy(*_KEY).orderBy(F.desc("ts"))
+    return (
+        delta.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def _enrich(d: DataFrame) -> DataFrame:
+    """scope + tokenization + doc_len for delta rows that already carry
+    doc_id and bucket (shared by the update and insert branches)."""
     d = with_scope(d)
     d = d.withColumn("lemma_counts", tokenize_lemmatize_counts(F.col("text")))
     d = d.withColumn(
@@ -62,50 +90,107 @@ def _retokenized(delta: DataFrame, docs: DataFrame) -> DataFrame:
     )
 
 
-def _swap_in(spark, df: DataFrame, final_dir: str, staging_dir: str) -> None:
-    """Write to staging, then directory-swap over the live path (sandbox
-    stand-in for an Iceberg snapshot commit)."""
+def _retokenized(
+    delta: DataFrame, docs: DataFrame, max_id: int, last_bucket: int
+) -> DataFrame:
+    """delta (transcripts schema, key-deduped) → full docs rows: existing
+    keys keep their doc_id; new keys get appended ids past ``max_id``
+    (dense, in the delta's own (conv_id, turn_idx) order)."""
+    keyed = docs.select("doc_id", *_KEY, "bucket")
+    updates = delta.join(keyed, _KEY, "inner")
+    new_rows = delta.join(keyed.select(*_KEY), _KEY, "left_anti")
+    inserts = (
+        docs_from_offsets(new_rows, conv_offsets(new_rows))
+        .withColumn("doc_id", (F.col("doc_id") + F.lit(int(max_id))).cast("long"))
+        .withColumn("bucket", F.lit(int(last_bucket)))
+    )
+    return _enrich(updates).unionByName(_enrich(inserts))
+
+
+def _old_dir(out: str, kind: str, bucket: int) -> str:
+    # dot-prefixed so Spark's partition discovery over docs/postings never
+    # sees a half-swapped directory
+    return f"{out}/.old_{kind}_{bucket}"
+
+
+def _swap_in(df: DataFrame, final_dir: str, staging_dir: str, old_dir: str) -> None:
+    """Crash-safe swap: write staging fully, move live aside, move staging
+    in, then drop the old copy. Every crash window leaves either the live
+    dir or a recoverable ``.old_*`` (see ``recover_swaps``) — never a
+    missing bucket."""
     df.write.mode("overwrite").parquet(staging_dir)
+    if os.path.exists(old_dir):
+        shutil.rmtree(old_dir)
     if os.path.exists(final_dir):
-        shutil.rmtree(final_dir)
+        os.rename(final_dir, old_dir)
     os.rename(staging_dir, final_dir)
+    shutil.rmtree(old_dir, ignore_errors=True)
+
+
+def recover_swaps(out: str) -> list[str]:
+    """Repair any interrupted ``_swap_in``: a leftover ``.old_{kind}_{b}``
+    whose live dir is missing is renamed back (pre-upsert state — the
+    idempotent rerun then reapplies the delta); one whose live dir exists
+    is a completed swap and is dropped. Returns the restored paths."""
+    restored = []
+    for old in glob.glob(f"{out}/.old_*_*"):
+        name = os.path.basename(old)[len(".old_"):]
+        kind, _, bucket = name.rpartition("_")
+        final = f"{out}/{'docs' if kind == 'docs' else 'postings'}/bucket={bucket}"
+        if os.path.exists(final):
+            shutil.rmtree(old, ignore_errors=True)
+        else:
+            os.rename(old, final)
+            restored.append(final)
+    return restored
 
 
 def upsert_turns(job: IndexBuildJob, delta: DataFrame) -> dict:
-    """Apply a delta of changed turns to a completed index build."""
+    """Apply a delta of changed AND/OR new turns to a completed build."""
     spark = job.spark
     out = job.out
+    recover_swaps(out)
     docs = spark.read.parquet(f"{out}/docs")
-    # materialize the retokenized delta BEFORE any directory swap — its
-    # plan reads the live docs table, which the swaps below replace
-    staged = f"{out}/.staging_updated"
-    _retokenized(delta, docs).write.mode("overwrite").parquet(staged)
-    updated = spark.read.parquet(staged)
-    n_updated = updated.count()
-    buckets = sorted(
-        r["bucket"] for r in updated.select("bucket").distinct().collect()
-    )
     lineage = {
         r["key"]: r["value"]
         for r in spark.read.parquet(f"{out}/lineage").collect()
     }
     range_size = int(lineage["range_size"])
+    last_bucket = int(lineage["n_buckets"]) - 1
+
+    # ≤1-row agg collect — the broadcast-stats analog, not a driver loop
+    max_id = docs.agg(F.max("doc_id").alias("m")).collect()[0]["m"] or 0
+
+    # materialize the retokenized delta BEFORE any directory swap — its
+    # plan reads the live docs table, which the swaps below replace
+    staged = f"{out}/.staging_updated"
+    _retokenized(_dedup_delta(delta), docs, max_id, last_bucket).write.mode(
+        "overwrite"
+    ).parquet(staged)
+    updated = spark.read.parquet(staged)
+    n_updated = updated.filter(F.col("doc_id") <= max_id).count()
+    n_inserted = updated.count() - n_updated
+    buckets = sorted(
+        r["bucket"] for r in updated.select("bucket").distinct().collect()
+    )
 
     t0 = time.time()
     for b in buckets:
         old_b = spark.read.parquet(f"{out}/docs/bucket={b}")
         upd_b = updated.filter(F.col("bucket") == b).drop("bucket")
-        keys_b = upd_b.select("conv_id", "turn_idx")
-        new_b = old_b.join(keys_b, ["conv_id", "turn_idx"], "left_anti").unionByName(
-            upd_b
+        keys_b = upd_b.select(*_KEY)
+        new_b = old_b.join(keys_b, _KEY, "left_anti").unionByName(upd_b)
+        _swap_in(
+            new_b, f"{out}/docs/bucket={b}", f"{out}/.staging_docs_{b}",
+            _old_dir(out, "docs", b),
         )
-        _swap_in(spark, new_b, f"{out}/docs/bucket={b}", f"{out}/.staging_docs_{b}")
         docs_b = spark.read.parquet(f"{out}/docs/bucket={b}")
         blocks_b = build_postings_compressed(
             build_postings_flat(docs_b), range_size=range_size
         )
         _swap_in(
-            spark, blocks_b, f"{out}/postings/bucket={b}", f"{out}/.staging_post_{b}"
+            blocks_b, f"{out}/postings/bucket={b}", f"{out}/.staging_post_{b}",
+            _old_dir(out, "post", b),
         )
 
     # stats refresh from small outputs (never rescans the corpus)
@@ -117,5 +202,11 @@ def upsert_turns(job: IndexBuildJob, delta: DataFrame) -> dict:
     build_doc_stats(docs2).write.mode("overwrite").parquet(f"{out}/doc_stats")
 
     shutil.rmtree(staged, ignore_errors=True)
-    job._checkpoint("upsert", -1, n_updated, t0)
-    return {"updated_turns": n_updated, "buckets_rebuilt": buckets}
+    # derived flat-postings view (api.SearchEngine) is now stale
+    shutil.rmtree(f"{out}/.cache_postings_flat", ignore_errors=True)
+    job._checkpoint("upsert", -1, n_updated + n_inserted, t0)
+    return {
+        "updated_turns": n_updated,
+        "inserted_turns": n_inserted,
+        "buckets_rebuilt": buckets,
+    }

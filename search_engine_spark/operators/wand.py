@@ -96,6 +96,156 @@ def _intersect_score(
     return cand, scores
 
 
+def _union_score(
+    per_term: list[tuple[np.ndarray, np.ndarray, np.ndarray]],
+    idfs: list[float],
+    avg_len: float,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Disjunctive scoring: every doc holding ≥1 term, contributions
+    accumulated in the ORIGINAL (lexicographic) term order — += lands on
+    disjoint positions per term, so per-doc addition order equals the
+    term-loop order, bit-identical to the oracle."""
+    nonempty = [p[0] for p in per_term if p[0].size]
+    if not nonempty:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+    cand = np.unique(np.concatenate(nonempty))
+    scores = np.zeros(cand.size, dtype=np.float64)
+    for (ids, tfs, dls), idf in zip(per_term, idfs):  # lexicographic
+        if ids.size == 0:
+            continue
+        pos = np.searchsorted(cand, ids)
+        scores[pos] += _term_scores(tfs, dls, idf, avg_len)
+    return cand, scores
+
+
+def _heap_push(heap: list, m: int, cand: np.ndarray, scores: np.ndarray) -> None:
+    for d, s in zip(cand.tolist(), scores.tolist()):
+        item = (s, -d)
+        if len(heap) < m:
+            heapq.heappush(heap, item)
+        elif item > heap[0]:
+            heapq.heapreplace(heap, item)
+
+
+def _heap_frame(heap: list) -> pd.DataFrame:
+    if not heap:
+        return pd.DataFrame({"doc_id": [], "score": []}).astype(
+            {"doc_id": "int64", "score": "float64"}
+        )
+    return pd.DataFrame(
+        {"doc_id": [-d for s, d in heap], "score": [s for s, d in heap]}
+    )
+
+
+def _shard_or_exact_kernel(terms, idfs, avg_len, m):
+    """Per-shard grouped-map fn: exact disjunctive scoring, local top-m."""
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        per_term = []
+        for t in terms:
+            tp = pdf[pdf["lemma"] == t]
+            if tp.empty:
+                z = np.empty(0, dtype=np.int64)
+                per_term.append((z, z, z))
+            else:
+                per_term.append(_gather_term(tp))
+        cand, scores = _union_score(per_term, idfs, avg_len)
+        if cand.size > m:
+            sel = np.lexsort((cand, -scores))[:m]
+            cand, scores = cand[sel], scores[sel]
+        return pd.DataFrame({"doc_id": cand, "score": scores})
+
+    return fn
+
+
+def _shard_or_wand_kernel(terms, idfs, avg_len, m):
+    """Per-shard grouped-map fn: block-max WEAK-AND (disjunctive WAND,
+    Broder et al.): sweep doc-id SEGMENTS (the partition induced by all
+    block boundaries — within a segment each term's active block set is
+    constant), skipping a whole segment once the top-m heap is full and
+    Σ_t max-active-block-upper-bound < θ. Results are rank-identical to
+    the exact OR scorer (safe-up-to-m: the bound dominates every doc's
+    true score in the segment)."""
+    n_terms = len(terms)
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        metas = []
+        for t in terms:
+            tp = pdf[pdf["lemma"] == t].reset_index(drop=True)
+            ub = (
+                _term_scores(
+                    tp["max_tf"].to_numpy(np.int64),
+                    tp["min_dl"].to_numpy(np.int64),
+                    idfs[len(metas)], avg_len,
+                )
+                if len(tp)
+                else np.empty(0)
+            )
+            metas.append(
+                {
+                    "rows": tp,
+                    "first": tp["first_doc_id"].to_numpy(np.int64),
+                    "last": tp["last_doc_id"].to_numpy(np.int64),
+                    "ub": ub,
+                    "decoded": {},
+                }
+            )
+        bounds = np.unique(
+            np.concatenate(
+                [m_["first"] for m_ in metas] + [m_["last"] + 1 for m_ in metas]
+            )
+        )
+        if bounds.size < 2:
+            return _heap_frame([])
+        heap: list[tuple[float, int]] = []
+        for si in range(bounds.size - 1):
+            lo, hi = int(bounds[si]), int(bounds[si + 1]) - 1  # inclusive
+            active = []
+            seg_ub = 0.0
+            for ti in range(n_terms):
+                m_ = metas[ti]
+                mask = (m_["first"] <= hi) & (m_["last"] >= lo)
+                idxs = np.flatnonzero(mask)
+                active.append(idxs)
+                if idxs.size:
+                    seg_ub += float(m_["ub"][idxs].max())
+            if seg_ub == 0.0:
+                continue  # no active blocks in this gap
+            if len(heap) >= m and seg_ub < heap[0][0]:
+                continue  # weak-AND segment skip
+            per_term = []
+            for ti in range(n_terms):
+                m_ = metas[ti]
+                idxs = active[ti]
+                if idxs.size == 0:
+                    z = np.empty(0, dtype=np.int64)
+                    per_term.append((z, z, z))
+                    continue
+                parts = []
+                for ri in idxs:
+                    ri = int(ri)
+                    hit = m_["decoded"].get(ri)
+                    if hit is None:
+                        hit = _decode_one(
+                            next(m_["rows"].iloc[[ri]].itertuples(index=False))
+                        )
+                        m_["decoded"][ri] = hit
+                    parts.append(hit)
+                ids = np.concatenate([p[0] for p in parts])
+                tfs = np.concatenate([p[1] for p in parts])
+                dls = np.concatenate([p[2] for p in parts])
+                order = np.argsort(ids, kind="stable")
+                ids, tfs, dls = ids[order], tfs[order], dls[order]
+                a = np.searchsorted(ids, lo, side="left")
+                b = np.searchsorted(ids, hi, side="right")
+                per_term.append((ids[a:b], tfs[a:b], dls[a:b]))
+            cand, scores = _union_score(per_term, idfs, avg_len)
+            _heap_push(heap, m, cand, scores)
+        return _heap_frame(heap)
+
+    return fn
+
+
 def _shard_exact_kernel(terms, idfs, avg_len, m):
     """Per-shard grouped-map fn: exact conjunctive scoring, local top-m."""
 
@@ -237,9 +387,14 @@ def bm25_search_blocks(
     k: int = 10,
     offset: int = 0,
     mode: str = "wand",
+    combine: str = "and",
 ) -> DataFrame:
-    """Top-k conjunctive BM25 over POSTINGS blocks; rank-identical to the
-    flat path and the oracle. ``mode`` ∈ {"wand", "exact"}."""
+    """Top-k BM25 over POSTINGS blocks; rank-identical to the flat path
+    and the oracle. ``mode`` ∈ {"wand", "exact"}; ``combine`` ∈ {"and",
+    "or"} — "or" drops over-cutoff terms per-term (oracle.search twin) and
+    runs the weak-AND (disjunctive block-max) kernel when mode="wand"."""
+    from search_engine_spark.functions.scoring import df_cutoff
+
     spark = postings.sparkSession
     terms = query_lemmas(query)
     if not terms:
@@ -248,25 +403,57 @@ def bm25_search_blocks(
     if n_docs == 0:
         return _empty(spark)
     dfs = _term_dfs(lemma_stats, terms, scope)
-    if query_killed_by_cutoff(list(dfs.values()), n_docs):
+    if combine == "or":
+        cutoff = df_cutoff(n_docs)
+        terms = [t for t in terms if dfs[t] <= cutoff]
+        if not terms:
+            return _empty(spark)
+    elif query_killed_by_cutoff(list(dfs.values()), n_docs):
         return _empty(spark)
     idfs = [bm25_idf(dfs[t], n_docs) for t in terms]
+    return _blocks_core(
+        prune_blocks(postings, terms, scope),
+        terms, idfs, avg_len, k, offset, mode, combine,
+    )
 
+
+def _blocks_core(
+    blocks: DataFrame,
+    terms: list[str],
+    idfs: list[float],
+    avg_len: float,
+    k: int,
+    offset: int,
+    mode: str,
+    combine: str,
+) -> DataFrame:
+    """Scoring core once stats are resolved: per-shard kernels →
+    TakeOrderedAndProject merge. ``blocks`` must already be filtered to
+    the query terms (and scope) and pruned to the kernel columns."""
+    m = offset + k
+    kernels = {
+        ("and", "wand"): _shard_wand_kernel,
+        ("and", "exact"): _shard_exact_kernel,
+        ("or", "wand"): _shard_or_wand_kernel,
+        ("or", "exact"): _shard_or_exact_kernel,
+    }
+    kernel = kernels[(combine, mode)](terms, idfs, avg_len, m)
+    per_shard = blocks.groupBy("shard").applyInPandas(kernel, schema=SEARCH_RESULT)
+    return _paginate(per_shard, k, offset)
+
+
+def prune_blocks(
+    postings: DataFrame, terms: list[str], scope: str | None
+) -> DataFrame:
+    """Term/scope filter (pushed to the parquet scan) + column pruning to
+    exactly what the kernels read."""
     blocks = postings.filter(F.col("lemma").isin(terms))
     if scope is not None:
         blocks = blocks.filter(F.col("scope") == scope)
-    # prune to what the kernels read — keeps scope/block_id/sum_tf out of
-    # the parquet ReadSchema (filters are already pushed to the scan)
-    blocks = blocks.select(
+    return blocks.select(
         "shard", "lemma", "first_doc_id", "last_doc_id",
         "count", "max_tf", "min_dl", "doc_ids", "tfs", "doc_lens",
     )
-    m = offset + k
-    kernel = (_shard_wand_kernel if mode == "wand" else _shard_exact_kernel)(
-        terms, idfs, avg_len, m
-    )
-    per_shard = blocks.groupBy("shard").applyInPandas(kernel, schema=SEARCH_RESULT)
-    return _paginate(per_shard, k, offset)
 
 
 def _empty(spark: SparkSession) -> DataFrame:

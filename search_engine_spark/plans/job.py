@@ -31,6 +31,8 @@ item 4).
 
 from __future__ import annotations
 
+import shutil
+import threading
 import time
 import uuid
 
@@ -75,6 +77,10 @@ class IndexBuildJob:
         self.n_buckets = int(n_buckets)
         self.docs_per_shard = int(docs_per_shard)
         self.run_id = run_id or f"run-{uuid.uuid4().hex[:12]}"
+        # cooperative cancellation (reference: stop-flag machinery in
+        # IndexingServiceImpl.java:36, 50-64 / WebParser.java:65-68)
+        self._cancel = threading.Event()
+        self.buckets_completed = 0  # progress probe for observers/tests
 
     # -- state tables -------------------------------------------------------
 
@@ -83,16 +89,27 @@ class IndexBuildJob:
             "append"
         ).parquet(f"{self.out}/{name}")
 
-    def _checkpoint(self, stage: str, partition_id: int, rows: int, t0: float) -> None:
+    def _checkpoint(
+        self,
+        stage: str,
+        partition_id: int,
+        rows: int,
+        t0: float,
+        status: str = "done",
+        last_error: str | None = None,
+    ) -> None:
         from datetime import datetime, timezone
 
         started = datetime.fromtimestamp(t0, tz=timezone.utc)
         now = datetime.now(timezone.utc)
         self._append(
-            [(self.run_id, partition_id, stage, "done", rows, started, now)],
+            [(self.run_id, partition_id, stage, status, rows, started, now,
+              last_error)],
             CHECKPOINTS,
             "checkpoints",
         )
+        if status != "done":
+            return
         self._append(
             [
                 (self.run_id, stage, f"wall_sec_p{partition_id}",
@@ -188,9 +205,21 @@ class IndexBuildJob:
 
     # -- driver -------------------------------------------------------------
 
+    def cancel(self) -> None:
+        """Cooperative stop: the running ``run()`` finishes its current
+        bucket (bucket commits stay atomic) and returns with
+        ``cancelled=True``; a later ``run()`` resumes from the checkpoint
+        exactly like a crash. Reference: GET /api/stopIndexing
+        (ApiController.java:35-38, IndexingServiceImpl.java:50-64)."""
+        self._cancel.set()
+
     def run(self, fail_after_buckets: int | None = None) -> dict:
         """Execute all missing stages. ``fail_after_buckets`` simulates a
-        crash after that many bucket builds (resume tests)."""
+        crash after that many bucket builds (resume tests). On an
+        exception inside a bucket, a ``status="failed"`` checkpoint row
+        records the error (reference: Site.lastError heartbeat,
+        WebParser.java:130-136) before the exception propagates; failed
+        rows never count as done, so resume redoes that bucket."""
         done = self._done()
         self._stage_offsets(done)
         lineage = {
@@ -199,21 +228,42 @@ class IndexBuildJob:
         }
         range_size = int(lineage["range_size"])
         built = 0
+        cancelled = False
         for b in range(self.n_buckets):
+            if self._cancel.is_set():
+                cancelled = True
+                break
             if ("docs", b) in done and ("postings", b) in done:
                 continue
-            self._stage_bucket(b, range_size, done)
+            t0 = time.time()
+            try:
+                self._stage_bucket(b, range_size, done)
+            except Exception as e:  # record, then surface
+                self._checkpoint(
+                    "bucket", b, 0, t0, status="failed",
+                    last_error=f"{type(e).__name__}: {e}"[:500],
+                )
+                raise
             built += 1
+            self.buckets_completed = built
             if fail_after_buckets is not None and built >= fail_after_buckets:
                 raise RuntimeError(
                     f"simulated crash after {built} buckets (test hook)"
                 )
-        self._stage_stats(done)
+        if built:
+            # drop the derived flat-postings view (api.SearchEngine) — it
+            # belongs to the previous index epoch
+            shutil.rmtree(
+                f"{self.out}/.cache_postings_flat", ignore_errors=True
+            )
+        if not cancelled:
+            self._stage_stats(done)
         return {
             "run_id": self.run_id,
             "out": self.out,
             "buckets_built": built,
             "n_buckets": self.n_buckets,
+            "cancelled": cancelled,
         }
 
     # -- read side ----------------------------------------------------------

@@ -106,6 +106,9 @@ CHECKPOINTS = StructType(
         StructField("rows", LongType(), False),
         StructField("started_ts", TimestampType()),
         StructField("finished_ts", TimestampType()),
+        # reference analog: Site.lastError (model/Site.java:16-17) — set on
+        # status="failed" rows, null on "done"
+        StructField("last_error", StringType()),
     ]
 )
 

@@ -24,11 +24,15 @@ GOLDENS = _load()
 
 
 def test_golden_coverage():
-    assert len(GOLDENS) >= 15
+    assert len(GOLDENS) >= 21
     assert {g["scorer"] for g in GOLDENS} == {"bm25", "reftf"}
     assert any(g["expected"] == [] for g in GOLDENS)      # cutoff/empty classes
     assert any(g["scope"] for g in GOLDENS)               # scoped search
     assert any(g["offset"] > 0 for g in GOLDENS)          # pagination
+    ors = [g for g in GOLDENS if g.get("combine") == "or"]
+    assert len(ors) >= 5                                  # disjunctive mode
+    assert any(g["expected"] == [] for g in ors)          # all-terms-dropped
+    assert any(g["expected"] and g["offset"] > 0 for g in ors)
 
 
 @pytest.mark.parametrize("g", GOLDENS, ids=[g["qid"] for g in GOLDENS])
@@ -36,19 +40,23 @@ def test_oracle_reproduces_goldens(oracle_idx, g):
     got = orc.search(
         oracle_idx, g["query"], scope=g["scope"], k=g["k"],
         offset=g["offset"], scorer=g["scorer"],
+        combine=g.get("combine", "and"),
     )
     exp = [(e["doc_id"], e["score"]) for e in g["expected"]]
     assert [(d, s) for d, s in got] == exp, g["qid"]
 
 
+_ENGINE_SUBSET = [g for g in GOLDENS if g["scorer"] == "bm25"][:6] + [
+    g for g in GOLDENS if g.get("combine") == "or"
+]
+
+
 @pytest.mark.parametrize(
-    "g",
-    [g for g in GOLDENS if g["scorer"] == "bm25"][:6],
-    ids=[g["qid"] for g in GOLDENS if g["scorer"] == "bm25"][:6],
+    "g", _ENGINE_SUBSET, ids=[g["qid"] for g in _ENGINE_SUBSET]
 )
 def test_wand_engine_reproduces_goldens(engine_tables, g):
-    """Spark WAND path vs on-disk goldens (subset; the full engine/oracle
-    matrix runs in test_compressed.py)."""
+    """Spark WAND/weak-AND path vs on-disk goldens (subset; the full
+    engine/oracle matrix runs in test_compressed.py)."""
     from search_engine_spark.operators.compress import build_postings_compressed
     from search_engine_spark.operators.wand import bm25_search_blocks
 
@@ -60,7 +68,29 @@ def test_wand_engine_reproduces_goldens(engine_tables, g):
         for r in bm25_search_blocks(
             blocks, engine_tables["lemma_stats"], engine_tables["doc_stats"],
             g["query"], scope=g["scope"], k=g["k"], offset=g["offset"],
-            mode="wand",
+            mode="wand", combine=g.get("combine", "and"),
+        ).collect()
+    ]
+    exp = [(e["doc_id"], e["score"]) for e in g["expected"]]
+    assert got == exp, g["qid"]
+
+
+@pytest.mark.parametrize(
+    "g",
+    [g for g in GOLDENS if g.get("combine") == "or"],
+    ids=[g["qid"] for g in GOLDENS if g.get("combine") == "or"],
+)
+def test_flat_or_engine_reproduces_goldens(engine_tables, g):
+    """Flat-postings OR path vs the same goldens (three independent
+    implementations — oracle, WAND blocks, flat Catalyst — must agree)."""
+    from search_engine_spark.operators.query import bm25_search
+
+    got = [
+        (r["doc_id"], r["score"])
+        for r in bm25_search(
+            engine_tables["postings_flat"], engine_tables["lemma_stats"],
+            engine_tables["doc_stats"], g["query"], scope=g["scope"],
+            k=g["k"], offset=g["offset"], combine="or",
         ).collect()
     ]
     exp = [(e["doc_id"], e["score"]) for e in g["expected"]]

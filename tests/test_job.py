@@ -104,6 +104,80 @@ def test_rerun_is_noop(full_run):
     assert again["buckets_built"] == 0
 
 
+def test_cancel_resume_converges(spark, full_run, tmp_path_factory):
+    """Cooperative cancel from another thread stops after the current
+    bucket; a later run() completes the build and the tables equal an
+    uninterrupted build's. Robust to timing: if the build outruns the
+    cancel flag, the resume is a no-op and convergence still holds."""
+    import threading
+    import time as _time
+
+    out = str(tmp_path_factory.mktemp("job") / "idx_cancel")
+    j1 = IndexBuildJob(
+        spark, full_run.transcripts_path, out, n_buckets=4,
+        docs_per_shard=256, run_id="c1",
+    )
+    res: dict = {}
+    t = threading.Thread(target=lambda: res.update(j1.run()))
+    t.start()
+    while j1.buckets_completed < 1 and t.is_alive():
+        _time.sleep(0.02)
+    j1.cancel()
+    t.join()
+    assert res["cancelled"] or res["buckets_built"] == 4
+
+    j2 = IndexBuildJob(
+        spark, full_run.transcripts_path, out, n_buckets=4,
+        docs_per_shard=256, run_id="c2",
+    )
+    s2 = j2.run()
+    assert not s2["cancelled"]
+
+    a, b = full_run.tables(), j2.tables()
+    docs_a = {r["doc_id"]: r["text"] for r in a["docs"].collect()}
+    docs_b = {r["doc_id"]: r["text"] for r in b["docs"].collect()}
+    assert docs_a == docs_b
+    assert _decoded_postings(a["postings"]) == _decoded_postings(b["postings"])
+
+
+def test_failed_bucket_writes_error_row(spark, full_run, tmp_path_factory):
+    """An exception inside a bucket leaves a status='failed' checkpoint
+    row carrying the error (Site.lastError analog); resume redoes exactly
+    that bucket."""
+    out = str(tmp_path_factory.mktemp("job") / "idx_fail")
+    j = IndexBuildJob(
+        spark, full_run.transcripts_path, out, n_buckets=4,
+        docs_per_shard=256, run_id="f1",
+    )
+    orig = j._stage_bucket
+
+    def boom(b, range_size, done):
+        if b == 1:
+            raise ValueError("disk exploded")
+        return orig(b, range_size, done)
+
+    j._stage_bucket = boom
+    with pytest.raises(ValueError, match="disk exploded"):
+        j.run()
+    cps = spark.read.parquet(f"{out}/checkpoints").collect()
+    failed = [r for r in cps if r["status"] == "failed"]
+    assert len(failed) == 1
+    assert failed[0]["partition_id"] == 1
+    assert "disk exploded" in failed[0]["last_error"]
+
+    s2 = IndexBuildJob(
+        spark, full_run.transcripts_path, out, n_buckets=4,
+        docs_per_shard=256, run_id="f2",
+    ).run()
+    assert s2["buckets_built"] == 3 and not s2["cancelled"]  # buckets 1-3
+    done = {
+        (r["stage"], r["partition_id"])
+        for r in spark.read.parquet(f"{out}/checkpoints").collect()
+        if r["status"] == "done"
+    }
+    assert {("docs", b) for b in range(4)} <= done
+
+
 def test_metrics_and_lineage_present(full_run):
     t = full_run.tables()
     lineage = {r["key"]: r["value"] for r in t["lineage"].collect()}

@@ -17,6 +17,8 @@ from hypothesis import strategies as st
 from search_engine_spark.operators import compress as C
 from search_engine_spark.operators.wand import (
     _shard_exact_kernel,
+    _shard_or_exact_kernel,
+    _shard_or_wand_kernel,
     _shard_wand_kernel,
 )
 
@@ -80,6 +82,51 @@ def test_wand_equals_exact_random(cfg):
 
     exact = _shard_exact_kernel(terms, idfs, avg_len, m)(pdf)
     wand = _shard_wand_kernel(terms, idfs, avg_len, m)(pdf)
+
+    def canon(df):
+        return sorted(
+            zip(df["doc_id"].astype(int), df["score"].astype(float)),
+            key=lambda r: (-r[1], r[0]),
+        )
+
+    assert canon(wand) == canon(exact)
+
+
+@given(corpus_strategy)
+@settings(max_examples=150, deadline=None)
+def test_or_wand_equals_or_exact_random(cfg):
+    """Weak-AND (disjunctive block-max) ≡ exhaustive OR scoring, including
+    shards where some query terms have no postings at all."""
+    rng = np.random.default_rng(cfg["seed"])
+    docs = np.arange(1, cfg["n_docs"] + 1)
+    doc_lens = {int(d): int(rng.integers(1, 200)) for d in docs}
+    terms = [f"t{j}" for j in range(cfg["n_terms"])]
+    term_postings = {}
+    for j, t in enumerate(terms):
+        if cfg["n_terms"] > 1 and j == cfg["n_terms"] - 1 and cfg["seed"] % 3 == 0:
+            term_postings[t] = {}  # term absent in this shard (OR-legal)
+            continue
+        mask = rng.random(docs.size) < cfg["density"]
+        chosen = docs[mask]
+        if chosen.size == 0:
+            chosen = docs[:1]
+        term_postings[t] = {int(d): int(rng.integers(1, 30)) for d in chosen}
+    scope_of_doc = lambda d: f"s{d % 3}"
+    old = C.BLOCK_SIZE
+    C.BLOCK_SIZE = 16
+    try:
+        pdf = _blocks_frame(
+            {t: p for t, p in term_postings.items() if p}, doc_lens,
+            scope_of_doc,
+        )
+    finally:
+        C.BLOCK_SIZE = old
+    idfs = [float(rng.uniform(0.1, 5.0)) for _ in terms]
+    avg_len = float(rng.uniform(5, 150))
+    m = cfg["k"]
+
+    exact = _shard_or_exact_kernel(terms, idfs, avg_len, m)(pdf)
+    wand = _shard_or_wand_kernel(terms, idfs, avg_len, m)(pdf)
 
     def canon(df):
         return sorted(
