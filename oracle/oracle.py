@@ -49,6 +49,9 @@ class OracleIndex:
     scope_docs: dict = field(default_factory=dict)  # scope -> [doc_ids]
     doc_len: dict = field(default_factory=dict)     # doc_id -> len
     doc_scope: dict = field(default_factory=dict)   # doc_id -> scope
+    # lemma -> {doc_id: [positions]} — position = index in the ANALYZED
+    # (post-stopword) lemma stream, the pinned definition for phrases
+    positions: dict = field(default_factory=dict)
 
 
 def build_docs(transcripts: pd.DataFrame) -> pd.DataFrame:
@@ -71,8 +74,9 @@ def build_index(transcripts: pd.DataFrame) -> OracleIndex:
         lemmas = analyze(row.text)
         idx.doc_len[doc_id] = len(lemmas)
         counts: dict[str, int] = {}
-        for lem in lemmas:
+        for pos, lem in enumerate(lemmas):
             counts[lem] = counts.get(lem, 0) + 1
+            idx.positions.setdefault(lem, {}).setdefault(doc_id, []).append(pos)
         for lem, tf in counts.items():
             idx.postings.setdefault(lem, {})[doc_id] = tf
             idx.lemma_df[(scope, lem)] = idx.lemma_df.get((scope, lem), 0) + 1
@@ -181,6 +185,86 @@ def search(
     else:
         raise ValueError(f"unknown scorer {scorer!r}")
 
+    ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+    lo = max(0, min(offset, len(ranked)))
+    hi = max(lo, min(offset + k, len(ranked)))
+    return ranked[lo:hi]
+
+
+def phrase_match_doc(
+    pos_lists: list[list[int]], slop: int = 0
+) -> bool:
+    """True iff the analyzed-position lists admit an ordered chain where
+    each next term sits within [prev+1, prev+1+slop] (slop=0 = exact
+    adjacency in the post-stopword lemma stream — the pinned phrase
+    semantics). Greedy smallest-next is complete for this window shape."""
+    import bisect
+
+    for p0 in pos_lists[0]:
+        prev = p0
+        ok = True
+        for nxt in pos_lists[1:]:
+            i = bisect.bisect_left(nxt, prev + 1)
+            if i == len(nxt) or nxt[i] > prev + 1 + slop:
+                ok = False
+                break
+            prev = nxt[i]
+        if ok:
+            return True
+    return False
+
+
+def phrase_search(
+    idx: OracleIndex,
+    query: str,
+    scope: str | None = None,
+    k: int = 10,
+    offset: int = 0,
+    slop: int = 0,
+) -> list[tuple[int, float]]:
+    """Top-k phrase search: docs whose analyzed lemma stream contains the
+    query's analyzed lemma SEQUENCE (order + adjacency, ``slop`` extra
+    lemmas allowed between consecutive terms), scored with the same
+    pinned BM25 over the phrase's distinct terms, (score desc, doc_id
+    asc). Conjunctive cutoff semantics apply (a phrase is an AND plus a
+    position predicate)."""
+    seq = analyze(query)  # ordered, duplicates kept — NOT query_lemmas
+    if not seq:
+        return []
+    uniq = sorted(set(seq))
+    scope_ids = _scope_doc_ids(idx, scope)
+    n_docs = len(scope_ids)
+    if n_docs == 0:
+        return []
+    dfs = [_df_of(idx, t, scope) for t in uniq]
+    if query_killed_by_cutoff(dfs, n_docs):
+        return []
+    scope_set = set(scope_ids)
+    matched: set[int] | None = None
+    for t in uniq:
+        docs_t = {d for d in idx.postings.get(t, {}) if d in scope_set}
+        matched = docs_t if matched is None else (matched & docs_t)
+        if not matched:
+            return []
+    assert matched is not None
+    verified = [
+        d for d in matched
+        if phrase_match_doc([idx.positions[t][d] for t in seq], slop)
+    ]
+    if len(seq) == 1 and len(verified) > df_cutoff(n_docs):
+        return []  # single-term gate, same as search()
+    if not verified:
+        return []
+    avg_len = sum(idx.doc_len[d] for d in scope_ids) / n_docs
+    scores: dict[int, float] = {}
+    for t, df in zip(uniq, dfs):  # lexicographic term order (pinned)
+        idf = bm25_idf(df, n_docs)
+        plist = idx.postings[t]
+        for d in verified:
+            scores[d] = scores.get(d, 0.0) + bm25_term_score(
+                float(plist[d]), float(idx.doc_len[d]), avg_len, idf,
+                BM25_K1, BM25_B,
+            )
     ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
     lo = max(0, min(offset, len(ranked)))
     hi = max(lo, min(offset + k, len(ranked)))

@@ -270,6 +270,25 @@ def q_bm25_or_topk(spark, sf_dir):
     return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
 
 
+def q_phrase_match(spark, sf_dir):
+    """Positional phrase predicate in native-token SQL form: docs whose
+    token stream contains the exact consecutive bigram 'merge batch'.
+    (The engine's positional-index phrase path — varbyte position lists +
+    per-shard verify kernel, operators/wand.py — is pytest-verified
+    against oracle.phrase_search in tests/test_phrase.py; this twin pins
+    the predicate semantics both engines can express.)"""
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(TOKS_SQL).alias("_t")
+    )
+    pred = (
+        "exists(zip_with("
+        "slice(_t, 1, greatest(size(_t) - 1, 0)), "
+        "slice(_t, 2, greatest(size(_t) - 1, 0)), "
+        "(a, b) -> a = 'merge' AND b = 'batch'), x -> x)"
+    )
+    return docs.filter(F.expr(pred)).select("doc_id")
+
+
 def q_docs_ids(spark, sf_dir):
     """§2.9 — deterministic dense doc_id assignment (the engine's
     two-level offset operator) cross-checked against SQL row_number."""
@@ -646,6 +665,12 @@ def _oracle_sql_map() -> dict[str, str]:
             SELECT doc_id, score FROM scored
             ORDER BY score DESC, doc_id ASC LIMIT 10
         """,
+        "phrase_match": f"""
+            WITH t AS (SELECT doc_id, {TOKS_DUCK} AS _t FROM documents)
+            SELECT doc_id FROM t
+            WHERE len([i for i in range(1, len(_t))
+                       if _t[i] = 'merge' AND _t[i + 1] = 'batch']) > 0
+        """,
         "docs_ids": """
             WITH tr AS (
                 SELECT source AS conv_id,
@@ -864,6 +889,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sumtf_topk": q_sumtf_topk,
         "bm25_topk": q_bm25_topk,
         "bm25_or_topk": q_bm25_or_topk,
+        "phrase_match": q_phrase_match,
         "docs_ids": q_docs_ids,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,

@@ -95,3 +95,48 @@ def _analyze_counts_batch(texts: pd.Series) -> pd.Series:
 
 
 tokenize_lemmatize_counts = pandas_udf(_analyze_counts_batch, LEMMA_COUNTS_TYPE)
+
+
+LEMMA_POSITIONS_TYPE = ArrayType(
+    StructType(
+        [
+            StructField("lemma", StringType(), False),
+            StructField("tf", IntegerType(), False),
+            StructField("positions", ArrayType(IntegerType()), False),
+        ]
+    )
+)
+
+
+def _analyze_positions_batch(texts: pd.Series) -> pd.Series:
+    """Positional variant of the counting analyzer: per-doc
+    (lemma, tf, positions) where a position is the index in the ANALYZED
+    (post-stopword) lemma stream — the pinned definition phrase queries
+    verify against (oracle.OracleIndex.positions is the twin).
+    tf == len(positions) by construction."""
+    memo: dict[str, str] = {}
+    stop = STOPWORDS
+    findall = TOKEN_RE.findall
+
+    def one(text):
+        if not text:
+            return []
+        poss: dict[str, list[int]] = {}
+        i = 0
+        for tok in findall(fold(text)):
+            if tok in stop:
+                continue
+            lem = memo.get(tok)
+            if lem is None:
+                lem = lemmatize(tok)
+                memo[tok] = lem
+            poss.setdefault(lem, []).append(i)
+            i += 1
+        return [(lem, len(p), p) for lem, p in poss.items()]
+
+    return texts.map(one)
+
+
+tokenize_lemmatize_positions = pandas_udf(
+    _analyze_positions_batch, LEMMA_POSITIONS_TYPE
+)

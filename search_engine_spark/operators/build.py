@@ -19,17 +19,23 @@ def build_postings_flat(docs_tok: DataFrame) -> DataFrame:
     (functions/udfs.py), so the explode emits already-unique
     (doc_id, lemma) rows — no shuffle here at all. scope/doc_len are
     functionally dependent on doc_id and carried through so scoring
-    never re-joins docs in the hot path.
+    never re-joins docs in the hot path. A positional docs table
+    (lemma_counts elements carrying ``positions``) flows the positions
+    through automatically.
     """
-    return docs_tok.select(
-        "doc_id", "scope", "doc_len", F.explode("lemma_counts").alias("lc")
-    ).select(
+    lc_fields = docs_tok.schema["lemma_counts"].dataType.elementType.names
+    cols = [
         F.col("lc.lemma").alias("lemma"),
         "doc_id",
         F.col("lc.tf").alias("tf"),
         "scope",
         "doc_len",
-    )
+    ]
+    if "positions" in lc_fields:
+        cols.append(F.col("lc.positions").alias("positions"))
+    return docs_tok.select(
+        "doc_id", "scope", "doc_len", F.explode("lemma_counts").alias("lc")
+    ).select(*cols)
 
 
 def build_lemma_stats(postings_flat: DataFrame) -> DataFrame:

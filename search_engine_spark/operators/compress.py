@@ -44,7 +44,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from search_engine_spark.functions.codec import varbyte_encode_with_lengths
-from search_engine_spark.schemas import POSTINGS
+from search_engine_spark.schemas import POSTINGS, POSTINGS_POS
 
 BLOCK_SIZE = 128
 DEFAULT_DOCS_PER_SHARD = 65_536
@@ -92,23 +92,47 @@ def _encode_frame(pdf: pd.DataFrame, group_starts: np.ndarray) -> pd.DataFrame:
 
     io, to, do = offs(id_len), offs(tf_len), offs(dl_len)
     bs, be = block_starts, block_ends
-    return pd.DataFrame(
-        {
-            "scope": pdf["scope"].to_numpy()[bs],
-            "lemma": pdf["lemma"].to_numpy()[bs],
-            "shard": pdf["shard"].to_numpy(np.int32)[bs],
-            "block_id": (ig[bs] // BLOCK_SIZE).astype(np.int32),
-            "first_doc_id": ids[bs],
-            "last_doc_id": ids[be - 1],
-            "count": (be - bs).astype(np.int32),
-            "sum_tf": np.add.reduceat(tfs, bs),
-            "max_tf": np.maximum.reduceat(tfs, bs).astype(np.int32),
-            "min_dl": np.minimum.reduceat(dls, bs).astype(np.int32),
-            "doc_ids": [id_buf[io[s]:io[e]] for s, e in zip(bs, be)],
-            "tfs": [tf_buf[to[s]:to[e]] for s, e in zip(bs, be)],
-            "doc_lens": [dl_buf[do[s]:do[e]] for s, e in zip(bs, be)],
-        }
-    )
+    out = {
+        "scope": pdf["scope"].to_numpy()[bs],
+        "lemma": pdf["lemma"].to_numpy()[bs],
+        "shard": pdf["shard"].to_numpy(np.int32)[bs],
+        "block_id": (ig[bs] // BLOCK_SIZE).astype(np.int32),
+        "first_doc_id": ids[bs],
+        "last_doc_id": ids[be - 1],
+        "count": (be - bs).astype(np.int32),
+        "sum_tf": np.add.reduceat(tfs, bs),
+        "max_tf": np.maximum.reduceat(tfs, bs).astype(np.int32),
+        "min_dl": np.minimum.reduceat(dls, bs).astype(np.int32),
+        "doc_ids": [id_buf[io[s]:io[e]] for s, e in zip(bs, be)],
+        "tfs": [tf_buf[to[s]:to[e]] for s, e in zip(bs, be)],
+        "doc_lens": [dl_buf[do[s]:do[e]] for s, e in zip(bs, be)],
+    }
+    if "positions" in pdf.columns:
+        # per-posting position lists, gap-encoded with the posting's first
+        # value absolute; one varbyte pass over the flattened frame, then
+        # per-block byte slicing (postings of a block are contiguous, and
+        # a posting's sublist splits back out via its tf at decode time)
+        if n:
+            pflat = np.concatenate(
+                [np.asarray(p, dtype=np.int64) for p in pdf["positions"]]
+            )
+        else:
+            pflat = np.empty(0, dtype=np.int64)
+        pstarts = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(tfs, out=pstarts[1:])  # tf == len(positions), pinned
+        gaps = np.empty(pflat.size, dtype=np.uint64)
+        if pflat.size > 1:
+            gaps[1:] = (pflat[1:] - pflat[:-1]).astype(np.uint64)
+        row_first = pstarts[:-1][pstarts[:-1] < pflat.size]
+        gaps[row_first] = pflat[row_first].astype(np.uint64)
+        p_buf, p_len = varbyte_encode_with_lengths(gaps)
+        pe = np.zeros(pflat.size + 1, dtype=np.int64)
+        np.cumsum(p_len, out=pe[1:])
+        row_byte = pe[pstarts]  # byte offset at each posting boundary
+        out["positions"] = [
+            p_buf[row_byte[s]:row_byte[e]] for s, e in zip(bs, be)
+        ]
+    return pd.DataFrame(out)
 
 
 def _group_starts(pdf: pd.DataFrame) -> np.ndarray:
@@ -142,18 +166,22 @@ def _encode_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
 def build_postings_compressed(
     postings_flat: DataFrame, range_size: int
 ) -> DataFrame:
-    """postings_flat (lemma, doc_id, tf, scope, doc_len) → POSTINGS blocks.
+    """postings_flat (lemma, doc_id, tf, scope, doc_len[, positions]) →
+    POSTINGS (or POSTINGS_POS when a positions column is present) blocks.
 
     One explicit shuffle (the build's skew-managed one, SURVEY.md §3.2),
     then the streaming columnar encoder. The reference's analog is the
     10k-row batched INSERT (services/BatchIndexWriter.java:29-63); here
     the batch is the block.
     """
+    positional = "positions" in postings_flat.columns
     sharded = postings_flat.withColumn(
         "shard", ((F.col("doc_id") - 1) / F.lit(int(range_size))).cast("int")
     )
     part = sharded.repartition(*_KEY).sortWithinPartitions(*_KEY, "doc_id")
-    return part.mapInPandas(_encode_partition, schema=POSTINGS)
+    return part.mapInPandas(
+        _encode_partition, schema=POSTINGS_POS if positional else POSTINGS
+    )
 
 
 # Design note (measured, 700k turns, local[4]): a "shuffle docs rows
@@ -163,6 +191,22 @@ def build_postings_compressed(
 # over the child, and exchanging rows that carry array<struct> columns
 # costs far more per byte (nested UnsafeArrayData copy) than exchanging
 # 40x as many flat narrow rows. Narrow rows through the exchange win.
+
+
+def decode_positions(buf: bytes, tfs: np.ndarray) -> list[np.ndarray]:
+    """One block's ``positions`` buffer → per-posting position arrays
+    (gap decode, posting-first absolute; split by tf)."""
+    from search_engine_spark.functions.codec import varbyte_decode
+
+    vals = varbyte_decode(buf).astype(np.int64)
+    starts = np.zeros(tfs.size + 1, dtype=np.int64)
+    np.cumsum(tfs, out=starts[1:])
+    cs = np.cumsum(vals)
+    # within-posting cumsum: subtract the running total at each posting
+    # start, then add back the (absolute) first value
+    base = np.repeat(cs[starts[:-1]] - vals[starts[:-1]], tfs)
+    pos = cs - base
+    return [pos[s:e] for s, e in zip(starts[:-1], starts[1:])]
 
 
 def decode_blocks(

@@ -144,25 +144,38 @@ def assign_doc_ids(transcripts: DataFrame) -> DataFrame:
     return docs_from_offsets(transcripts, conv_offsets(transcripts))
 
 
-def build_docs(transcripts: DataFrame, with_lemmas: bool = False) -> DataFrame:
+def build_docs(
+    transcripts: DataFrame,
+    with_lemmas: bool = False,
+    positional: bool = False,
+) -> DataFrame:
     """Full docs table (FIXTURES.md §2). ``with_lemmas=True`` keeps the
     tokenized ``lemma_counts`` column (array<struct<lemma,tf>>) so the
     index build tokenizes exactly once AND needs no tf shuffle (counting
-    happens inside the UDF — see functions/udfs.py).
+    happens inside the UDF — see functions/udfs.py). ``positional=True``
+    additionally carries per-lemma analyzed-stream positions (phrase
+    queries) — opt-in, the default path pays zero bytes for it.
 
     Per-row invariant (input_hint): text carried through untouched; doc_id
     strictly increasing in (conv_id, turn_idx) order. ``doc_len`` is the
     indexed-token count = Σ tf (pinned: post-stopword; oracle twin
     ``doc_length``).
     """
-    return enrich_docs(assign_doc_ids(transcripts), with_lemmas)
+    return enrich_docs(assign_doc_ids(transcripts), with_lemmas, positional)
 
 
-def enrich_docs(docs_with_ids: DataFrame, with_lemmas: bool = False) -> DataFrame:
+def enrich_docs(
+    docs_with_ids: DataFrame,
+    with_lemmas: bool = False,
+    positional: bool = False,
+) -> DataFrame:
     """scope + tokenization + doc_len over a frame that already has
     doc_id (shared by the single-pass build and the bucketed job)."""
+    from search_engine_spark.functions.udfs import tokenize_lemmatize_positions
+
+    tokfn = tokenize_lemmatize_positions if positional else tokenize_lemmatize_counts
     d = with_scope(docs_with_ids)
-    d = d.withColumn("lemma_counts", tokenize_lemmatize_counts(F.col("text")))
+    d = d.withColumn("lemma_counts", tokfn(F.col("text")))
     d = d.withColumn(
         "doc_len",
         F.expr("aggregate(lemma_counts, 0, (a, x) -> a + x.tf)").cast("int"),

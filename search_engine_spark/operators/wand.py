@@ -443,17 +443,144 @@ def _blocks_core(
 
 
 def prune_blocks(
-    postings: DataFrame, terms: list[str], scope: str | None
+    postings: DataFrame, terms: list[str], scope: str | None,
+    with_positions: bool = False,
 ) -> DataFrame:
     """Term/scope filter (pushed to the parquet scan) + column pruning to
     exactly what the kernels read."""
     blocks = postings.filter(F.col("lemma").isin(terms))
     if scope is not None:
         blocks = blocks.filter(F.col("scope") == scope)
-    return blocks.select(
+    cols = [
         "shard", "lemma", "first_doc_id", "last_doc_id",
         "count", "max_tf", "min_dl", "doc_ids", "tfs", "doc_lens",
+    ]
+    if with_positions:
+        cols.append("positions")
+    return blocks.select(*cols)
+
+
+# -- phrase / proximity search over positional blocks ------------------------
+
+
+def _gather_term_positional(pdf: pd.DataFrame):
+    """All blocks of one term in one shard → sorted (ids, tfs, dls) plus
+    the per-posting position arrays, reordered consistently."""
+    from search_engine_spark.operators.compress import decode_positions
+
+    ids_p, tfs_p, dls_p, plists = [], [], [], []
+    for r in pdf.itertuples(index=False):
+        ids, tfs, dls = _decode_one(r)
+        ids_p.append(ids)
+        tfs_p.append(tfs)
+        dls_p.append(dls)
+        plists.extend(decode_positions(r.positions, tfs))
+    ids = np.concatenate(ids_p)
+    tfs = np.concatenate(tfs_p)
+    dls = np.concatenate(dls_p)
+    order = np.argsort(ids, kind="stable")
+    return (
+        ids[order], tfs[order], dls[order],
+        [plists[i] for i in order.tolist()],
     )
+
+
+def _shard_phrase_kernel(seq_terms, uniq_terms, idfs, avg_len, m, slop):
+    """Per-shard grouped-map fn: conjunctive candidates → positional
+    phrase verify (ordered chain, ≤ slop lemmas between consecutive
+    terms) → BM25 scoring of verified docs, local top-m."""
+    from oracle.oracle import phrase_match_doc  # pure position matcher
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_id": [], "score": []}).astype(
+            {"doc_id": "int64", "score": "float64"}
+        )
+        gathered = {}
+        for t in uniq_terms:
+            tp = pdf[pdf["lemma"] == t]
+            if tp.empty:
+                return empty
+            gathered[t] = _gather_term_positional(tp)
+        per_term = [gathered[t][:3] for t in uniq_terms]
+        # conjunctive intersection (ascending-size, as _intersect_score)
+        order = sorted(
+            range(len(uniq_terms)), key=lambda i: per_term[i][0].size
+        )
+        cand = per_term[order[0]][0]
+        for i in order[1:]:
+            cand = cand[np.isin(cand, per_term[i][0], assume_unique=True)]
+            if cand.size == 0:
+                return empty
+        # position verify per candidate (candidate sets are small after
+        # the conjunction; the chain check is O(Σ positions) per doc)
+        keep = []
+        for d in cand.tolist():
+            lists = []
+            for t in seq_terms:
+                ids_t, _, _, pl_t = gathered[t]
+                pos = int(np.searchsorted(ids_t, d))
+                lists.append(pl_t[pos].tolist())
+            if phrase_match_doc(lists, slop):
+                keep.append(d)
+        if not keep:
+            return empty
+        verified = np.asarray(keep, dtype=np.int64)
+        scores = np.zeros(verified.size, dtype=np.float64)
+        for (ids, tfs, dls), idf in zip(per_term, idfs):  # lexicographic
+            pos = np.searchsorted(ids, verified)
+            scores += _term_scores(tfs[pos], dls[pos], idf, avg_len)
+        if verified.size > m:
+            sel = np.lexsort((verified, -scores))[:m]
+            verified, scores = verified[sel], scores[sel]
+        return pd.DataFrame({"doc_id": verified, "score": scores})
+
+    return fn
+
+
+def phrase_search_blocks(
+    postings_pos: DataFrame,
+    lemma_stats: DataFrame,
+    doc_stats: DataFrame,
+    query: str,
+    scope: str | None = None,
+    k: int = 10,
+    offset: int = 0,
+    slop: int = 0,
+) -> DataFrame:
+    """Top-k phrase/proximity search over POSITIONAL blocks
+    (POSTINGS_POS, built with ``build_docs(positional=True)``):
+    the query's analyzed lemma SEQUENCE must appear in order with at most
+    ``slop`` extra lemmas between consecutive terms; matching docs score
+    with the same pinned BM25 (oracle.phrase_search is the twin)."""
+    from search_engine_spark.functions.analyze import analyze
+
+    spark = postings_pos.sparkSession
+    seq = analyze(query)  # ordered, duplicates kept
+    if not seq:
+        return _empty(spark)
+    uniq = sorted(set(seq))
+    n_docs, avg_len = _scope_stats(doc_stats, scope)
+    if n_docs == 0:
+        return _empty(spark)
+    dfs = _term_dfs(lemma_stats, uniq, scope)
+    if query_killed_by_cutoff(list(dfs.values()), n_docs):
+        return _empty(spark)
+    idfs = [bm25_idf(dfs[t], n_docs) for t in uniq]
+    blocks = prune_blocks(postings_pos, uniq, scope, with_positions=True)
+    m = offset + k
+    kernel = _shard_phrase_kernel(seq, uniq, idfs, avg_len, m, slop)
+    per_shard = blocks.groupBy("shard").applyInPandas(kernel, schema=SEARCH_RESULT)
+    if len(seq) == 1:
+        # single-term gate (SearchServiceImpl.java:136-139): the oracle
+        # kills a single-term "phrase" whose match count exceeds the
+        # cutoff; a single term trivially phrase-matches all its docs, and
+        # per-scope df <= cutoff was already enforced above, so only the
+        # GLOBAL unscoped case can differ — handled by the df check
+        from search_engine_spark.functions.scoring import df_cutoff
+
+        if dfs[uniq[0]] > df_cutoff(n_docs):
+            return _empty(spark)
+    return _paginate(per_shard, k, offset)
 
 
 def _empty(spark: SparkSession) -> DataFrame:

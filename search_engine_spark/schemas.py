@@ -97,6 +97,13 @@ POSTINGS = StructType(
     ]
 )
 
+# positional variant: + per-block varbyte position lists (gap-encoded per
+# posting, posting-first absolute; per-posting split by the tfs column).
+# Separate schema so the non-positional path pays zero bytes for it.
+POSTINGS_POS = StructType(
+    POSTINGS.fields + [StructField("positions", BinaryType(), False)]
+)
+
 CHECKPOINTS = StructType(
     [
         StructField("run_id", StringType(), False),

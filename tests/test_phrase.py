@@ -1,0 +1,145 @@
+"""Positional postings + phrase/proximity queries: codec round-trip,
+engine-vs-oracle rank identity, slop semantics."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from oracle import oracle as orc
+from search_engine_spark.functions.analyze import STOPWORDS, TOKEN_RE, fold
+
+
+# -- pure core ---------------------------------------------------------------
+
+
+def test_positions_codec_roundtrip():
+    from search_engine_spark.operators.compress import (
+        _encode_frame,
+        _group_starts,
+        decode_positions,
+    )
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    rows = []
+    pos_by_doc = {}
+    for doc in range(1, 40):
+        n_pos = int(rng.integers(1, 9))
+        pos = np.sort(rng.choice(500, size=n_pos, replace=False))
+        pos_by_doc[doc] = pos.tolist()
+        rows.append(
+            ("s0", "lem", 0, doc, n_pos, 30, pos.tolist())
+        )
+    pdf = pd.DataFrame(
+        rows,
+        columns=["scope", "lemma", "shard", "doc_id", "tf", "doc_len",
+                 "positions"],
+    )
+    enc = _encode_frame(pdf, _group_starts(pdf))
+    got = {}
+    for r in enc.itertuples(index=False):
+        from search_engine_spark.functions.codec import (
+            delta_decode,
+            varbyte_decode,
+        )
+
+        ids = delta_decode(varbyte_decode(r.doc_ids)).astype(np.int64)
+        tfs = varbyte_decode(r.tfs).astype(np.int64)
+        for d, plist in zip(ids.tolist(), decode_positions(r.positions, tfs)):
+            got[d] = plist.tolist()
+    assert got == pos_by_doc
+
+
+def test_phrase_match_doc_semantics():
+    f = orc.phrase_match_doc
+    assert f([[0, 7], [1]])            # adjacent
+    assert not f([[0], [2]])           # gap of 1 with slop=0
+    assert f([[0], [2]], slop=1)       # gap allowed with slop=1
+    assert not f([[2], [1]])           # wrong order never matches
+    assert f([[0, 5], [6], [7]])       # chain via later start
+    assert not f([[0], [1], [1]])      # position cannot repeat backwards
+
+
+# -- engine vs oracle --------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def pos_tables(spark, transcripts_sdf):
+    from search_engine_spark.operators.build import build_all
+    from search_engine_spark.operators.compress import (
+        build_postings_compressed,
+    )
+    from search_engine_spark.operators.docs import build_docs
+
+    docs_tok = build_docs(
+        transcripts_sdf, with_lemmas=True, positional=True
+    ).cache()
+    pf, ls, ds = build_all(docs_tok)
+    blocks = build_postings_compressed(pf, range_size=512).cache()
+    assert "positions" in blocks.columns
+    return {"blocks": blocks, "lemma_stats": ls.cache(), "doc_stats": ds.cache()}
+
+
+def _phrases_from_corpus(small_pdf, n=6, width=2):
+    """Real raw-token windows from corpus texts (skipping stopwords) —
+    phrases guaranteed present; plus their reverses as likely-absent."""
+    out = []
+    for i in (3, 100, 500, 900, 1400, 1900):
+        toks = [
+            t for t in TOKEN_RE.findall(fold(small_pdf.iloc[i]["text"]))
+            if t not in STOPWORDS
+        ]
+        if len(toks) >= width:
+            out.append(" ".join(toks[:width]))
+        if len(out) >= n:
+            break
+    return out
+
+
+def test_phrase_rank_identity(spark, pos_tables, small_pdf, oracle_idx):
+    from search_engine_spark.operators.wand import phrase_search_blocks
+
+    t = pos_tables
+    queries = _phrases_from_corpus(small_pdf)
+    assert queries
+    cases = [(q, None, 0) for q in queries]
+    cases += [(" ".join(reversed(q.split())), None, 0) for q in queries[:3]]
+    cases += [(queries[0], "scope-1", 0), (queries[0], None, 1)]
+    nonempty = 0
+    for q, scope, slop in cases:
+        exp = orc.phrase_search(oracle_idx, q, scope=scope, k=10, slop=slop)
+        got = [
+            (r["doc_id"], r["score"])
+            for r in phrase_search_blocks(
+                t["blocks"], t["lemma_stats"], t["doc_stats"], q,
+                scope=scope, k=10, slop=slop,
+            ).collect()
+        ]
+        assert got == [(d, s) for d, s in exp], (q, scope, slop)
+        nonempty += bool(exp)
+    assert nonempty >= 3  # the matrix actually exercised real matches
+
+
+def test_phrase_stricter_than_and(spark, pos_tables, small_pdf, oracle_idx):
+    """Phrase results are a subset of the conjunctive result set."""
+    from search_engine_spark.operators.wand import (
+        bm25_search_blocks,
+        phrase_search_blocks,
+    )
+
+    t = pos_tables
+    q = _phrases_from_corpus(small_pdf)[0]
+    phrase = {
+        r["doc_id"]
+        for r in phrase_search_blocks(
+            t["blocks"], t["lemma_stats"], t["doc_stats"], q, k=100
+        ).collect()
+    }
+    conj = {
+        r["doc_id"]
+        for r in bm25_search_blocks(
+            t["blocks"], t["lemma_stats"], t["doc_stats"], q, k=100
+        ).collect()
+    }
+    assert phrase and phrase <= conj
