@@ -175,15 +175,31 @@ def main() -> None:
 
     queries: dict[str, float] = {}
 
-    # 1. two-parallelism index build (subprocesses). The hi config gets
-    # more repeats: co-tenant CPU steal scales with cores used, so
-    # multi-core runs need more draws to catch a quiet window (measured
-    # local[4] spread 61-170s on identical code; local[1] 186-212s).
-    hi = _run_build(hi_cpus, repeats=4)
-    lo = _run_build(lo_cpus, repeats=2)
+    # 1. two-parallelism index build (subprocesses), PAIRED protocol:
+    # each repetition runs hi then lo back-to-back and contributes one
+    # efficiency sample; the reported efficiency is the MEDIAN over
+    # pairs. Rationale: this VM's co-tenant noise is bursty (measured
+    # local[4] spread 61-170s on identical code) and mostly common-mode
+    # within a ~6-minute window, so a pair's ratio cancels it, while
+    # best-of-each-config ANTI-correlates the noise (picks hi's quiet
+    # draw against lo's quiet draw from different windows) and biases
+    # the ratio downward. Throughputs are still reported best-of.
+    pairs = int(os.environ.get("SPARK_GRAFT_BENCH_PAIRS", "3"))
+    hi_runs, lo_runs, effs = [], [], []
+    for _ in range(pairs):
+        h = _run_build(hi_cpus, repeats=1)
+        l = _run_build(lo_cpus, repeats=1)
+        hi_runs.append(h)
+        lo_runs.append(l)
+        effs.append(
+            (h["turns"] / h["build_sec"]) / (l["turns"] / l["build_sec"])
+            / (hi_cpus / lo_cpus)
+        )
+    hi = min(hi_runs, key=lambda r: r["build_sec"])
+    lo = min(lo_runs, key=lambda r: r["build_sec"])
     thr_hi = hi["turns"] / hi["build_sec"]
     thr_lo = lo["turns"] / lo["build_sec"]
-    eff = (thr_hi / thr_lo) / (hi_cpus / lo_cpus)
+    eff = statistics.median(effs)
     queries[f"index_build_local{hi_cpus}"] = round(hi["build_sec"], 3)
     queries[f"index_build_local{lo_cpus}"] = round(lo["build_sec"], 3)
 
@@ -262,6 +278,7 @@ def main() -> None:
                     f"throughput_local{hi_cpus}_turns_per_sec": round(thr_hi, 1),
                     f"throughput_local{lo_cpus}_turns_per_sec": round(thr_lo, 1),
                     "scaling_efficiency": round(eff, 3),
+                    "pair_efficiencies": [round(e, 3) for e in effs],
                     "parallelism_ratio": hi_cpus // lo_cpus,
                 },
                 "query_latency_p50_sec": round(p50, 3),

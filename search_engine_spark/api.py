@@ -56,8 +56,10 @@ class SearchEngine:
         limit: int = 20,  # API defaults (ApiController.java:48-51)
         scorer: str = "bm25",
         combine: str = "and",  # "or" = disjunctive weak-AND (bm25 only)
+        match: str = "term",   # "phrase" = positional adjacency (needs a
+        slop: int = 0,         #   positional index); slop = allowed gaps
     ) -> dict:
-        key = (query, scope, scorer, combine)
+        key = (query, scope, scorer, combine, match, slop)
         if (
             self._cache_key == key
             and self._cache_rows is not None
@@ -72,7 +74,20 @@ class SearchEngine:
             return {"result": True, "count": len(self._cache_rows), "data": data}
 
         terms = query_lemmas(query)
-        if scorer == "bm25":
+        if match == "phrase":
+            if "positions" not in self._blocks.columns:
+                raise ValueError(
+                    "phrase search needs a positional index "
+                    "(IndexBuildJob(..., positional=True))"
+                )
+            from search_engine_spark.operators.wand import phrase_search_blocks
+
+            deep = 10 * (offset + limit)
+            results = phrase_search_blocks(
+                self._blocks, self._lemma_stats, self._doc_stats,
+                query, scope=scope, k=deep, offset=0, slop=slop,
+            )
+        elif scorer == "bm25":
             # fetch a deep page once (cacheable), slice driver-side
             deep = 10 * (offset + limit)
             results = bm25_search_blocks(

@@ -75,11 +75,14 @@ def _dedup_delta(delta: DataFrame) -> DataFrame:
     )
 
 
-def _enrich(d: DataFrame) -> DataFrame:
+def _enrich(d: DataFrame, positional: bool = False) -> DataFrame:
     """scope + tokenization + doc_len for delta rows that already carry
     doc_id and bucket (shared by the update and insert branches)."""
+    from search_engine_spark.functions.udfs import tokenize_lemmatize_positions
+
+    tokfn = tokenize_lemmatize_positions if positional else tokenize_lemmatize_counts
     d = with_scope(d)
-    d = d.withColumn("lemma_counts", tokenize_lemmatize_counts(F.col("text")))
+    d = d.withColumn("lemma_counts", tokfn(F.col("text")))
     d = d.withColumn(
         "doc_len",
         F.expr("aggregate(lemma_counts, 0, (a, x) -> a + x.tf)").cast("int"),
@@ -95,7 +98,11 @@ def _retokenized(
 ) -> DataFrame:
     """delta (transcripts schema, key-deduped) → full docs rows: existing
     keys keep their doc_id; new keys get appended ids past ``max_id``
-    (dense, in the delta's own (conv_id, turn_idx) order)."""
+    (dense, in the delta's own (conv_id, turn_idx) order). Positional
+    indexes (docs carrying positions) retokenize positionally."""
+    positional = (
+        "positions" in docs.schema["lemma_counts"].dataType.elementType.names
+    )
     keyed = docs.select("doc_id", *_KEY, "bucket")
     updates = delta.join(keyed, _KEY, "inner")
     new_rows = delta.join(keyed.select(*_KEY), _KEY, "left_anti")
@@ -104,7 +111,7 @@ def _retokenized(
         .withColumn("doc_id", (F.col("doc_id") + F.lit(int(max_id))).cast("long"))
         .withColumn("bucket", F.lit(int(last_bucket)))
     )
-    return _enrich(updates).unionByName(_enrich(inserts))
+    return _enrich(updates, positional).unionByName(_enrich(inserts, positional))
 
 
 def _old_dir(out: str, kind: str, bucket: int) -> str:

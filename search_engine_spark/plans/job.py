@@ -70,12 +70,14 @@ class IndexBuildJob:
         n_buckets: int = 8,
         docs_per_shard: int = DEFAULT_DOCS_PER_SHARD,
         run_id: str | None = None,
+        positional: bool = False,
     ):
         self.spark = spark
         self.transcripts_path = transcripts_path
         self.out = out_dir.rstrip("/")
         self.n_buckets = int(n_buckets)
         self.docs_per_shard = int(docs_per_shard)
+        self.positional = bool(positional)
         self.run_id = run_id or f"run-{uuid.uuid4().hex[:12]}"
         # cooperative cancellation (reference: stop-flag machinery in
         # IndexingServiceImpl.java:36, 50-64 / WebParser.java:65-68)
@@ -156,6 +158,7 @@ class IndexBuildJob:
                 (self.run_id, "n_turns", str(total), None),
                 (self.run_id, "n_buckets", str(self.n_buckets), None),
                 (self.run_id, "docs_per_shard", str(self.docs_per_shard), None),
+                (self.run_id, "positional", str(self.positional), None),
                 (self.run_id, "range_size",
                  str(shard_spec(total, self.docs_per_shard)), None),
             ],
@@ -172,7 +175,10 @@ class IndexBuildJob:
         if ("docs", b) not in done:
             t0 = time.time()
             tr = self.spark.read.parquet(self.transcripts_path)
-            docs_b = enrich_docs(docs_from_offsets(tr, off), with_lemmas=True)
+            docs_b = enrich_docs(
+                docs_from_offsets(tr, off), with_lemmas=True,
+                positional=self.positional,
+            )
             docs_b.write.mode("overwrite").parquet(f"{self.out}/docs/bucket={b}")
             n = self.spark.read.parquet(f"{self.out}/docs/bucket={b}").count()
             self._checkpoint("docs", b, n, t0)

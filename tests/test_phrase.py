@@ -121,6 +121,61 @@ def test_phrase_rank_identity(spark, pos_tables, small_pdf, oracle_idx):
     assert nonempty >= 3  # the matrix actually exercised real matches
 
 
+def test_positional_job_api_upsert(spark, tmp_path_factory):
+    """End-to-end: checkpointed positional build → SearchEngine phrase
+    endpoint → positional-aware upsert of a new turn containing the
+    phrase → result set grows accordingly."""
+    from search_engine_spark.api import SearchEngine
+    from search_engine_spark.operators.upsert import upsert_turns
+    from search_engine_spark.plans.job import IndexBuildJob
+    from search_engine_spark.schemas import TRANSCRIPTS
+    from search_engine_spark.sources.corpus import generate_transcripts
+
+    small = generate_transcripts(80, seed=7)
+    base = tmp_path_factory.mktemp("posidx")
+    corpus = str(base / "tr.parquet")
+    small.to_parquet(corpus, index=False, row_group_size=512)
+    job = IndexBuildJob(
+        spark, corpus, str(base / "idx"), n_buckets=2, docs_per_shard=256,
+        positional=True,
+    )
+    job.run()
+
+    toks = [
+        t for t in TOKEN_RE.findall(fold(small.iloc[5]["text"]))
+        if t not in STOPWORDS
+    ]
+    q = " ".join(toks[:2])
+    idx = orc.build_index(small)
+    exp = orc.phrase_search(idx, q, k=100)
+    assert exp  # the bigram really occurs
+
+    eng = SearchEngine(spark, str(base / "idx"))
+    res = eng.search(q, match="phrase", limit=100)
+    assert len(res["data"]) == len(exp)
+    assert [r["relevance"] for r in res["data"]] == [s for _, s in exp]
+
+    proto = small.iloc[0]
+    delta = small.iloc[:0].copy()
+    delta.loc[0] = {
+        "conv_id": "zzzz-00000009", "turn_idx": 0, "role": "user",
+        "text": f"prefix {q} suffix", "tool": proto["tool"], "ts": proto["ts"],
+    }
+    summary = upsert_turns(job, spark.createDataFrame(delta, schema=TRANSCRIPTS))
+    assert summary["inserted_turns"] == 1
+    eng2 = SearchEngine(spark, str(base / "idx"))
+    res2 = eng2.search(q, match="phrase", limit=100)
+    assert len(res2["data"]) == len(exp) + 1
+
+
+def test_phrase_requires_positional_index(spark, base_index_dir):
+    from search_engine_spark.api import SearchEngine
+
+    eng = SearchEngine(spark, base_index_dir["index"])
+    with pytest.raises(ValueError, match="positional"):
+        eng.search("any words", match="phrase")
+
+
 def test_phrase_stricter_than_and(spark, pos_tables, small_pdf, oracle_idx):
     """Phrase results are a subset of the conjunctive result set."""
     from search_engine_spark.operators.wand import (
