@@ -19,23 +19,33 @@ def build_postings_flat(docs_tok: DataFrame) -> DataFrame:
     (functions/udfs.py), so the explode emits already-unique
     (doc_id, lemma) rows — no shuffle here at all. scope/doc_len are
     functionally dependent on doc_id and carried through so scoring
-    never re-joins docs in the hot path. A positional docs table
-    (lemma_counts elements carrying ``positions``) flows the positions
-    through automatically.
+    never re-joins docs in the hot path. For a positional docs table use
+    ``build_postings_flat_positional``.
     """
-    lc_fields = docs_tok.schema["lemma_counts"].dataType.elementType.names
-    cols = [
+    return docs_tok.select(
+        "doc_id", "scope", "doc_len", F.explode("lemma_counts").alias("lc")
+    ).select(
         F.col("lc.lemma").alias("lemma"),
         "doc_id",
         F.col("lc.tf").alias("tf"),
         "scope",
         "doc_len",
-    ]
-    if "positions" in lc_fields:
-        cols.append(F.col("lc.positions").alias("positions"))
+    )
+
+
+def build_postings_flat_positional(docs_tok: DataFrame) -> DataFrame:
+    """A1 over a positional docs table (build_docs(positional=True)):
+    same narrow explode, plus the per-posting position lists."""
     return docs_tok.select(
         "doc_id", "scope", "doc_len", F.explode("lemma_counts").alias("lc")
-    ).select(*cols)
+    ).select(
+        F.col("lc.lemma").alias("lemma"),
+        "doc_id",
+        F.col("lc.tf").alias("tf"),
+        "scope",
+        "doc_len",
+        F.col("lc.positions").alias("positions"),
+    )
 
 
 def build_lemma_stats(postings_flat: DataFrame) -> DataFrame:

@@ -92,47 +92,59 @@ def _encode_frame(pdf: pd.DataFrame, group_starts: np.ndarray) -> pd.DataFrame:
 
     io, to, do = offs(id_len), offs(tf_len), offs(dl_len)
     bs, be = block_starts, block_ends
-    out = {
-        "scope": pdf["scope"].to_numpy()[bs],
-        "lemma": pdf["lemma"].to_numpy()[bs],
-        "shard": pdf["shard"].to_numpy(np.int32)[bs],
-        "block_id": (ig[bs] // BLOCK_SIZE).astype(np.int32),
-        "first_doc_id": ids[bs],
-        "last_doc_id": ids[be - 1],
-        "count": (be - bs).astype(np.int32),
-        "sum_tf": np.add.reduceat(tfs, bs),
-        "max_tf": np.maximum.reduceat(tfs, bs).astype(np.int32),
-        "min_dl": np.minimum.reduceat(dls, bs).astype(np.int32),
-        "doc_ids": [id_buf[io[s]:io[e]] for s, e in zip(bs, be)],
-        "tfs": [tf_buf[to[s]:to[e]] for s, e in zip(bs, be)],
-        "doc_lens": [dl_buf[do[s]:do[e]] for s, e in zip(bs, be)],
-    }
-    if "positions" in pdf.columns:
-        # per-posting position lists, gap-encoded with the posting's first
-        # value absolute; one varbyte pass over the flattened frame, then
-        # per-block byte slicing (postings of a block are contiguous, and
-        # a posting's sublist splits back out via its tf at decode time)
-        if n:
-            pflat = np.concatenate(
-                [np.asarray(p, dtype=np.int64) for p in pdf["positions"]]
-            )
-        else:
-            pflat = np.empty(0, dtype=np.int64)
-        pstarts = np.zeros(n + 1, dtype=np.int64)
-        np.cumsum(tfs, out=pstarts[1:])  # tf == len(positions), pinned
-        gaps = np.empty(pflat.size, dtype=np.uint64)
-        if pflat.size > 1:
-            gaps[1:] = (pflat[1:] - pflat[:-1]).astype(np.uint64)
-        row_first = pstarts[:-1][pstarts[:-1] < pflat.size]
-        gaps[row_first] = pflat[row_first].astype(np.uint64)
-        p_buf, p_len = varbyte_encode_with_lengths(gaps)
-        pe = np.zeros(pflat.size + 1, dtype=np.int64)
-        np.cumsum(p_len, out=pe[1:])
-        row_byte = pe[pstarts]  # byte offset at each posting boundary
-        out["positions"] = [
-            p_buf[row_byte[s]:row_byte[e]] for s, e in zip(bs, be)
-        ]
-    return pd.DataFrame(out)
+    return pd.DataFrame(
+        {
+            "scope": pdf["scope"].to_numpy()[bs],
+            "lemma": pdf["lemma"].to_numpy()[bs],
+            "shard": pdf["shard"].to_numpy(np.int32)[bs],
+            "block_id": (ig[bs] // BLOCK_SIZE).astype(np.int32),
+            "first_doc_id": ids[bs],
+            "last_doc_id": ids[be - 1],
+            "count": (be - bs).astype(np.int32),
+            "sum_tf": np.add.reduceat(tfs, bs),
+            "max_tf": np.maximum.reduceat(tfs, bs).astype(np.int32),
+            "min_dl": np.minimum.reduceat(dls, bs).astype(np.int32),
+            "doc_ids": [id_buf[io[s]:io[e]] for s, e in zip(bs, be)],
+            "tfs": [tf_buf[to[s]:to[e]] for s, e in zip(bs, be)],
+            "doc_lens": [dl_buf[do[s]:do[e]] for s, e in zip(bs, be)],
+        }
+    )
+
+
+def _encode_frame_pos(pdf: pd.DataFrame, group_starts: np.ndarray) -> pd.DataFrame:
+    """Positional variant of ``_encode_frame``: adds per-block position
+    buffers — per-posting gap lists (posting-first absolute), one varbyte
+    pass over the flattened frame, per-block byte slicing (a posting's
+    sublist splits back out via its tf at decode time). Kept as a
+    SEPARATE function so the default path's hot code stays untouched."""
+    out = _encode_frame(pdf, group_starts)
+    tfs = pdf["tf"].to_numpy(np.int64)
+    n = tfs.size
+    gflag = np.zeros(n, dtype=np.int64)
+    gflag[group_starts] = 1
+    gid = np.cumsum(gflag) - 1
+    ig = np.arange(n, dtype=np.int64) - group_starts[gid]
+    bs = np.flatnonzero(ig % BLOCK_SIZE == 0)
+    be = np.append(bs[1:], n)
+    if n:
+        pflat = np.concatenate(
+            [np.asarray(p, dtype=np.int64) for p in pdf["positions"]]
+        )
+    else:
+        pflat = np.empty(0, dtype=np.int64)
+    pstarts = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(tfs, out=pstarts[1:])  # tf == len(positions), pinned
+    gaps = np.empty(pflat.size, dtype=np.uint64)
+    if pflat.size > 1:
+        gaps[1:] = (pflat[1:] - pflat[:-1]).astype(np.uint64)
+    row_first = pstarts[:-1][pstarts[:-1] < pflat.size]
+    gaps[row_first] = pflat[row_first].astype(np.uint64)
+    p_buf, p_len = varbyte_encode_with_lengths(gaps)
+    pe = np.zeros(pflat.size + 1, dtype=np.int64)
+    np.cumsum(p_len, out=pe[1:])
+    row_byte = pe[pstarts]  # byte offset at each posting boundary
+    out["positions"] = [p_buf[row_byte[s]:row_byte[e]] for s, e in zip(bs, be)]
+    return out
 
 
 def _group_starts(pdf: pd.DataFrame) -> np.ndarray:
@@ -163,25 +175,46 @@ def _encode_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
         yield _encode_frame(carry, _group_starts(carry))
 
 
+def _encode_partition_pos(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Positional streaming encoder (same carry discipline)."""
+    carry: pd.DataFrame | None = None
+    for pdf in batches:
+        if pdf.empty:
+            continue
+        if carry is not None:
+            pdf = pd.concat([carry, pdf], ignore_index=True)
+        starts = _group_starts(pdf)
+        if starts.size == 1:
+            carry = pdf
+            continue
+        last = starts[-1]
+        carry = pdf.iloc[last:].reset_index(drop=True)
+        yield _encode_frame_pos(pdf.iloc[:last], starts[:-1])
+    if carry is not None and not carry.empty:
+        yield _encode_frame_pos(carry, _group_starts(carry))
+
+
 def build_postings_compressed(
-    postings_flat: DataFrame, range_size: int
+    postings_flat: DataFrame, range_size: int, positional: bool = False
 ) -> DataFrame:
     """postings_flat (lemma, doc_id, tf, scope, doc_len[, positions]) →
-    POSTINGS (or POSTINGS_POS when a positions column is present) blocks.
+    POSTINGS (or POSTINGS_POS with ``positional=True``, which requires
+    the positions column from ``build_postings_flat_positional``) blocks.
 
     One explicit shuffle (the build's skew-managed one, SURVEY.md §3.2),
     then the streaming columnar encoder. The reference's analog is the
     10k-row batched INSERT (services/BatchIndexWriter.java:29-63); here
     the batch is the block.
     """
-    positional = "positions" in postings_flat.columns
     sharded = postings_flat.withColumn(
         "shard", ((F.col("doc_id") - 1) / F.lit(int(range_size))).cast("int")
     )
     part = sharded.repartition(*_KEY).sortWithinPartitions(*_KEY, "doc_id")
-    return part.mapInPandas(
-        _encode_partition, schema=POSTINGS_POS if positional else POSTINGS
-    )
+    if positional:
+        return part.mapInPandas(_encode_partition_pos, schema=POSTINGS_POS)
+    return part.mapInPandas(_encode_partition, schema=POSTINGS)
 
 
 # Design note (measured, 700k turns, local[4]): a "shuffle docs rows

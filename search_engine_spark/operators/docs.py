@@ -171,11 +171,19 @@ def enrich_docs(
 ) -> DataFrame:
     """scope + tokenization + doc_len over a frame that already has
     doc_id (shared by the single-pass build and the bucketed job)."""
-    from search_engine_spark.functions.udfs import tokenize_lemmatize_positions
-
-    tokfn = tokenize_lemmatize_positions if positional else tokenize_lemmatize_counts
     d = with_scope(docs_with_ids)
-    d = d.withColumn("lemma_counts", tokfn(F.col("text")))
+    if positional:
+        from search_engine_spark.functions.udfs import (
+            tokenize_lemmatize_positions,
+        )
+
+        d = d.withColumn(
+            "lemma_counts", tokenize_lemmatize_positions(F.col("text"))
+        )
+    else:
+        d = d.withColumn(
+            "lemma_counts", tokenize_lemmatize_counts(F.col("text"))
+        )
     d = d.withColumn(
         "doc_len",
         F.expr("aggregate(lemma_counts, 0, (a, x) -> a + x.tf)").cast("int"),

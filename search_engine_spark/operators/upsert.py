@@ -182,6 +182,9 @@ def upsert_turns(job: IndexBuildJob, delta: DataFrame) -> dict:
     )
 
     t0 = time.time()
+    positional = (
+        "positions" in docs.schema["lemma_counts"].dataType.elementType.names
+    )
     for b in buckets:
         old_b = spark.read.parquet(f"{out}/docs/bucket={b}")
         upd_b = updated.filter(F.col("bucket") == b).drop("bucket")
@@ -192,8 +195,16 @@ def upsert_turns(job: IndexBuildJob, delta: DataFrame) -> dict:
             _old_dir(out, "docs", b),
         )
         docs_b = spark.read.parquet(f"{out}/docs/bucket={b}")
+        if positional:
+            from search_engine_spark.operators.build import (
+                build_postings_flat_positional,
+            )
+
+            pf_b = build_postings_flat_positional(docs_b)
+        else:
+            pf_b = build_postings_flat(docs_b)
         blocks_b = build_postings_compressed(
-            build_postings_flat(docs_b), range_size=range_size
+            pf_b, range_size=range_size, positional=positional
         )
         _swap_in(
             blocks_b, f"{out}/postings/bucket={b}", f"{out}/.staging_post_{b}",

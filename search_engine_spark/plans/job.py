@@ -185,8 +185,16 @@ class IndexBuildJob:
         if ("postings", b) not in done:
             t0 = time.time()
             docs_b = self.spark.read.parquet(f"{self.out}/docs/bucket={b}")
+            if self.positional:
+                from search_engine_spark.operators.build import (
+                    build_postings_flat_positional,
+                )
+
+                pf = build_postings_flat_positional(docs_b)
+            else:
+                pf = build_postings_flat(docs_b)
             blocks = build_postings_compressed(
-                build_postings_flat(docs_b), range_size=range_size
+                pf, range_size=range_size, positional=self.positional
             )
             blocks.write.mode("overwrite").parquet(
                 f"{self.out}/postings/bucket={b}"

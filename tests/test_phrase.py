@@ -15,7 +15,7 @@ from search_engine_spark.functions.analyze import STOPWORDS, TOKEN_RE, fold
 
 def test_positions_codec_roundtrip():
     from search_engine_spark.operators.compress import (
-        _encode_frame,
+        _encode_frame_pos,
         _group_starts,
         decode_positions,
     )
@@ -36,7 +36,7 @@ def test_positions_codec_roundtrip():
         columns=["scope", "lemma", "shard", "doc_id", "tf", "doc_len",
                  "positions"],
     )
-    enc = _encode_frame(pdf, _group_starts(pdf))
+    enc = _encode_frame_pos(pdf, _group_starts(pdf))
     got = {}
     for r in enc.itertuples(index=False):
         from search_engine_spark.functions.codec import (
@@ -66,7 +66,11 @@ def test_phrase_match_doc_semantics():
 
 @pytest.fixture(scope="module")
 def pos_tables(spark, transcripts_sdf):
-    from search_engine_spark.operators.build import build_all
+    from search_engine_spark.operators.build import (
+        build_doc_stats,
+        build_lemma_stats,
+        build_postings_flat_positional,
+    )
     from search_engine_spark.operators.compress import (
         build_postings_compressed,
     )
@@ -75,8 +79,9 @@ def pos_tables(spark, transcripts_sdf):
     docs_tok = build_docs(
         transcripts_sdf, with_lemmas=True, positional=True
     ).cache()
-    pf, ls, ds = build_all(docs_tok)
-    blocks = build_postings_compressed(pf, range_size=512).cache()
+    pf = build_postings_flat_positional(docs_tok)
+    ls, ds = build_lemma_stats(pf), build_doc_stats(docs_tok)
+    blocks = build_postings_compressed(pf, range_size=512, positional=True).cache()
     assert "positions" in blocks.columns
     return {"blocks": blocks, "lemma_stats": ls.cache(), "doc_stats": ds.cache()}
 
