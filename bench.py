@@ -160,6 +160,45 @@ def _noop(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _membw_worker(n: int) -> None:
+    import numpy as np
+
+    a = np.ones(n, dtype=np.float64)
+    b = np.empty_like(a)
+    for _ in range(4):
+        np.copyto(b, a)
+
+
+def _env_probe() -> dict:
+    """Memory-bandwidth probe (seconds to copy 800 MB, 1 proc and 4
+    concurrent procs). This VM alternates between a fast mode and a
+    degraded mode that throttles MEMORY-BANDWIDTH work (JVM+Arrow builds
+    slow 2x while pure-CPU spin stays fine); in degraded mode even the
+    1-proc copy collapses ~50x (measured 131 MB/s vs GB/s normal), so
+    ``membw_1p_sec`` in the same JSON as the scaling number shows which
+    mode the run saw — a slow probe means the N→4N ratio is measuring
+    the co-tenant, not the code (see BASELINE.md §(d))."""
+    import multiprocessing as mp
+
+    n = 25_000_000  # 200 MB per process
+    t0 = time.perf_counter()
+    _membw_worker(n)
+    t1 = time.perf_counter() - t0
+    procs = [mp.Process(target=_membw_worker, args=(n,)) for _ in range(4)]
+    t0 = time.perf_counter()
+    for p in procs:
+        p.start()
+    for p in procs:
+        p.join()
+    t4 = time.perf_counter() - t0
+    # 4 processes move 4x the bytes; ratio 1.0 = perfectly parallel
+    return {
+        "membw_1p_sec": round(t1, 3),
+        "membw_4p_sec": round(t4, 3),
+        "membw_parallel_ratio": round(t1 / t4 if t4 > 0 else 0.0, 3),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -187,6 +226,7 @@ def main() -> None:
     # least-contended estimate of the code's intrinsic scaling); the
     # median and every raw pair sample are reported alongside.
     pairs = int(os.environ.get("SPARK_GRAFT_BENCH_PAIRS", "3"))
+    probes = [_env_probe()]
     hi_runs, lo_runs, effs = [], [], []
     for _ in range(pairs):
         h = _run_build(hi_cpus, repeats=1)
@@ -197,6 +237,7 @@ def main() -> None:
             (h["turns"] / h["build_sec"]) / (l["turns"] / l["build_sec"])
             / (hi_cpus / lo_cpus)
         )
+    probes.append(_env_probe())
     hi = min(hi_runs, key=lambda r: r["build_sec"])
     lo = min(lo_runs, key=lambda r: r["build_sec"])
     thr_hi = hi["turns"] / hi["build_sec"]
@@ -285,6 +326,7 @@ def main() -> None:
                     ),
                     "pair_efficiencies": [round(e, 3) for e in effs],
                     "parallelism_ratio": hi_cpus // lo_cpus,
+                    "env_probes": probes,
                 },
                 "query_latency_p50_sec": round(p50, 3),
             }

@@ -31,7 +31,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from search_engine_spark.functions.analyze import query_lemmas
-from search_engine_spark.functions.scoring import bm25_idf, query_killed_by_cutoff
+from search_engine_spark.functions.scoring import (
+    bm25_idf,
+    df_cutoff,
+    query_killed_by_cutoff,
+)
 from search_engine_spark import BM25_B, BM25_K1
 from search_engine_spark.operators.query import _scope_stats, _term_dfs
 
@@ -43,9 +47,12 @@ def bm25_batch_search(
     queries: dict[str, str],
     scope: str | None = None,
     k: int = 10,
+    combine: str = "and",
 ) -> DataFrame:
     """queries {qid: text} → DataFrame(qid, rank, doc_id, score), top-k
-    per query, one distributed pass over postings."""
+    per query, one distributed pass over postings. ``combine="or"`` uses
+    the disjunctive semantics (per-term cutoff DROP, no all-terms gate —
+    oracle.search(combine="or") is the per-query twin)."""
     spark: SparkSession = postings_flat.sparkSession
     n_docs, avg_len = _scope_stats(doc_stats, scope)
 
@@ -63,9 +70,14 @@ def bm25_batch_search(
             [], "qid string, rank int, doc_id long, score double"
         )
     dfs = _term_dfs(lemma_stats, sorted(all_terms), scope)
+    cutoff = df_cutoff(n_docs)
     qrows = []
     for qid, terms in plans:
-        if query_killed_by_cutoff([dfs[t] for t in terms], n_docs):
+        if combine == "or":
+            terms = [t for t in terms if dfs[t] <= cutoff]
+            if not terms:
+                continue
+        elif query_killed_by_cutoff([dfs[t] for t in terms], n_docs):
             continue
         for t in terms:
             qrows.append((qid, t, bm25_idf(dfs[t], n_docs), len(terms)))
@@ -108,8 +120,9 @@ def bm25_batch_search(
                 lambda acc, x: acc + x["_s"],
             ).alias("score"),
         )
-        .filter(F.col("_nm") == F.col("_need"))  # conjunction
     )
+    if combine == "and":
+        grouped = grouped.filter(F.col("_nm") == F.col("_need"))  # conjunction
     w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
     return (
         grouped.withColumn("rank", F.row_number().over(w))
