@@ -106,9 +106,18 @@ class SearchEngine:
                 self._flat_postings(), self._lemma_stats,
                 self._doc_stats, query, scope=scope, k=deep, offset=0,
             )
-        rows = materialize_with_snippets(
-            results, self._docs.drop("lemma_counts", "bucket"), terms
-        ).collect()
+        if match == "phrase":
+            # chain-precise bolding: highlight the matched phrase itself
+            from search_engine_spark.functions.analyze import analyze
+
+            rows = materialize_with_snippets(
+                results, self._docs.drop("lemma_counts", "bucket"), terms,
+                phrase_seq=analyze(query), slop=slop,
+            ).collect()
+        else:
+            rows = materialize_with_snippets(
+                results, self._docs.drop("lemma_counts", "bucket"), terms
+            ).collect()
         data = [
             {
                 "site": r["scope"],

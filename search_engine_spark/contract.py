@@ -434,6 +434,21 @@ def q_ann_ivf_assign(spark, sf_dir):
     )
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """Full IVF ANN search (the scale path): top-10 by cosine vs vec 0,
+    scoring ONLY vectors assigned to the query's 2 nearest of 8 pinned
+    centroids (operators/ann.py ivf_topk — fused assign+mask+score
+    kernel, no shuffle before the TakeOrderedAndProject merge)."""
+    from search_engine_spark.operators.ann import ivf_topk, pinned_sign_matrix
+
+    return ivf_topk(
+        _read(spark, sf_dir, "embeddings"),
+        pinned_sign_matrix(8, EMB_DIM, row_offset=13),
+        _query_vec(spark, sf_dir),
+        k=10, nprobe=2, exclude_id=0,
+    )
+
+
 def q_dedup_embedding_cosine(spark, sf_dir):
     """Embedding-cosine near-dup pairs: candidates restricted to equal
     hyperplane-LSH buckets (the scale path — avoids the all-pairs
@@ -898,6 +913,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_buckets": q_ann_lsh_buckets,
         "ann_ivf_assign": q_ann_ivf_assign,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "token_counts": q_token_counts,
         "text_quality": q_text_quality,
@@ -931,6 +947,46 @@ def duckdb_oracles() -> dict[str, str]:
                           for i in range(1, {EMB_DIM + 1})]), (a, b) -> a + b)))
                    , 6) AS sim
             FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0)
+        SELECT vec_id, sim FROM scored
+        ORDER BY sim DESC, vec_id ASC LIMIT 10
+    """
+    m["ann_ivf_topk"] = f"""
+        WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        dims AS (
+            SELECT vec_id, d0::INT AS d, embedding[d0 + 1]::DOUBLE AS v
+            FROM embeddings, (SELECT unnest(range({EMB_DIM})) AS d0)),
+        cents AS (
+            SELECT c::INT AS c, d::INT AS d, {_plane_sign_sql("(c + 13)", "d")} AS s
+            FROM (SELECT unnest(range(8)) AS c),
+                 (SELECT unnest(range({EMB_DIM})) AS d)),
+        dots AS (
+            SELECT vec_id, c, round(sum(v * s), 6) AS dot
+            FROM dims JOIN cents USING (d) GROUP BY vec_id, c),
+        assign AS (
+            SELECT vec_id, c AS centroid FROM dots
+            QUALIFY row_number() OVER (
+                PARTITION BY vec_id ORDER BY dot DESC, c ASC) = 1),
+        qdots AS (
+            SELECT c, round(sum(qe[d + 1]::DOUBLE * s), 6) AS dot
+            FROM q CROSS JOIN cents GROUP BY c),
+        probe AS (SELECT c FROM qdots ORDER BY dot DESC, c ASC LIMIT 2),
+        scored AS (
+            SELECT e.vec_id,
+                   round(
+                     list_reduce(list_prepend(0.0,
+                         [e.embedding[i]::DOUBLE * q.qe[i]::DOUBLE
+                          for i in range(1, {EMB_DIM + 1})]), (a, b) -> a + b)
+                     / (sqrt(list_reduce(list_prepend(0.0,
+                         [e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE
+                          for i in range(1, {EMB_DIM + 1})]), (a, b) -> a + b))
+                        * sqrt(list_reduce(list_prepend(0.0,
+                         [q.qe[i]::DOUBLE * q.qe[i]::DOUBLE
+                          for i in range(1, {EMB_DIM + 1})]), (a, b) -> a + b)))
+                   , 6) AS sim
+            FROM embeddings e
+            JOIN assign a USING (vec_id)
+            CROSS JOIN q
+            WHERE a.centroid IN (SELECT c FROM probe) AND e.vec_id <> 0)
         SELECT vec_id, sim FROM scored
         ORDER BY sim DESC, vec_id ASC LIMIT 10
     """

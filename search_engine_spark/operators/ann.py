@@ -152,6 +152,77 @@ def cosine_topk(
     return scored.orderBy(F.desc("sim"), F.asc(id_col)).limit(k)
 
 
+def ivf_probe_cells(
+    centroids: np.ndarray, query_vec: list[float], nprobe: int
+) -> list[int]:
+    """The ``nprobe`` centroid ids nearest the query (max rounded dot,
+    ties to lower id) — a tiny driver-side computation (|centroids| dots),
+    the IVF analog of collecting broadcast stats."""
+    C = np.ascontiguousarray(centroids, dtype=np.float64)
+    q = np.asarray(query_vec, dtype=np.float64)
+    d = _ordered_dot(C, q)
+    d = np.copysign(np.floor(np.abs(d) * 1e6 + 0.5), d) / 1e6
+    order = sorted(range(C.shape[0]), key=lambda c: (-d[c], c))
+    return sorted(order[: int(nprobe)])
+
+
+def ivf_topk(
+    emb: DataFrame,
+    centroids: np.ndarray,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 2,
+    exclude_id: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN search (the scale path over brute force): score ONLY
+    vectors whose nearest centroid is one of the query's ``nprobe``
+    closest cells. One fused kernel per Arrow batch does assign → cell
+    mask → cosine, so the plan is a narrow scan + TakeOrderedAndProject —
+    no shuffle, and the scored fraction is ~nprobe/|centroids| of the
+    corpus. With a materialized assignment as a partition column the scan
+    itself would prune to the probed cells (the 100-TB layout); here the
+    mask runs in the same pass as scoring."""
+    C = np.ascontiguousarray(centroids, dtype=np.float64)
+    cells = np.array(ivf_probe_cells(C, query_vec, nprobe), dtype=np.int64)
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = 0.0
+    for v in query_vec:  # same scalar fold as cosine_scores
+        qn = qn + float(v) * float(v)
+    qn = float(np.sqrt(qn))
+
+    def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            E = _batch_matrix(pdf, vec_col)
+            D = np.stack([_ordered_dot(E, C[c]) for c in range(C.shape[0])], axis=1)
+            D = np.copysign(np.floor(np.abs(D) * 1e6 + 0.5), D) / 1e6
+            cent = D.argmax(axis=1).astype(np.int64)
+            ids = pdf[id_col].to_numpy()
+            mask = np.isin(cent, cells)
+            if exclude_id is not None:
+                mask &= ids != exclude_id
+            if not mask.any():
+                continue
+            E2 = E[mask]
+            dot = _ordered_dot(E2, q)
+            na = np.cumsum(E2 * E2, axis=1)[:, -1]
+            yield pd.DataFrame(
+                {id_col: ids[mask], "sim": dot / (np.sqrt(na) * qn)}
+            )
+
+    scored = emb.select(id_col, vec_col).mapInPandas(
+        kern, schema=f"{id_col} long, sim double"
+    )
+    return (
+        scored.select(id_col, F.round(F.col("sim"), 6).alias("sim"))
+        .orderBy(F.desc("sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def cosine_pairs_lsh(
     emb: DataFrame,
     planes: np.ndarray,

@@ -26,7 +26,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import StringType
 
-from search_engine_spark.functions.analyze import TOKEN_RE, lemmatize
+from search_engine_spark.functions.analyze import (
+    STOPWORDS,
+    TOKEN_RE,
+    lemmatize,
+)
 
 MAX_SNIPPET_SIZE = 280   # application.yaml:48
 MIN_CHARS_AROUND = 10    # application.yaml:49
@@ -59,26 +63,131 @@ def make_snippet(
         for m in TOKEN_RE.finditer(folded)
         if lemmatize(m.group()) in query_lemma_set
     ]
+    return _pack_windows(text, hits, max_size, around)
+
+
+def _analyzed_spans(text: str) -> list[tuple[int, int, str]]:
+    """The ANALYZED post-stopword lemma stream with char offsets into the
+    original text: (start, end, lemma) per surviving token. Index position
+    i (operators/compress.py positional gap lists) is exactly element i
+    here — the bridge that lets snippets bold the same chains the
+    positional index matched."""
+    return [
+        (m.start(), m.end(), lemmatize(tok))
+        for m in TOKEN_RE.finditer(_fold_preserving(text))
+        if (tok := m.group()) not in STOPWORDS
+    ]
+
+
+def phrase_hit_spans(
+    text: str, seq: list[str], slop: int = 0
+) -> list[tuple[int, int]]:
+    """Char spans of every token participating in a phrase chain: ordered
+    occurrences of ``seq`` where each next term sits within
+    [prev+1, prev+1+slop] analyzed positions (the same greedy
+    smallest-next chain as oracle.phrase_match_doc — greedy is complete
+    for this window shape). Chains may share tokens; spans are deduped
+    and sorted."""
+    spans = _analyzed_spans(text)
+    if not seq or not spans:
+        return []
+    out: set[tuple[int, int]] = set()
+    n = len(spans)
+    for i in range(n):
+        if spans[i][2] != seq[0]:
+            continue
+        chain = [i]
+        prev = i
+        ok = True
+        for term in seq[1:]:
+            j = prev + 1
+            limit = min(n, prev + 2 + slop)
+            while j < limit and spans[j][2] != term:
+                j += 1
+            if j >= limit:
+                ok = False
+                break
+            chain.append(j)
+            prev = j
+        if ok:
+            for p in chain:
+                out.add((spans[p][0], spans[p][1]))
+    return sorted(out)
+
+
+def make_snippet_phrase(
+    text: str,
+    seq: list[str],
+    slop: int = 0,
+    max_size: int = MAX_SNIPPET_SIZE,
+    around: int = MIN_CHARS_AROUND,
+) -> str:
+    """Phrase-precise snippet: bold ONLY tokens that are part of an actual
+    phrase chain (order + adjacency), not every isolated lemma match —
+    upgrade over the reference's per-word bolding
+    (SearchServiceImpl.java:249-293), possible because the positional
+    index pins chain semantics. Falls back to per-term bolding when no
+    chain lands in this text (e.g. a multi-field doc)."""
+    if not text or not seq:
+        return ""
+    hits = phrase_hit_spans(text, seq, slop)
+    if not hits:
+        return make_snippet(text, frozenset(seq), max_size, around)
+    return _pack_windows(text, hits, max_size, around)
+
+
+def _pack_windows(
+    text: str,
+    hits: list[tuple[int, int]],
+    max_size: int = MAX_SNIPPET_SIZE,
+    around: int = MIN_CHARS_AROUND,
+) -> str:
+    """Left-to-right window packing under the char budget (shared by term
+    and phrase snippets): hits whose ±``around`` context windows touch
+    merge into ONE fragment with EVERY contained hit bolded (no text ever
+    repeats, and the second word of an adjacent phrase is bolded too);
+    fragments joined by '...' until the raw-char budget runs out."""
     if not hits:
         return ""
+    # merge hits into disjoint windows [lo, hi) carrying their hit spans
+    groups: list[list] = []
+    for s, e in hits:
+        lo, hi = max(0, s - around), min(len(text), e + around)
+        if groups and lo <= groups[-1][1]:
+            groups[-1][1] = max(groups[-1][1], hi)
+            groups[-1][2].append((s, e))
+        else:
+            groups.append([lo, hi, [(s, e)]])
     pieces: list[str] = []
     used = 0
-    last_end = 0
-    for s, e in hits:
+    for lo, hi, spans in groups:
         if used >= max_size:
             break
-        if e <= last_end:
-            continue  # hit already fully shown inside the previous window
-        lo = max(0, s - around, last_end)
-        hi = min(len(text), e + around)
-        pre = text[lo:s] if lo < s else ""
-        frag = pre + "<b>" + text[s:e] + "</b>" + text[e:hi]
-        cost = len(frag) - 7  # raw chars emitted (tags excluded)
-        if used + cost > max_size and pieces:
+        parts: list[str] = []
+        cur = lo
+        end = lo
+        got_hit = False
+        for s, e in spans:
+            s = max(s, cur)  # chains may share tokens — never re-emit
+            if e <= cur:
+                continue
+            cand_end = min(hi, e + around)
+            # budget check per hit (a merged group can exceed the whole
+            # budget on its own); always emit at least the first hit
+            if used + (cand_end - lo) > max_size and (pieces or got_hit):
+                break
+            parts.append(text[cur:s])
+            parts.append("<b>" + text[s:e] + "</b>")
+            cur = e
+            end = cand_end
+            got_hit = True
+        if not got_hit:
             break
-        pieces.append(frag)
-        used += cost
-        last_end = hi
+        parts.append(text[cur:end])
+        pieces.append("".join(parts))
+        used += end - lo
+        if end < hi:
+            break  # group truncated — budget exhausted
     return "...".join(pieces)
 
 
@@ -92,16 +201,37 @@ def snippet_udf(terms: list[str]):
     return pandas_udf(batch, StringType())
 
 
+def snippet_udf_phrase(seq: list[str], slop: int = 0):
+    """Series→Series pandas UDF bolding phrase chains for a fixed
+    analyzed query sequence."""
+
+    def batch(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda t: make_snippet_phrase(t, seq, slop))
+
+    return pandas_udf(batch, StringType())
+
+
 def materialize_with_snippets(
-    results: DataFrame, docs: DataFrame, terms: list[str]
+    results: DataFrame,
+    docs: DataFrame,
+    terms: list[str],
+    phrase_seq: list[str] | None = None,
+    slop: int = 0,
 ) -> DataFrame:
     """J4 + F3: join the k-row result to docs (broadcast the tiny side),
     add snippets, order for presentation. Output shape mirrors the
     reference SearchItem (dto/SearchItem.java:13-19): conv/turn identity,
-    headline snippet, relevance."""
+    headline snippet, relevance. ``phrase_seq`` switches to chain-precise
+    phrase bolding (phrase searches highlight the matched phrase, not
+    every stray term occurrence)."""
+    udf = (
+        snippet_udf_phrase(phrase_seq, slop)
+        if phrase_seq
+        else snippet_udf(terms)
+    )
     return (
         docs.join(F.broadcast(results), "doc_id")
-        .withColumn("snippet", snippet_udf(terms)(F.col("text")))
+        .withColumn("snippet", udf(F.col("text")))
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .select(
             "doc_id", "conv_id", "turn_idx", "role", "scope",

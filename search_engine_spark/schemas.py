@@ -29,6 +29,19 @@ TRANSCRIPTS = StructType(
     ]
 )
 
+# events stream table (TESTDATA.md: sf*/events.parquet) — batch contract
+# queries q_events_* and streaming/sessions.py share this shape
+EVENTS = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
 # reference analog: page + site (model/Page.java:9-26, model/Site.java:8-28)
 DOCS = StructType(
     [

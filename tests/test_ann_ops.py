@@ -1,0 +1,65 @@
+"""ANN operator properties: IVF top-k equals brute force restricted to
+the probed cells, and its physical plan stays shuffle-free up to the
+top-k merge. (Value-level correctness vs DuckDB is the contract twin
+``ann_ivf_topk`` — these tests pin the operator's semantics and plan.)"""
+
+from __future__ import annotations
+
+import pytest
+
+EMB = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{EMB}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def qvec(emb):
+    row = emb.filter("vec_id = 0").collect()[0]
+    return [float(v) for v in row["embedding"]]
+
+
+def test_ivf_topk_equals_bruteforce_on_probed_cells(spark, emb, qvec):
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.operators.ann import (
+        cosine_topk,
+        ivf_assign,
+        ivf_probe_cells,
+        ivf_topk,
+        pinned_sign_matrix,
+    )
+
+    C = pinned_sign_matrix(8, 64, row_offset=13)
+    cells = ivf_probe_cells(C, qvec, nprobe=2)
+    assert len(cells) == 2 and cells == sorted(cells)
+
+    got = ivf_topk(emb, C, qvec, k=10, nprobe=2, exclude_id=0).collect()
+
+    # brute force over exactly the probed subset must agree bit-for-bit
+    assign = ivf_assign(emb, C)
+    probed_ids = {
+        r["vec_id"]
+        for r in assign.filter(F.col("centroid").isin(cells)).collect()
+    }
+    sub = emb.filter(F.col("vec_id").isin(list(probed_ids)))
+    exp = cosine_topk(sub, qvec, k=10, exclude_id=0).collect()
+    assert [(r["vec_id"], r["sim"]) for r in got] == [
+        (r["vec_id"], r["sim"]) for r in exp
+    ]
+    assert all(r["vec_id"] in probed_ids for r in got)
+
+
+def test_ivf_topk_plan_no_shuffle(spark, emb, qvec):
+    from search_engine_spark.operators.ann import ivf_topk, pinned_sign_matrix
+
+    plan = (
+        ivf_topk(emb, pinned_sign_matrix(8, 64, row_offset=13), qvec, k=10)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # narrow scan → fused python kernel → TakeOrderedAndProject: the only
+    # data movement is the k-row merge, no Exchange anywhere
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan

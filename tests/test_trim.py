@@ -47,6 +47,38 @@ def test_snippet_context_window():
     assert 0 < len(head) <= 20  # >=10 chars context, not the whole prefix
 
 
+def test_phrase_snippet_bolds_chain_only():
+    from search_engine_spark.functions.analyze import analyze
+    from search_engine_spark.operators.snippet import make_snippet_phrase
+
+    seq = analyze("quick brown")
+    text = "A quick dog. quick brown shoes. brown alone."
+    s = make_snippet_phrase(text, seq)
+    # only the adjacent chain is bolded, not the isolated term occurrences
+    assert "<b>quick</b> <b>brown</b>" in s
+    assert s.count("<b>") == 2
+
+
+def test_phrase_snippet_slop_and_stopword_positions():
+    from search_engine_spark.functions.analyze import analyze
+    from search_engine_spark.operators.snippet import phrase_hit_spans
+
+    seq = analyze("quick brown")
+    # slop counts ANALYZED positions (post-stopword), like the index
+    assert phrase_hit_spans("quick red brown", seq, slop=0) == []
+    assert len(phrase_hit_spans("quick red brown", seq, slop=1)) == 2
+    # a stopword is not a position: adjacency survives 'the'
+    assert len(phrase_hit_spans("quick the brown", seq, slop=0)) == 2
+
+
+def test_phrase_snippet_fallback_to_term_bolding():
+    from search_engine_spark.functions.analyze import analyze
+    from search_engine_spark.operators.snippet import make_snippet_phrase
+
+    s = make_snippet_phrase("only brown here", analyze("quick brown"))
+    assert "<b>brown</b>" in s  # no chain in this text → per-term bolding
+
+
 def test_materialize_with_snippets(spark, engine_tables, oracle_idx):
     from search_engine_spark.operators.query import bm25_search
     from tests.test_spark_engine import RARE
