@@ -22,6 +22,48 @@ Reference citations in docstrings use ``path:line`` into /root/reference.
 
 __version__ = "0.1.0"
 
+# Public API (lazy re-exports, PEP 562 — keeps bare `import
+# search_engine_spark` free of pyspark/pandas import cost and cycles).
+_PUBLIC = {
+    "SearchEngine": "search_engine_spark.api",
+    "QueryServer": "search_engine_spark.operators.serve",
+    "IndexBuildJob": "search_engine_spark.plans.job",
+    "upsert_turns": "search_engine_spark.operators.upsert",
+    "bm25_search_blocks": "search_engine_spark.operators.wand",
+    "phrase_search_blocks": "search_engine_spark.operators.wand",
+    # training-data-pipeline suite
+    "exact_dedup_summary": "search_engine_spark.operators.dedup",
+    "jaccard_pairs": "search_engine_spark.operators.dedup",
+    "minhash_lsh_pairs": "search_engine_spark.operators.dedup",
+    "simhash": "search_engine_spark.operators.dedup",
+    "cosine_topk": "search_engine_spark.operators.ann",
+    "cosine_pairs_lsh": "search_engine_spark.operators.ann",
+    "lsh_buckets": "search_engine_spark.operators.ann",
+    "ivf_assign": "search_engine_spark.operators.ann",
+    "ivf_topk": "search_engine_spark.operators.ann",
+    "ivf_write_partitioned": "search_engine_spark.operators.ann",
+    "ivf_topk_pruned": "search_engine_spark.operators.ann",
+    "lang_id_ngram": "search_engine_spark.operators.text",
+    "text_quality": "search_engine_spark.operators.text",
+    "token_counts": "search_engine_spark.operators.text",
+    "fingerprint": "search_engine_spark.operators.text",
+    "sessionize_stream": "search_engine_spark.streaming.sessions",
+    "hourly_counts_stream": "search_engine_spark.streaming.sessions",
+}
+
+
+def __getattr__(name: str):
+    mod = _PUBLIC.get(name)
+    if mod is None:
+        raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+    import importlib
+
+    return getattr(importlib.import_module(mod), name)
+
+
+def __dir__():
+    return sorted(set(globals()) | set(_PUBLIC))
+
 BM25_K1 = 1.2
 BM25_B = 0.75
 # Common-term cutoff: a query dies if its *rarest* term's df exceeds this

@@ -223,6 +223,47 @@ def ivf_topk(
     )
 
 
+def ivf_write_partitioned(
+    emb: DataFrame,
+    centroids: np.ndarray,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF layout: embeddings written with their centroid
+    assignment as a PARTITION COLUMN (``centroid=<c>/`` directories).
+    This is the 100-TB shape ``ivf_topk`` documents: a probed search then
+    reads only nprobe/|centroids| of the files — partition pruning at the
+    scan, not a post-scan filter."""
+    assign = ivf_assign(emb, centroids, id_col, vec_col)
+    (
+        emb.join(assign, id_col)
+        .write.mode("overwrite")
+        .partitionBy("centroid")
+        .parquet(path)
+    )
+
+
+def ivf_topk_pruned(
+    spark,
+    path: str,
+    centroids: np.ndarray,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 2,
+    exclude_id: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search over a layout written by ``ivf_write_partitioned``: the
+    ``centroid IN (probe cells)`` predicate is a partition filter, so
+    non-probed cells are never read (verify: the scan's PartitionFilters /
+    inputFiles). Rank-identical to ``ivf_topk`` on the same data."""
+    cells = ivf_probe_cells(centroids, query_vec, nprobe)
+    src = spark.read.parquet(path).filter(F.col("centroid").isin(cells))
+    return cosine_topk(src, query_vec, k, exclude_id, id_col, vec_col)
+
+
 def cosine_pairs_lsh(
     emb: DataFrame,
     planes: np.ndarray,

@@ -52,6 +52,55 @@ def test_ivf_topk_equals_bruteforce_on_probed_cells(spark, emb, qvec):
     assert all(r["vec_id"] in probed_ids for r in got)
 
 
+def test_ivf_partitioned_layout_prunes_scan(spark, emb, qvec, tmp_path):
+    import os
+
+    from search_engine_spark.operators.ann import (
+        ivf_probe_cells,
+        ivf_topk,
+        ivf_topk_pruned,
+        ivf_write_partitioned,
+        pinned_sign_matrix,
+    )
+
+    C = pinned_sign_matrix(8, 64, row_offset=13)
+    path = str(tmp_path / "ivf")
+    ivf_write_partitioned(emb, C, path)
+    # every cell directory exists or is simply absent (no stray data files;
+    # _SUCCESS markers and .crc checksums are committer metadata)
+    assert all(
+        d.startswith(("centroid=", "_", "."))
+        for d in os.listdir(path)
+    )
+    assert any(d.startswith("centroid=") for d in os.listdir(path))
+
+    got = ivf_topk_pruned(spark, path, C, qvec, k=10, nprobe=2,
+                          exclude_id=0)
+    probe = ivf_probe_cells(C, qvec, nprobe=2)
+    cells = {f"centroid={c}" for c in probe}
+    # partition pruning: only probed cell directories are ever read.
+    # input_file_name() reflects the files the executed scan touched
+    # (inputFiles() would list the whole relation pre-pruning).
+    from pyspark.sql import functions as F
+
+    src = spark.read.parquet(path).filter(F.col("centroid").isin(probe))
+    read_dirs = {
+        r[0].split("/")[-2]
+        for r in src.select(F.input_file_name()).distinct().collect()
+    }
+    assert read_dirs <= cells and read_dirs
+    # and the filter is a partition filter in the plan, not a row filter
+    plan = src._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "centroid" in plan.split(
+        "PartitionFilters:"
+    )[1].split("]")[0]
+
+    exp = ivf_topk(emb, C, qvec, k=10, nprobe=2, exclude_id=0).collect()
+    assert [(r["vec_id"], r["sim"]) for r in got.collect()] == [
+        (r["vec_id"], r["sim"]) for r in exp
+    ]
+
+
 def test_ivf_topk_plan_no_shuffle(spark, emb, qvec):
     from search_engine_spark.operators.ann import ivf_topk, pinned_sign_matrix
 

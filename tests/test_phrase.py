@@ -159,6 +159,17 @@ def test_positional_job_api_upsert(spark, tmp_path_factory):
     res = eng.search(q, match="phrase", limit=100)
     assert len(res["data"]) == len(exp)
     assert [r["relevance"] for r in res["data"]] == [s for _, s in exp]
+    # phrase results carry chain-precise snippets: the matched pair is
+    # bolded together (both terms, in order) in the top hit
+    import re as _re
+
+    top = res["data"][0]["snippet"]
+    t1, t2 = q.split()
+    # both chain terms bolded, in order, with only non-indexed filler
+    # (stopwords/punctuation) between them
+    assert _re.search(
+        rf"<b>{t1}</b>(?:(?!<b>).){{0,40}}<b>{t2}</b>", top, _re.S
+    ), top
 
     proto = small.iloc[0]
     delta = small.iloc[:0].copy()
