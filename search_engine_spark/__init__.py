@@ -43,6 +43,12 @@ _PUBLIC = {
     "ivf_topk": "search_engine_spark.operators.ann",
     "ivf_write_partitioned": "search_engine_spark.operators.ann",
     "ivf_topk_pruned": "search_engine_spark.operators.ann",
+    "connected_components": "search_engine_spark.operators.curate",
+    "dedup_clusters": "search_engine_spark.operators.curate",
+    "pack_sequences": "search_engine_spark.operators.curate",
+    "pack_bins": "search_engine_spark.operators.curate",
+    "stratified_sample": "search_engine_spark.operators.curate",
+    "quality_funnel": "search_engine_spark.operators.curate",
     "lang_id_ngram": "search_engine_spark.operators.text",
     "text_quality": "search_engine_spark.operators.text",
     "token_counts": "search_engine_spark.operators.text",

@@ -51,6 +51,25 @@ MH_B = [((i + 1) * 40503 * 65537) % (2**31) for i in range(N_MINHASH)]
 
 STOP_TERMS = ["a", "the"]
 
+# curation suite pins (operators/curate.py twins)
+PACK_BUDGET = 256  # tokens per training-sequence bin
+SAMPLE_FRACS = {"en": 0.5, "zh": 0.3}  # per-stratum keep fractions
+SAMPLE_DEFAULT = 0.15
+# funnel rules: first failing rule claims the doc; integer-only math so
+# both engines compare exactly (digits*5 > chars  ⇔  digit ratio > 0.2;
+# distinct*5 < total*2  ⇔  type/token ratio < 0.4)
+_FUNNEL_RULES_SPARK = [
+    ("too_short", "length(text) < 200"),
+    (
+        "high_digit",
+        "length(regexp_replace(text, '[^0-9]', '')) * 5 > length(text)",
+    ),
+    (
+        "low_diversity",
+        f"size(array_distinct({TOKS_SQL})) * 5 < size({TOKS_SQL}) * 2",
+    ),
+]
+
 
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -576,6 +595,61 @@ def q_tpch_top_customers(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# curation suite: cluster resolution, packing, sampling, funnel
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup PAIRS resolved into duplicate CLUSTERS: MinHash-LSH
+    verified pairs → distributed connected components (alternating
+    large-star/small-star, operators/curate.py) → (doc_id, component =
+    min id in the cluster = the canonical keeper, cluster_size)."""
+    from search_engine_spark.operators.curate import dedup_clusters
+    from search_engine_spark.operators.dedup import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(
+        _shingles(spark, sf_dir), JACCARD_THRESHOLD,
+        MH_A, MH_B, HASH_MOD, N_BANDS,
+    )
+    return dedup_clusters(pairs)
+
+
+def q_pack_bins(spark, sf_dir):
+    """Offset-based sequence packing: docs concatenated in doc_id order,
+    bin = floor(start_offset / budget) via the prefix-bucketed distributed
+    cumsum (operators/curate.py) — per-bin rollup."""
+    from search_engine_spark.operators.curate import pack_bins
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.expr("regexp_extract_all(text, '[^\\\\s]+', 0)"))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    return pack_bins(docs, PACK_BUDGET)
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-language Bernoulli sample (md5-threshold
+    predicate, operators/curate.py) — same sample on any cluster size."""
+    from search_engine_spark.operators.curate import stratified_sample
+
+    return stratified_sample(
+        _read(spark, sf_dir, "documents"), SAMPLE_FRACS, SAMPLE_DEFAULT
+    ).select("doc_id", "lang")
+
+
+def q_quality_funnel(spark, sf_dir):
+    """Curation funnel: each doc claimed by the first failing quality rule
+    (operators/curate.py) — (stage, n_docs) in one conditional agg pass."""
+    from search_engine_spark.operators.curate import quality_funnel
+
+    return quality_funnel(
+        _read(spark, sf_dir, "documents"), _FUNNEL_RULES_SPARK
+    )
+
+
+# ---------------------------------------------------------------------------
 # DuckDB oracle SQL twins
 # ---------------------------------------------------------------------------
 
@@ -605,6 +679,24 @@ _JACCARD_VERIFY_DUCK = f"""
 
 def _oracle_sql_map() -> dict[str, str]:
     plane_sign = _plane_sign_sql("j", "d")
+    minhash_pairs = f"""
+            WITH sh AS ({_SHINGLES_FLAT_DUCK}),
+            hx AS (SELECT doc_id, {_THD} % {HASH_MOD} AS x FROM sh),
+            seeds(i, a, b) AS (VALUES {_SEEDS_DUCK}),
+            sigs AS (
+                SELECT doc_id, i, min((a * x + b) % {HASH_MOD}) AS mh
+                FROM hx CROSS JOIN seeds GROUP BY doc_id, i),
+            bands AS (
+                SELECT doc_id, (i // {N_MINHASH // N_BANDS}) AS band,
+                       string_agg(mh::VARCHAR, ',' ORDER BY i) AS sig
+                FROM sigs GROUP BY doc_id, band),
+            cand AS (
+                SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+                FROM bands a JOIN bands b
+                  ON a.band = b.band AND a.sig = b.sig
+                 AND a.doc_id < b.doc_id),
+            {_JACCARD_VERIFY_DUCK}
+    """
     return {
         "tf": _TF_DUCK,
         "df": f"""
@@ -716,23 +808,22 @@ def _oracle_sql_map() -> dict[str, str]:
             WHERE round(_c::DOUBLE / (za.sz + zb.sz - _c), 6)
                   >= {JACCARD_THRESHOLD}
         """,
-        "dedup_minhash_lsh": f"""
-            WITH sh AS ({_SHINGLES_FLAT_DUCK}),
-            hx AS (SELECT doc_id, {_THD} % {HASH_MOD} AS x FROM sh),
-            seeds(i, a, b) AS (VALUES {_SEEDS_DUCK}),
-            sigs AS (
-                SELECT doc_id, i, min((a * x + b) % {HASH_MOD}) AS mh
-                FROM hx CROSS JOIN seeds GROUP BY doc_id, i),
-            bands AS (
-                SELECT doc_id, (i // {N_MINHASH // N_BANDS}) AS band,
-                       string_agg(mh::VARCHAR, ',' ORDER BY i) AS sig
-                FROM sigs GROUP BY doc_id, band),
-            cand AS (
-                SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-                FROM bands a JOIN bands b
-                  ON a.band = b.band AND a.sig = b.sig
-                 AND a.doc_id < b.doc_id),
-            {_JACCARD_VERIFY_DUCK}
+        "dedup_minhash_lsh": minhash_pairs,
+        "dedup_clusters": f"""
+            WITH RECURSIVE pairs AS ({minhash_pairs}),
+            edges AS (SELECT a_id AS u, b_id AS v FROM pairs
+                      UNION SELECT b_id, a_id FROM pairs),
+            reach(node, r) AS (
+                SELECT u, u FROM edges
+                UNION
+                SELECT e.v, reach.r FROM reach JOIN edges e
+                  ON e.u = reach.node),
+            comp AS (SELECT node, min(r) AS component
+                     FROM reach GROUP BY node),
+            sizes AS (SELECT component, count(*) AS cluster_size
+                      FROM comp GROUP BY component)
+            SELECT node AS doc_id, component, cluster_size
+            FROM comp JOIN sizes USING (component)
         """,
         "dedup_simhash": f"""
             WITH tf AS (SELECT doc_id, term, tf, {_THD_TERM} AS th
@@ -891,7 +982,46 @@ def _oracle_sql_map() -> dict[str, str]:
             JOIN nation ON c_nationkey = n_nationkey
             ORDER BY revenue DESC, c_custkey ASC LIMIT 10
         """,
+        "pack_bins": f"""
+            WITH t AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(text, '[^\\s]+'))::BIGINT
+                           AS n_tokens
+                FROM documents),
+            c AS (
+                SELECT doc_id, n_tokens,
+                       coalesce(sum(n_tokens) OVER (
+                           ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) AS _off
+                FROM t)
+            SELECT (_off // {PACK_BUDGET})::BIGINT AS bin,
+                   count(*) AS n_docs,
+                   sum(n_tokens)::BIGINT AS tokens
+            FROM c GROUP BY bin
+        """,
+        "stratified_sample": _stratified_sample_duck(),
+        "quality_funnel": f"""
+            SELECT CASE
+                WHEN length(text) < 200 THEN 'too_short'
+                WHEN length(regexp_replace(text, '[^0-9]', '', 'g')) * 5
+                     > length(text) THEN 'high_digit'
+                WHEN len(list_distinct({TOKS_DUCK})) * 5
+                     < len({TOKS_DUCK}) * 2 THEN 'low_diversity'
+                ELSE 'kept' END AS stage,
+                count(*) AS n_docs
+            FROM documents GROUP BY stage
+        """,
     }
+
+
+def _stratified_sample_duck() -> str:
+    from search_engine_spark.operators.curate import (
+        stratified_sample_oracle_sql,
+    )
+
+    inner = stratified_sample_oracle_sql(SAMPLE_FRACS, SAMPLE_DEFAULT)
+    return f"SELECT doc_id, lang FROM ({inner})"
 
 
 def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -924,6 +1054,10 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": q_events_sessions,
         "tpch_pricing": q_tpch_pricing,
         "tpch_top_customers": q_tpch_top_customers,
+        "dedup_clusters": q_dedup_clusters,
+        "pack_bins": q_pack_bins,
+        "stratified_sample": q_stratified_sample,
+        "quality_funnel": q_quality_funnel,
     }
 
 

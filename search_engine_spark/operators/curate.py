@@ -1,0 +1,301 @@
+"""Corpus-curation operators for training-data pipelines: duplicate-cluster
+resolution (distributed connected components over near-dup pairs), offset-based
+sequence packing, deterministic stratified sampling, and a quality-filter
+funnel report.
+
+These extend the dedup/ANN suite from *pair detection* to *resolution*: a
+100-TB curation run needs "which docs form one duplicate cluster and who is
+the canonical representative", not just the pair list.
+
+Scale notes:
+
+- ``connected_components`` is the alternating large-star / small-star
+  algorithm (Kiveris et al., "Connected Components in MapReduce and Beyond",
+  SoCC 2014): O(log^2 n) rounds, every round a pair of groupBy shuffles over
+  NARROW (long, long) rows — no vertex ever holds its whole component in
+  memory, unlike label propagation whose round count is the graph diameter.
+  Near-dup graphs are mostly tiny cliques, so in practice 2-3 rounds.
+- ``pack_sequences`` reuses the prefix-bucketed distributed cumulative sum
+  from ``operators/docs.py`` (the doc-id machinery) — no single-partition
+  window anywhere, same as the id-assignment path.
+- ``stratified_sample`` is hash-deterministic (md5 threshold per stratum):
+  re-running on the same input yields the same sample on any cluster size,
+  and the filter is a plain predicate — pushes down, no shuffle at all.
+
+The reference engine (AlekseyMG/search-engine) has no curation layer; this
+suite extends it. All four operators are contract-twinned against DuckDB
+(``contract.py``: dedup_clusters / pack_bins / stratified_sample /
+quality_funnel).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# connected components (large-star / small-star)
+# ---------------------------------------------------------------------------
+
+
+def _symmetric(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Undirected edge set as (u, v) rows in BOTH orientations, self-loops
+    dropped, deduped."""
+    e = edges.select(
+        F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+    )
+    return (
+        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _min_neighbor(sym: DataFrame) -> DataFrame:
+    """(u, _m) where _m = min(Γ(u) ∪ {u})."""
+    return sym.groupBy("u").agg(
+        F.least(F.min("v"), F.first("u")).alias("_m")
+    )
+
+
+def _large_star(sym: DataFrame) -> DataFrame:
+    """Connect every neighbor LARGER than u to u's min: {(v, m(u)) : v>u}."""
+    m = _min_neighbor(sym)
+    return (
+        sym.filter(F.col("v") > F.col("u"))
+        .join(m, "u")
+        .select(F.col("v").alias("u"), F.col("_m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(sym: DataFrame) -> DataFrame:
+    """Connect every neighbor ≤ u (and u itself) to the min of that set."""
+    small = sym.filter(F.col("v") < F.col("u"))
+    m = small.groupBy("u").agg(
+        F.least(F.min("v"), F.first("u")).alias("_m")
+    )
+    out = (
+        small.join(m, "u")
+        .select(F.col("v").alias("u"), F.col("_m").alias("v"))
+        .union(m.select(F.col("u"), F.col("_m").alias("v")))
+    )
+    return out.filter(F.col("u") != F.col("v")).distinct()
+
+
+def _fingerprint(e: DataFrame) -> tuple:
+    # xor-of-hashes set fingerprint (edges are distinct) — unlike a sum it
+    # cannot overflow under ANSI mode
+    row = e.agg(
+        F.count("*"),
+        F.expr("bit_xor(xxhash64(u, v))"),
+    ).collect()[0]
+    return tuple(row)
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "a_id",
+    dst: str = "b_id",
+    max_iter: int = 32,
+) -> DataFrame:
+    """(node, component) for every node incident to an edge; ``component``
+    is the MINIMUM node id in the node's connected component (so the label
+    is deterministic and doubles as the canonical cluster representative).
+
+    Alternating large-star / small-star to fixpoint. Each iteration is two
+    distributed groupBy+join passes over narrow (long, long) rows with an
+    eager ``localCheckpoint`` to truncate the iterative lineage. Singleton
+    nodes (no edges) are not emitted — union them in as their own component
+    if needed.
+
+    Raises ``RuntimeError`` if ``max_iter`` rounds don't converge (the
+    bound for n nodes is O(log^2 n) rounds; 32 covers any real graph).
+    """
+    e = _symmetric(edges, src, dst)
+    if not e.take(1):
+        return e.select(
+            F.col("u").alias("node"), F.col("v").alias("component")
+        )
+    prev = None
+    for _ in range(max_iter):
+        e = _small_star(_large_star(_symmetric(e, "u", "v")))
+        e = e.localCheckpoint(eager=True)
+        fp = _fingerprint(e)
+        if fp == prev:
+            break
+        prev = fp
+    else:
+        raise RuntimeError(f"connected_components: no fixpoint in {max_iter} rounds")
+    # converged: e is a forest of depth-1 stars (child u -> root v = min)
+    return (
+        e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+        .union(
+            e.select(F.col("v").alias("node"), F.col("v").alias("component"))
+        )
+        .distinct()
+    )
+
+
+def dedup_clusters(
+    pairs: DataFrame, id_a: str = "a_id", id_b: str = "b_id"
+) -> DataFrame:
+    """Resolve verified near-dup PAIRS into duplicate CLUSTERS:
+    (doc_id, component, cluster_size), component = min doc_id of the
+    cluster (the canonical keeper — drop every doc_id != component)."""
+    cc = connected_components(pairs, id_a, id_b)
+    sizes = cc.groupBy("component").agg(
+        F.count("*").cast("long").alias("cluster_size")
+    )
+    return (
+        cc.join(sizes, "component")
+        .select(F.col("node").alias("doc_id"), "component", "cluster_size")
+    )
+
+
+# ---------------------------------------------------------------------------
+# offset-based sequence packing
+# ---------------------------------------------------------------------------
+
+# zero-pad width for numeric ids rendered as order-preserving strings; 18
+# digits covers the full int64-positive range of dense doc ids
+_PACK_PAD = 18
+# prefix lengths (fine → coarse) for the bucketed cumsum over padded ids:
+# each level buckets 1000 rows of the level below, so the non-windowed
+# base case sees ≤ |docs|/10^9 rows — bounded even at 10^12 docs
+PACK_PREFIX_LENS: tuple[int, ...] = (_PACK_PAD - 3, _PACK_PAD - 6, _PACK_PAD - 9)
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    prefix_lens: tuple[int, ...] = PACK_PREFIX_LENS,
+) -> DataFrame:
+    """Assign each doc to a training-sequence bin by its START OFFSET in
+    the token stream: docs are concatenated in ``id_col`` order and
+    ``bin = floor(exclusive_cumsum(tokens) / budget)`` — the shard a
+    sequence-packing writer would start this doc in. Offset-based (not
+    greedy-reset) packing so the assignment is a pure prefix sum:
+    distributed via the same prefix-bucketed cumsum as the doc-id scheme
+    (``operators/docs.py:_exclusive_cumsum`` — no single-partition window).
+
+    Input needs (id_col:int, tokens_col:int); returns
+    (doc_id, n_tokens, bin).
+    """
+    from search_engine_spark.operators.docs import _exclusive_cumsum
+
+    sizes = docs.select(
+        F.lpad(F.col(id_col).cast("string"), _PACK_PAD, "0").alias("_k"),
+        F.col(tokens_col).cast("long").alias("_tok"),
+    )
+    off = _exclusive_cumsum(sizes, "_k", "_tok", "_off", prefix_lens)
+    return off.select(
+        F.col("_k").cast("long").alias(id_col),
+        F.col("_tok").alias(tokens_col),
+        F.floor(F.col("_off") / budget).cast("long").alias("bin"),
+    )
+
+
+def pack_bins(
+    docs: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Per-bin rollup of ``pack_sequences``: (bin, n_docs, tokens)."""
+    return (
+        pack_sequences(docs, budget, id_col, tokens_col)
+        .groupBy("bin")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(tokens_col).cast("long").alias("tokens"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# deterministic stratified sampling
+# ---------------------------------------------------------------------------
+
+
+def _hex_threshold(fraction: float) -> str:
+    """fraction ∈ [0,1] → 8-hex-digit threshold; keep iff
+    substring(md5(key),1,8) < threshold (string compare on lowercase hex —
+    identical in Spark and DuckDB)."""
+    return format(min(int(fraction * 16**8), 16**8 - 1), "08x")
+
+
+def stratified_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    strata_col: str = "lang",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-stratum Bernoulli sample: row kept iff the first 8
+    hex digits of md5(key) fall under the stratum's threshold. Same input →
+    same sample on any cluster size / partitioning (unlike
+    ``DataFrame.sampleBy``, which is seed+partition dependent), and the
+    predicate is scan-pushable — sampling 1% of 100 TB shuffles nothing."""
+    h = F.substring(
+        F.md5(F.col(key_col).cast("string").cast("binary")), 1, 8
+    )
+    cond = None
+    for stratum, frac in sorted(fractions.items()):
+        c = (F.col(strata_col) == stratum) & (h < _hex_threshold(frac))
+        cond = c if cond is None else cond | c
+    others = ~F.col(strata_col).isin(list(fractions)) & (
+        h < _hex_threshold(default_fraction)
+    )
+    return df.filter(others if cond is None else cond | others)
+
+
+def stratified_sample_oracle_sql(
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    strata_col: str = "lang",
+    key_col: str = "doc_id",
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of ``stratified_sample`` (same md5-threshold math)."""
+    h = f"substring(md5({key_col}::VARCHAR), 1, 8)"
+    arms = " OR ".join(
+        f"({strata_col} = '{s}' AND {h} < '{_hex_threshold(f)}')"
+        for s, f in sorted(fractions.items())
+    )
+    known = ", ".join(f"'{s}'" for s in sorted(fractions))
+    other = (
+        f"({strata_col} NOT IN ({known}) "
+        f"AND {h} < '{_hex_threshold(default_fraction)}')"
+    )
+    where = f"{arms} OR {other}" if arms else other
+    return f"SELECT * FROM {table} WHERE {where}"
+
+
+# ---------------------------------------------------------------------------
+# quality-filter funnel
+# ---------------------------------------------------------------------------
+
+
+def quality_funnel(
+    docs: DataFrame,
+    rules: list[tuple[str, str]],
+    keep_label: str = "kept",
+) -> DataFrame:
+    """Curation funnel report: each doc is claimed by the FIRST rule whose
+    SQL predicate it fails (rules are (stage_name, sql_bool_expr), ordered);
+    docs passing every rule land in ``keep_label``. Returns
+    (stage, n_docs) — one conditional aggregation pass, no UDFs."""
+    stage = None
+    for name, expr in rules:
+        c = F.when(F.expr(expr), F.lit(name))
+        stage = c if stage is None else stage.when(F.expr(expr), F.lit(name))
+    stage = (
+        F.lit(keep_label) if stage is None else stage.otherwise(F.lit(keep_label))
+    )
+    return docs.groupBy(stage.alias("stage")).agg(
+        F.count("*").cast("long").alias("n_docs")
+    )

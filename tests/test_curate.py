@@ -1,0 +1,186 @@
+"""Curation operators (operators/curate.py): connected components, sequence
+packing, stratified sampling, quality funnel — each against an in-test
+Python reference on synthetic inputs (the contract twins cover the DuckDB
+side at sf0.01)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _union_find_components(edges: list[tuple[int, int]]) -> dict[int, int]:
+    """Reference: min-id component label per node incident to an edge."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+@pytest.mark.parametrize(
+    "edges",
+    [
+        # two triangles joined by a bridge + a separate pair + a long path
+        [(1, 2), (2, 3), (3, 1), (3, 7), (7, 8), (8, 9), (9, 7),
+         (20, 21), (30, 31), (31, 32), (32, 33), (33, 34)],
+        # star + chain with shuffled, duplicated, reversed edges
+        [(5, 1), (1, 9), (9, 5), (100, 50), (50, 100), (50, 25),
+         (200, 201)],
+        # single edge
+        [(2, 1)],
+    ],
+)
+def test_connected_components_matches_union_find(spark, edges):
+    from search_engine_spark.operators.curate import connected_components
+
+    df = spark.createDataFrame(edges, "a_id long, b_id long")
+    got = {
+        (r["node"], r["component"])
+        for r in connected_components(df).collect()
+    }
+    exp = set(_union_find_components(edges).items())
+    assert got == exp
+
+
+def test_connected_components_empty(spark):
+    from search_engine_spark.operators.curate import connected_components
+
+    df = spark.createDataFrame([], "a_id long, b_id long")
+    assert connected_components(df).collect() == []
+
+
+def test_dedup_clusters_sizes(spark):
+    from search_engine_spark.operators.curate import dedup_clusters
+
+    edges = [(1, 2), (2, 3), (10, 11)]
+    df = spark.createDataFrame(edges, "a_id long, b_id long")
+    rows = {
+        r["doc_id"]: (r["component"], r["cluster_size"])
+        for r in dedup_clusters(df).collect()
+    }
+    assert rows == {
+        1: (1, 3), 2: (1, 3), 3: (1, 3),
+        10: (10, 2), 11: (10, 2),
+    }
+
+
+def test_pack_sequences_matches_python_cumsum(spark):
+    from search_engine_spark.operators.curate import pack_sequences
+
+    toks = [7, 100, 250, 3, 9, 512, 1, 1, 300, 40]
+    rows = [(i * 37 + 2, t) for i, t in enumerate(toks)]  # sparse ids
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    got = {
+        r["doc_id"]: r["bin"]
+        for r in pack_sequences(df, budget=256).collect()
+    }
+    off = 0
+    exp = {}
+    for doc_id, t in sorted(rows):
+        exp[doc_id] = off // 256
+        off += t
+    assert got == exp
+
+
+def test_pack_sequences_no_unpartitioned_window(spark):
+    from search_engine_spark.operators.curate import pack_sequences
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"), F.lit(10).alias("n_tokens")
+    )
+    plan = pack_sequences(df, budget=64)._jdf.queryExecution().executedPlan().toString()
+    # the bucketed cumsum must never fall back to a global (single
+    # partition) window
+    for line in plan.splitlines():
+        if "Window" in line and "windowspecdefinition" in line:
+            assert "_bkt" in line, line
+
+
+def test_stratified_sample_deterministic_and_exact(spark):
+    from search_engine_spark.operators.curate import (
+        _hex_threshold,
+        stratified_sample,
+    )
+
+    rows = [(i, ["en", "ru", "zh"][i % 3]) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    fracs = {"en": 0.5, "zh": 0.25}
+    got = sorted(
+        r["doc_id"]
+        for r in stratified_sample(df, fracs, 0.1).collect()
+    )
+
+    def keep(doc_id: int, lang: str) -> bool:
+        h = hashlib.md5(str(doc_id).encode()).hexdigest()[:8]
+        return h < _hex_threshold(fracs.get(lang, 0.1))
+
+    exp = sorted(i for i, lang in rows if keep(i, lang))
+    assert got == exp
+    # re-run after repartition: identical sample (partitioning-independent)
+    got2 = sorted(
+        r["doc_id"]
+        for r in stratified_sample(df.repartition(7), fracs, 0.1).collect()
+    )
+    assert got2 == got
+
+
+def test_stratified_sample_no_shuffle(spark):
+    from search_engine_spark.operators.curate import stratified_sample
+
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"), F.lit("en").alias("lang")
+    )
+    plan = (
+        stratified_sample(df, {"en": 0.5})
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_quality_funnel_counts(spark):
+    from search_engine_spark.operators.curate import quality_funnel
+
+    import itertools
+
+    words = [
+        "".join(p) for p in itertools.product("abcdefgh", repeat=3)
+    ][:80]
+    docs = spark.createDataFrame(
+        [
+            (1, "short"),                                # too_short
+            (2, " ".join(["xy"] * 100)),                 # low_diversity
+            (3, " ".join("1234567890" for _ in range(30))),  # high_digit
+            (4, " ".join(words)),                        # kept
+        ],
+        "doc_id long, text string",
+    )
+    rules = [
+        ("too_short", "length(text) < 200"),
+        (
+            "high_digit",
+            "length(regexp_replace(text, '[^0-9]', '')) * 5 > length(text)",
+        ),
+        (
+            "low_diversity",
+            "size(array_distinct(regexp_extract_all(lower(text),"
+            " '[a-z0-9]+', 0))) * 5 <"
+            " size(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) * 2",
+        ),
+    ]
+    got = {r["stage"]: r["n_docs"] for r in quality_funnel(docs, rules).collect()}
+    assert got == {
+        "too_short": 1, "high_digit": 1, "low_diversity": 1, "kept": 1
+    }
