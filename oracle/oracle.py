@@ -269,3 +269,46 @@ def phrase_search(
     lo = max(0, min(offset, len(ranked)))
     hi = max(lo, min(offset + k, len(ranked)))
     return ranked[lo:hi]
+
+
+def more_like_this(
+    idx: OracleIndex,
+    doc_id: int,
+    scope: str | None = None,
+    k: int = 10,
+    max_terms: int = 25,
+) -> list[tuple[int, float]]:
+    """Related-document twin (operators/query.py more_like_this): the
+    source doc's ``max_terms`` rarest lemmas (df asc, lemma asc; absent
+    from scope → dropped) run as an OR query — per-term cutoff drop,
+    lexicographic accumulation — with the source excluded."""
+    src = sorted(t for t, pl in idx.postings.items() if doc_id in pl)
+    if not src:
+        return []
+    ranked = sorted(
+        (df, t) for t in src if (df := _df_of(idx, t, scope)) > 0
+    )
+    terms = sorted(t for _, t in ranked[:max_terms])
+    scope_ids = _scope_doc_ids(idx, scope)
+    n_docs = len(scope_ids)
+    if n_docs == 0 or not terms:
+        return []
+    cutoff = df_cutoff(n_docs)
+    usable = [
+        (t, df) for t in terms if (df := _df_of(idx, t, scope)) <= cutoff
+    ]
+    if not usable:
+        return []
+    scope_set = set(scope_ids)
+    avg_len = sum(idx.doc_len[d] for d in scope_ids) / n_docs
+    scores: dict[int, float] = {}
+    for t, df in usable:  # lexicographic term order (pinned)
+        idf = bm25_idf(df, n_docs)
+        for d, tf in idx.postings.get(t, {}).items():
+            if d in scope_set and d != doc_id:
+                scores[d] = scores.get(d, 0.0) + bm25_term_score(
+                    float(tf), float(idx.doc_len[d]), avg_len, idf,
+                    BM25_K1, BM25_B,
+                )
+    ranked_docs = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+    return ranked_docs[:k]

@@ -31,6 +31,10 @@ _PUBLIC = {
     "upsert_turns": "search_engine_spark.operators.upsert",
     "bm25_search_blocks": "search_engine_spark.operators.wand",
     "phrase_search_blocks": "search_engine_spark.operators.wand",
+    "more_like_this": "search_engine_spark.operators.query",
+    "facet_counts": "search_engine_spark.operators.query",
+    "rebalance_buckets": "search_engine_spark.operators.maintenance",
+    "bucket_sizes": "search_engine_spark.operators.maintenance",
     # training-data-pipeline suite
     "exact_dedup_summary": "search_engine_spark.operators.dedup",
     "jaccard_pairs": "search_engine_spark.operators.dedup",

@@ -139,6 +139,65 @@ class SearchEngine:
             "data": data[offset:offset + limit],
         }
 
+    def more_like_this(self, doc_id: int, scope: str | None = None,
+                       limit: int = 10) -> dict:
+        """Related documents for a result the user clicked (Lucene
+        MoreLikeThis analog; operators/query.py more_like_this — rarest
+        source lemmas as an OR query, source excluded)."""
+        from search_engine_spark.operators.query import materialize_results
+        from search_engine_spark.operators.query import (
+            more_like_this as mlt_op,
+        )
+
+        results = mlt_op(
+            self._docs, self._flat_postings(), self._lemma_stats,
+            self._doc_stats, doc_id, scope=scope, k=limit,
+        )
+        rows = materialize_results(
+            results, self._docs.drop("lemma_counts", "bucket")
+        ).collect()
+        return {
+            "result": True,
+            "count": len(rows),
+            "data": [
+                {
+                    "site": r["scope"],
+                    "uri": f"{r['conv_id']}#{r['turn_idx']}",
+                    "title": (r["text"] or "")[:64],
+                    "relevance": r["score"],
+                }
+                for r in rows
+            ],
+        }
+
+    def facets(
+        self,
+        query: str,
+        facet_cols: tuple[str, ...] = ("scope", "role"),
+        scope: str | None = None,
+        combine: str = "and",
+        depth: int = 1000,
+    ) -> dict:
+        """Facet panel for a query: per-value doc counts over the top-
+        ``depth`` results (operators/query.py facet_counts — the ≤depth
+        result side broadcasts, docs are never shuffled)."""
+        from search_engine_spark.operators.query import facet_counts
+
+        results = bm25_search_blocks(
+            self._blocks, self._lemma_stats, self._doc_stats, query,
+            scope=scope, k=depth, offset=0, mode="wand", combine=combine,
+        )
+        rows = facet_counts(results, self._docs, list(facet_cols)).collect()
+        return {
+            "result": True,
+            "facets": [
+                {**{c: r[c] for c in facet_cols}, "n_docs": r["n_docs"]}
+                for r in sorted(
+                    rows, key=lambda r: tuple(str(r[c]) for c in facet_cols)
+                )
+            ],
+        }
+
     def _flat_postings(self):
         """(lemma, doc_id, tf, scope, doc_len) parquet view derived from
         docs, written once per index epoch (upserts/rebuilds delete it).
@@ -230,5 +289,19 @@ class SearchEngine:
         summary = upsert_turns(job, delta)
         self._cache_key = self._cache_rows = None
         # re-open swapped tables (file listings changed)
+        self.__init__(self.spark, self.index_dir)
+        return {"result": True, **summary}
+
+    # -- maintenance -----------------------------------------------------------
+
+    def rebalance(self, per_bucket: int | None = None) -> dict:
+        """Re-bucket the index to the per_bucket target after append-heavy
+        upserts (operators/maintenance.py — the segment-merge/compaction
+        analog; doc_ids and search results are unchanged)."""
+        from search_engine_spark.operators.maintenance import rebalance_buckets
+
+        job = IndexBuildJob(self.spark, "", self.index_dir)
+        summary = rebalance_buckets(job, per_bucket)
+        self._cache_key = self._cache_rows = None
         self.__init__(self.spark, self.index_dir)
         return {"result": True, **summary}

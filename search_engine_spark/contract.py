@@ -51,6 +51,9 @@ MH_B = [((i + 1) * 40503 * 65537) % (2**31) for i in range(N_MINHASH)]
 
 STOP_TERMS = ["a", "the"]
 
+MLT_DOC_ID = 7  # more-like-this source doc
+MLT_TOP_TERMS = 25  # Lucene-MLT "interesting terms" budget
+
 # curation suite pins (operators/curate.py twins)
 PACK_BUDGET = 256  # tokens per training-sequence bin
 SAMPLE_FRACS = {"en": 0.5, "zh": 0.3}  # per-stratum keep fractions
@@ -306,6 +309,50 @@ def q_phrase_match(spark, sf_dir):
         "(a, b) -> a = 'merge' AND b = 'batch'), x -> x)"
     )
     return docs.filter(F.expr(pred)).select("doc_id")
+
+
+def q_more_like_this(spark, sf_dir):
+    """Related-document search (Lucene MoreLikeThis analog, integer-score
+    contract form; the BM25-weighted library op is operators/query.py
+    more_like_this): the source doc's 25 rarest DISTINCT terms
+    (df asc, term asc — the "interesting terms" selection) become an OR
+    query; candidates rank by how many interesting terms they share
+    (count desc, doc_id asc), top 10. Plan shape: the interesting-term
+    side is ≤25 rows (broadcast), candidates come from one pushed-filter
+    scan + one hash-agg + TakeOrderedAndProject — a |terms|-bounded
+    query, independent of corpus size."""
+    dt = _doc_terms(spark, sf_dir).distinct()
+    dfs = dt.groupBy("term").agg(F.count("*").alias("df"))
+    interesting = (
+        dt.filter(F.col("doc_id") == MLT_DOC_ID)
+        .join(dfs, "term")
+        .orderBy(F.asc("df"), F.asc("term"))
+        .limit(MLT_TOP_TERMS)
+        .select("term")
+    )
+    return (
+        dt.filter(F.col("doc_id") != MLT_DOC_ID)
+        .join(F.broadcast(interesting), "term")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("shared_terms"))
+        .orderBy(F.desc("shared_terms"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+def q_facet_counts(spark, sf_dir):
+    """Faceted search (the aggregation panel beside results): per-
+    (lang, source) doc counts over the CONJ_TERMS conjunction's result
+    set. Two-phase: match (group-count conjunction, one shuffle on
+    doc_id), then join facet columns and one tiny agg — the match side
+    is small, so AQE broadcasts it into the docs scan."""
+    matches = q_conjunction(spark, sf_dir)
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return (
+        docs.join(matches, "doc_id")
+        .groupBy("lang", "source")
+        .agg(F.count("*").alias("n_docs"))
+    )
 
 
 def q_docs_ids(spark, sf_dir):
@@ -778,6 +825,31 @@ def _oracle_sql_map() -> dict[str, str]:
             WHERE len([i for i in range(1, len(_t))
                        if _t[i] = 'merge' AND _t[i + 1] = 'batch']) > 0
         """,
+        "more_like_this": f"""
+            WITH dt AS (
+                SELECT DISTINCT doc_id, term
+                FROM (SELECT doc_id, unnest({TOKS_DUCK}) AS term
+                      FROM documents)),
+            dfs AS (SELECT term, count(*) AS df FROM dt GROUP BY term),
+            interesting AS (
+                SELECT dt.term FROM dt JOIN dfs USING (term)
+                WHERE dt.doc_id = {MLT_DOC_ID}
+                ORDER BY dfs.df ASC, dt.term ASC LIMIT {MLT_TOP_TERMS})
+            SELECT dt.doc_id, count(*) AS shared_terms
+            FROM dt JOIN interesting USING (term)
+            WHERE dt.doc_id != {MLT_DOC_ID}
+            GROUP BY dt.doc_id
+            ORDER BY shared_terms DESC, doc_id ASC LIMIT 10
+        """,
+        "facet_counts": f"""
+            WITH matches AS (
+                SELECT doc_id FROM ({_TF_DUCK})
+                WHERE term IN ('batch', 'dup', 'scan')
+                GROUP BY doc_id HAVING count(*) = 3)
+            SELECT lang, source, count(*) AS n_docs
+            FROM documents JOIN matches USING (doc_id)
+            GROUP BY lang, source
+        """,
         "docs_ids": """
             WITH tr AS (
                 SELECT source AS conv_id,
@@ -1035,6 +1107,8 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "bm25_or_topk": q_bm25_or_topk,
         "phrase_match": q_phrase_match,
+        "more_like_this": q_more_like_this,
+        "facet_counts": q_facet_counts,
         "docs_ids": q_docs_ids,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,

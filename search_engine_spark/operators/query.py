@@ -93,8 +93,34 @@ def bm25_search(
     (oracle.search is the twin). ``combine``: "and" = conjunction with the
     whole-query cutoff kill; "or" = disjunction with per-term cutoff DROP
     (see oracle.search docstring)."""
-    spark = postings_flat.sparkSession
     terms = query_lemmas(query)
+    if not terms:
+        return _empty(postings_flat.sparkSession)
+    return bm25_from_terms(
+        postings_flat, lemma_stats, doc_stats, terms,
+        scope=scope, k=k, offset=offset, combine=combine,
+    )
+
+
+def bm25_from_terms(
+    postings_flat: DataFrame,
+    lemma_stats: DataFrame,
+    doc_stats: DataFrame,
+    terms: list[str],
+    *,
+    scope: str | None = None,
+    k: int = 10,
+    offset: int = 0,
+    combine: str = "and",
+    exclude_doc_id: int | None = None,
+) -> DataFrame:
+    """Terms-based core of ``bm25_search`` (callers pass pre-analyzed
+    lemmas — the query path via ``query_lemmas``, more-like-this via the
+    source doc's interesting terms). Terms are deduped and sorted here so
+    the per-term float accumulation order stays pinned regardless of
+    caller."""
+    spark = postings_flat.sparkSession
+    terms = sorted(set(terms))
     if not terms:
         return _empty(spark)
     n_docs, avg_len = _scope_stats(doc_stats, scope)
@@ -110,6 +136,8 @@ def bm25_search(
         return _empty(spark)
 
     cand = _candidates(postings_flat, terms, scope)
+    if exclude_doc_id is not None:
+        cand = cand.filter(F.col("doc_id") != int(exclude_doc_id))
     tf = F.col("tf").cast("double")
     dl = F.col("doc_len").cast("double")
     # norm written EXACTLY like scoring.bm25_term_score:
@@ -178,6 +206,67 @@ def reftf_search(
         "doc_id", (F.col("_abs") / F.col("_gmax")).alias("score")
     )
     return _paginate(scored, k, offset)
+
+
+MLT_MAX_TERMS = 25
+
+
+def more_like_this(
+    docs: DataFrame,
+    postings_flat: DataFrame,
+    lemma_stats: DataFrame,
+    doc_stats: DataFrame,
+    doc_id: int,
+    scope: str | None = None,
+    k: int = 10,
+    max_terms: int = MLT_MAX_TERMS,
+) -> DataFrame:
+    """Related-document search, the Lucene MoreLikeThis analog re-pinned
+    to this engine's semantics (oracle.more_like_this is the twin):
+
+    1. interesting terms = the source doc's ``max_terms`` RAREST lemmas
+       (df asc, lemma asc — rarest-first mirrors O3), df from the
+       dictionary, terms absent from the scope dropped;
+    2. those terms run as a disjunctive (OR) BM25 query — per-term
+       cutoff drop, pinned lexicographic accumulation — with the source
+       doc excluded from candidates.
+
+    Driver work is one point-lookup on docs (pushed ``doc_id =`` filter)
+    plus the ≤|lemmas|-row dictionary collect; the scored plan is the
+    standard OR plan (pushed ``IN`` scan → one hash-agg →
+    TakeOrderedAndProject), so scale behavior equals a |max_terms|-term
+    query, independent of corpus size."""
+    spark = postings_flat.sparkSession
+    row = (
+        docs.filter(F.col("doc_id") == int(doc_id))
+        .select("lemma_counts")
+        .head()
+    )
+    if row is None or not row["lemma_counts"]:
+        return _empty(spark)
+    lemmas = sorted({x["lemma"] for x in row["lemma_counts"]})
+    dfs = _term_dfs(lemma_stats, lemmas, scope)
+    ranked = sorted((dfs[t], t) for t in lemmas if dfs[t] > 0)
+    terms = [t for _, t in ranked[:max_terms]]
+    if not terms:
+        return _empty(spark)
+    return bm25_from_terms(
+        postings_flat, lemma_stats, doc_stats, terms,
+        scope=scope, k=k, combine="or", exclude_doc_id=doc_id,
+    )
+
+
+def facet_counts(
+    results: DataFrame, docs: DataFrame, facet_cols: list[str]
+) -> DataFrame:
+    """Search-UI facets: per-value doc counts over a result set. The
+    results side is ≤ k rows (a top-k output), so it broadcasts (J4's
+    pattern) and the agg groups at most k rows — no shuffle of docs."""
+    return (
+        docs.join(F.broadcast(results.select("doc_id")), "doc_id")
+        .groupBy(*[F.col(c) for c in facet_cols])
+        .agg(F.count("*").alias("n_docs"))
+    )
 
 
 def materialize_results(results: DataFrame, docs: DataFrame) -> DataFrame:
