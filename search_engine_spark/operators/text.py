@@ -6,9 +6,10 @@ Everything is NATIVE Catalyst (higher-order functions + one broadcast
 profile join) — no Python in the row path; the trigram explode is the
 only row inflation and it is inherent to character-n-gram analysis.
 
-Language-ID: classic character-trigram profile scoring (Cavnar & Trenkle
-"N-Gram-Based Text Categorization") over pinned profiles of publicly
-well-known frequent trigrams per language. On the synthetic corpus the
+Language-ID: classic character-n-gram profile scoring (Cavnar & Trenkle
+"N-Gram-Based Text Categorization"), bigram+trigram mix over pinned
+profiles of publicly well-known frequent n-grams per language (7
+languages). On the synthetic corpus the
 ``lang`` column is an independent random label (the text itself is
 English-ish word soup for every label), so accuracy against it is not a
 meaningful target — the contract verifies ENGINE PARITY (Spark == DuckDB)
@@ -20,21 +21,40 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# pinned trigram profiles (lowercase, space-padded word boundaries) —
-# common character trigrams of each language, public knowledge
+# pinned n-gram profiles (lowercase; trigrams may be space-padded for
+# word boundaries) — common character bigrams + trigrams of each
+# language, public knowledge (Cavnar & Trenkle profiles mix n=1..5; this
+# 2+3 mix keeps row inflation bounded while bigrams add robustness on
+# short texts where few trigrams fire)
 LANG_PROFILES: dict[str, list[str]] = {
     "de": [" de", "der", "er ", "ie ", " di", "die", "sch", "ein", "ich",
            "nde", "en ", "ch ", "cht", "und", " un", "nd ", "ung", "ng ",
-           "ten", "ber"],
+           "ten", "ber",
+           "en", "er", "ch", "de", "ei", "nd", "te", "in", "ie", "ge"],
     "en": [" th", "the", "he ", " an", "and", "nd ", "ing", "ng ", " of",
            "of ", " to", "to ", "ion", " in", "in ", "ed ", " co", "er ",
-           "es ", "ati"],
+           "es ", "ati",
+           "th", "he", "in", "er", "an", "re", "on", "at", "en", "nd"],
     "es": [" de", "de ", " la", "la ", "os ", " el", "el ", "ión", "ció",
            "aci", "es ", " en", "en ", "as ", " qu", "que", "ue ", "ar ",
-           " co", "nte"],
+           " co", "nte",
+           "de", "en", "el", "la", "os", "es", "ar", "ue", "ra", "al"],
     "fr": [" de", "de ", " le", "le ", "es ", "ent", "nt ", " la", "la ",
            "ion", "on ", "re ", " et", "et ", " pa", "ait", "que", " qu",
-           "ue ", "eur"],
+           "ue ", "eur",
+           "es", "le", "de", "en", "re", "nt", "on", "er", "te", "an"],
+    "it": [" di", "di ", "che", " ch", "to ", "la ", " la", "ere", "zio",
+           "ion", "ne ", "are", "ta ", "el ", "con", " co", "per", " pe",
+           "ent", "del",
+           "di", "la", "to", "re", "er", "on", "ch", "co", "en", "le"],
+    "nl": [" de", "de ", "en ", "et ", " he", "het", "van", " va", "an ",
+           "een", " ee", "er ", "ing", "ng ", "der", "den", "ver", " ge",
+           "aar", "oor",
+           "en", "de", "er", "et", "an", "ge", "ij", "aa", "oo", "te"],
+    "pt": [" de", "de ", "os ", "ão ", "ção", "açã", " co", "es ", "ent",
+           " qu", "que", "ue ", "da ", " da", "do ", " do", "ar ", "nte",
+           "ra ", "as ",
+           "de", "os", "ar", "es", "ra", "en", "co", "do", "da", "nt"],
 }
 
 # NB: guard the short-text case explicitly — Spark's sequence(1, 0) is a
@@ -44,6 +64,12 @@ _TRIGRAMS_SQL = (
     "transform(sequence(1, length(_lt) - 2), i -> substring(_lt, i, 3)) "
     "else array() end"
 )
+_BIGRAMS_SQL = (
+    "case when length(_lt) >= 2 then "
+    "transform(sequence(1, length(_lt) - 1), i -> substring(_lt, i, 2)) "
+    "else array() end"
+)
+_NGRAMS_SQL = f"concat({_BIGRAMS_SQL}, {_TRIGRAMS_SQL})"
 
 
 def lang_id_ngram(
@@ -53,12 +79,13 @@ def lang_id_ngram(
     text_col: str = "text",
 ) -> DataFrame:
     """(id, lang, match_ratio): per doc, the profile language whose
-    trigram list matches the largest share of the doc's character
-    trigrams; ties go to the lexicographically smaller language (encoded
-    as a unique argmax key so both engines break ties identically);
-    docs with no profile match (or fewer than 3 chars) → ('und', 0.0).
+    n-gram list (bigrams + trigrams) matches the largest share of the
+    doc's character n-grams; ties go to the lexicographically smaller
+    language (encoded as a unique argmax key so both engines break ties
+    identically); docs with no profile match (or fewer than 2 chars) →
+    ('und', 0.0).
 
-    Plan shape: trigram explode → ONE broadcast join against the profile
+    Plan shape: n-gram explode → ONE broadcast join against the profile
     table (|langs|·|profile| rows) → per-(doc, lang) counts → native
     max_by. Scales as a narrow map + one aggregation on (doc, lang)."""
     profiles = profiles if profiles is not None else LANG_PROFILES
@@ -76,7 +103,7 @@ def lang_id_ngram(
         F.col(id_col), F.lower(F.col(text_col)).alias("_lt")
     )
     tgs = base.select(
-        id_col, F.explode(F.expr(_TRIGRAMS_SQL)).alias("tg")
+        id_col, F.explode(F.expr(_NGRAMS_SQL)).alias("tg")
     )
     totals = tgs.groupBy(id_col).agg(F.count("*").alias("_total"))
     counts = (
@@ -123,6 +150,10 @@ def lang_id_oracle_sql(profiles: dict[str, list[str]] | None = None) -> str:
         WITH prof(lang, tg, idx) AS (VALUES {values}),
         base AS (SELECT doc_id, lower(text) AS _lt FROM documents),
         tgs AS (
+            SELECT doc_id, substr(_lt, i, 2) AS tg
+            FROM base, (SELECT unnest(range(1, length(_lt))) AS i)
+            WHERE length(_lt) >= 2
+            UNION ALL
             SELECT doc_id, substr(_lt, i, 3) AS tg
             FROM base, (SELECT unnest(range(1, length(_lt) - 1)) AS i)
             WHERE length(_lt) >= 3),

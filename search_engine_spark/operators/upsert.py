@@ -152,8 +152,19 @@ def recover_swaps(out: str) -> list[str]:
     return restored
 
 
-def upsert_turns(job: IndexBuildJob, delta: DataFrame) -> dict:
-    """Apply a delta of changed AND/OR new turns to a completed build."""
+def upsert_turns(
+    job: IndexBuildJob,
+    delta: DataFrame,
+    rebalance_factor: float | None = None,
+) -> dict:
+    """Apply a delta of changed AND/OR new turns to a completed build.
+
+    ``rebalance_factor`` (opt-in): after the upsert, if the tail bucket
+    (where inserts append) exceeds ``factor × per_bucket`` docs, run
+    ``maintenance.rebalance_buckets`` so the incremental-rebuild unit
+    stays bounded across many append-heavy deltas; the rebalance summary
+    is returned under ``"rebalanced"``. Off by default — layout changes
+    are a deliberate maintenance action."""
     spark = job.spark
     out = job.out
     recover_swaps(out)
@@ -223,8 +234,25 @@ def upsert_turns(job: IndexBuildJob, delta: DataFrame) -> dict:
     # derived flat-postings view (api.SearchEngine) is now stale
     shutil.rmtree(f"{out}/.cache_postings_flat", ignore_errors=True)
     job._checkpoint("upsert", -1, n_updated + n_inserted, t0)
-    return {
+    summary = {
         "updated_turns": n_updated,
         "inserted_turns": n_inserted,
         "buckets_rebuilt": buckets,
     }
+    if rebalance_factor:
+        # deferred import: maintenance imports this module's swap helpers
+        from search_engine_spark.operators.maintenance import (
+            bucket_sizes,
+            rebalance_buckets,
+        )
+
+        per_bucket = int(
+            lineage.get(
+                "per_bucket",
+                -(-int(lineage["n_turns"]) // int(lineage["n_buckets"])),
+            )
+        )
+        tail = bucket_sizes(spark, out).get(last_bucket, 0)
+        if tail > rebalance_factor * per_bucket:
+            summary["rebalanced"] = rebalance_buckets(job)
+    return summary

@@ -177,3 +177,36 @@ def test_upsert_still_works_after_rebalance(spark, small_pdf, copy_index):
     srv = QueryServer(spark, out, cache_blocks=False)
     hits = srv.search("xylophone", k=10)
     assert len(hits) == 2
+
+
+def test_upsert_auto_rebalance_trigger(spark, small_pdf, copy_index):
+    from search_engine_spark.operators.maintenance import bucket_sizes
+    from search_engine_spark.operators.upsert import upsert_turns
+
+    job = _mk_job(spark, copy_index)
+    out = copy_index["index"]
+    lineage = {
+        r["key"]: r["value"]
+        for r in spark.read.parquet(f"{out}/lineage").collect()
+    }
+    per_bucket = -(-int(lineage["n_turns"]) // int(lineage["n_buckets"]))
+
+    # small delta: below the factor, no rebalance
+    d1 = _insert_delta(small_pdf, 2)
+    s1 = upsert_turns(
+        job, spark.createDataFrame(d1, schema=TRANSCRIPTS),
+        rebalance_factor=2.0,
+    )
+    assert "rebalanced" not in s1
+
+    # big delta: tail passes 2x per_bucket, auto-rebalance fires
+    d2 = _insert_delta(small_pdf, per_bucket)  # 3*per_bucket new turns
+    d2 = d2[~d2["conv_id"].isin(d1["conv_id"])]
+    s2 = upsert_turns(
+        job, spark.createDataFrame(d2, schema=TRANSCRIPTS),
+        rebalance_factor=2.0,
+    )
+    assert s2["rebalanced"]["moved_docs"] > 0
+    assert s2["rebalanced"]["n_buckets"] > 4
+    sizes = bucket_sizes(spark, out)
+    assert max(sizes.values()) <= 2 * per_bucket
