@@ -241,7 +241,10 @@ def main() -> None:
     t_pairs0 = time.perf_counter()
     for i in range(max_pairs):
         probe = _env_probe()
-        for _ in range(2):
+        # waiting out a degraded window is far cheaper than burning a
+        # 10-20 min pair inside one (measured: a pair run during a
+        # 70s-memcpy collapse scored eff 0.22) — wait up to ~9 min
+        for _ in range(6):
             if probe["membw_parallel_ratio"] >= 0.6 and probe["membw_1p_sec"] < 3.0:
                 break
             if time.perf_counter() - t_pairs0 > budget:

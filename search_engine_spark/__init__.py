@@ -33,6 +33,9 @@ _PUBLIC = {
     "phrase_search_blocks": "search_engine_spark.operators.wand",
     "more_like_this": "search_engine_spark.operators.query",
     "facet_counts": "search_engine_spark.operators.query",
+    "fuzzy_match": "search_engine_spark.operators.fuzzy",
+    "fuzzy_search": "search_engine_spark.operators.fuzzy",
+    "suggest": "search_engine_spark.operators.fuzzy",
     "rebalance_buckets": "search_engine_spark.operators.maintenance",
     "bucket_sizes": "search_engine_spark.operators.maintenance",
     # training-data-pipeline suite

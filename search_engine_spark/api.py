@@ -58,8 +58,9 @@ class SearchEngine:
         combine: str = "and",  # "or" = disjunctive weak-AND (bm25 only)
         match: str = "term",   # "phrase" = positional adjacency (needs a
         slop: int = 0,         #   positional index); slop = allowed gaps
+        fuzzy: bool = False,   # spell-correct unknown terms (edit dist 1)
     ) -> dict:
-        key = (query, scope, scorer, combine, match, slop)
+        key = (query, scope, scorer, combine, match, slop, fuzzy)
         if (
             self._cache_key == key
             and self._cache_rows is not None
@@ -90,11 +91,28 @@ class SearchEngine:
         elif scorer == "bm25":
             # fetch a deep page once (cacheable), slice driver-side
             deep = 10 * (offset + limit)
-            results = bm25_search_blocks(
-                self._blocks, self._lemma_stats, self._doc_stats,
-                query, scope=scope, k=deep, offset=0, mode="wand",
-                combine=combine,
-            )
+            if fuzzy:
+                # typo tolerance (operators/fuzzy.py): unknown analyzed
+                # lemmas are replaced by their best edit-distance-1
+                # dictionary candidate, then the standard blocks plan runs
+                from search_engine_spark.operators.fuzzy import correct_terms
+                from search_engine_spark.operators.wand import (
+                    bm25_blocks_from_terms,
+                )
+
+                corrected = correct_terms(self._lemma_stats, terms, scope)
+                terms = corrected  # snippets highlight the corrected terms
+                results = bm25_blocks_from_terms(
+                    self._blocks, self._lemma_stats, self._doc_stats,
+                    corrected, scope=scope, k=deep, offset=0, mode="wand",
+                    combine=combine,
+                )
+            else:
+                results = bm25_search_blocks(
+                    self._blocks, self._lemma_stats, self._doc_stats,
+                    query, scope=scope, k=deep, offset=0, mode="wand",
+                    combine=combine,
+                )
         else:
             # legacy reference scorer (Σtf/max-tf + global-max norm) —
             # served from a flat-postings view materialized ONCE per index
@@ -195,6 +213,24 @@ class SearchEngine:
                 for r in sorted(
                     rows, key=lambda r: tuple(str(r[c]) for c in facet_cols)
                 )
+            ],
+        }
+
+    def suggest(
+        self, prefix: str, limit: int = 10, scope: str | None = None
+    ) -> dict:
+        """Search-box autocomplete: dictionary completions of ``prefix``
+        ranked by collection frequency (operators/fuzzy.py suggest —
+        pushed prefix filter, TakeOrderedAndProject)."""
+        from search_engine_spark.operators.fuzzy import suggest as suggest_op
+
+        rows = suggest_op(
+            self._lemma_stats, prefix.strip().lower(), k=limit, scope=scope
+        ).collect()
+        return {
+            "result": True,
+            "suggestions": [
+                {"term": r["lemma"], "weight": int(r["cf"])} for r in rows
             ],
         }
 

@@ -355,6 +355,49 @@ def q_facet_counts(spark, sf_dir):
     )
 
 
+FUZZY_TERM = "merg"      # 1-edit typo of the corpus term "merge"
+SUGGEST_PREFIX = "st"    # completes to stream/... in the corpus
+SUGGEST_K = 10
+
+
+def q_fuzzy_match(spark, sf_dir):
+    """Typo-tolerant term lookup (operators/fuzzy.py fuzzy_match —
+    SymSpell deletion-neighborhood candidates verified with native
+    levenshtein; the DuckDB twin is the brute-force levenshtein scan the
+    candidate join provably equals for edit distance <= 1)."""
+    from search_engine_spark.operators.fuzzy import fuzzy_match
+
+    dic = (
+        _tf(spark, sf_dir)
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .withColumnRenamed("term", "lemma")
+    )
+    return fuzzy_match(dic, FUZZY_TERM).select(
+        F.col("lemma").alias("term"),
+        F.col("df"),
+        F.col("dist").cast("int").alias("dist"),
+    )
+
+
+def q_suggest_prefix(spark, sf_dir):
+    """Search-box autocomplete (operators/fuzzy.py suggest): top-k
+    dictionary completions of a prefix by collection frequency; pushed
+    StartsWith filter + TakeOrderedAndProject, total (cf desc, term asc)
+    order so the LIMIT cut is deterministic in both engines."""
+    from search_engine_spark.operators.fuzzy import suggest
+
+    dic = (
+        _tf(spark, sf_dir)
+        .groupBy("term")
+        .agg(F.sum("tf").alias("cf"))
+        .withColumnRenamed("term", "lemma")
+    )
+    return suggest(dic, SUGGEST_PREFIX, k=SUGGEST_K).select(
+        F.col("lemma").alias("term"), F.col("cf")
+    )
+
+
 def q_docs_ids(spark, sf_dir):
     """§2.9 — deterministic dense doc_id assignment (the engine's
     two-level offset operator) cross-checked against SQL row_number."""
@@ -850,6 +893,22 @@ def _oracle_sql_map() -> dict[str, str]:
             FROM documents JOIN matches USING (doc_id)
             GROUP BY lang, source
         """,
+        "fuzzy_match": f"""
+            WITH dict AS (
+                SELECT term, count(*) AS df FROM ({_TF_DUCK}) GROUP BY term)
+            SELECT term, df, levenshtein(term, '{FUZZY_TERM}')::INT AS dist
+            FROM dict
+            WHERE levenshtein(term, '{FUZZY_TERM}') <= 1
+            ORDER BY df DESC, term ASC LIMIT 64
+        """,
+        "suggest_prefix": f"""
+            WITH dict AS (
+                SELECT term, sum(tf)::BIGINT AS cf
+                FROM ({_TF_DUCK}) GROUP BY term)
+            SELECT term, cf FROM dict
+            WHERE term LIKE '{SUGGEST_PREFIX}%'
+            ORDER BY cf DESC, term ASC LIMIT {SUGGEST_K}
+        """,
         "docs_ids": """
             WITH tr AS (
                 SELECT source AS conv_id,
@@ -1109,6 +1168,8 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_match": q_phrase_match,
         "more_like_this": q_more_like_this,
         "facet_counts": q_facet_counts,
+        "fuzzy_match": q_fuzzy_match,
+        "suggest_prefix": q_suggest_prefix,
         "docs_ids": q_docs_ids,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,

@@ -100,6 +100,32 @@ class QueryServer:
 
     # -- query ---------------------------------------------------------------
 
+    def _fuzzy_correct(self, terms: list[str], scope: str | None) -> list[str]:
+        """Serving-path spell correction: uses the cached dictionary to
+        spot unknown terms (no Spark job when all terms are known), then
+        one small candidate query per typo (operators/fuzzy.py)."""
+        from search_engine_spark.operators.fuzzy import fuzzy_match
+
+        dfs = self._term_dfs(terms, scope)
+        out = []
+        for t in terms:
+            if dfs[t] > 0:
+                out.append(t)
+                continue
+            best = fuzzy_match(self._lemma_stats, t, scope=scope).head(1)
+            if best:
+                out.append(best[0]["lemma"])
+        return sorted(set(out))
+
+    def suggest(
+        self, prefix: str, k: int = 10, scope: str | None = None
+    ) -> list[tuple[str, int]]:
+        """Prefix completions [(lemma, cf)] ranked cf desc, lemma asc."""
+        from search_engine_spark.operators.fuzzy import suggest as suggest_op
+
+        rows = suggest_op(self._lemma_stats, prefix, k=k, scope=scope).collect()
+        return [(r["lemma"], int(r["cf"])) for r in rows]
+
     def search(
         self,
         query: str,
@@ -108,10 +134,15 @@ class QueryServer:
         offset: int = 0,
         mode: str = "wand",
         combine: str = "and",
+        fuzzy: bool = False,
     ) -> list[tuple[int, float]]:
         terms = query_lemmas(query)
         if not terms:
             return []
+        if fuzzy:
+            terms = self._fuzzy_correct(terms, scope)
+            if not terms:
+                return []
         n_docs, avg_len = self._scope_stats(scope)
         if n_docs == 0:
             return []

@@ -393,10 +393,35 @@ def bm25_search_blocks(
     and the oracle. ``mode`` ∈ {"wand", "exact"}; ``combine`` ∈ {"and",
     "or"} — "or" drops over-cutoff terms per-term (oracle.search twin) and
     runs the weak-AND (disjunctive block-max) kernel when mode="wand"."""
+    terms = query_lemmas(query)
+    if not terms:
+        return _empty(postings.sparkSession)
+    return bm25_blocks_from_terms(
+        postings, lemma_stats, doc_stats, terms,
+        scope=scope, k=k, offset=offset, mode=mode, combine=combine,
+    )
+
+
+def bm25_blocks_from_terms(
+    postings: DataFrame,
+    lemma_stats: DataFrame,
+    doc_stats: DataFrame,
+    terms: list[str],
+    *,
+    scope: str | None = None,
+    k: int = 10,
+    offset: int = 0,
+    mode: str = "wand",
+    combine: str = "and",
+) -> DataFrame:
+    """Terms-based core of ``bm25_search_blocks`` (callers pass
+    pre-analyzed lemmas — fuzzy-corrected queries, more-like-this).
+    Terms are deduped and sorted so the per-term accumulation order
+    stays pinned regardless of caller."""
     from search_engine_spark.functions.scoring import df_cutoff
 
     spark = postings.sparkSession
-    terms = query_lemmas(query)
+    terms = sorted(set(terms))
     if not terms:
         return _empty(spark)
     n_docs, avg_len = _scope_stats(doc_stats, scope)
