@@ -100,7 +100,10 @@ class SearchEngine:
                     bm25_blocks_from_terms,
                 )
 
-                corrected = correct_terms(self._lemma_stats, terms, scope)
+                corrected = correct_terms(
+                    self._lemma_stats, terms, scope,
+                    variants=self._variants(),
+                )
                 terms = corrected  # snippets highlight the corrected terms
                 results = bm25_blocks_from_terms(
                     self._blocks, self._lemma_stats, self._doc_stats,
@@ -233,6 +236,19 @@ class SearchEngine:
                 {"term": r["lemma"], "weight": int(r["cf"])} for r in rows
             ],
         }
+
+    def _variants(self):
+        """Persisted (variant, lemma) deletion-neighborhood table, built
+        once per index epoch (upserts delete it — same lifecycle as the
+        flat-postings cache)."""
+        import os
+
+        from search_engine_spark.operators.fuzzy import write_variant_table
+
+        path = f"{self.index_dir}/.cache_variants"
+        if not os.path.exists(path):
+            write_variant_table(self._lemma_stats, path)
+        return read_table(self.spark, path)
 
     def _flat_postings(self):
         """(lemma, doc_id, tf, scope, doc_len) parquet view derived from

@@ -58,28 +58,50 @@ def lemma_variants(lemmas: DataFrame, col: str = "lemma") -> DataFrame:
     )
 
 
+def write_variant_table(lemma_stats: DataFrame, path: str) -> None:
+    """Materialize the deletion-neighborhood index once per index epoch:
+    (variant, lemma) range-partitioned AND sorted by ``variant`` so the
+    per-query ``variant IN (...)`` filter prunes to 1-2 files via
+    parquet min/max stats instead of scanning the whole table. Rows are
+    already unique — ``array_distinct`` dedupes within a lemma and the
+    lemma differs across rows. Variants are scope-independent (scoped
+    df is joined back at query time)."""
+    (
+        lemma_variants(lemma_stats.select("lemma").distinct())
+        .repartitionByRange(F.col("variant"))
+        .sortWithinPartitions("variant")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
 def fuzzy_match(
     lemma_stats: DataFrame,
     term: str,
     scope: str | None = None,
     max_candidates: int = MAX_FUZZY_CANDIDATES,
+    variants: DataFrame | None = None,
 ) -> DataFrame:
     """Dictionary lemmas within edit distance 1 of ``term`` →
     DataFrame(lemma, df, dist), ranked (df desc, lemma asc).
 
-    Plan: dictionary → (scope filter) → per-term df agg → generate
-    delete variants natively → pushed ``variant IN D1(term)`` filter →
-    ``levenshtein <= 1`` verify on the few survivors →
-    TakeOrderedAndProject(max_candidates). The IN list is |term|+1
-    strings computed driver-side."""
+    Plan: pushed ``variant IN D1(term)`` filter on the variant table
+    (a persisted parquet via ``write_variant_table`` when ``variants``
+    is given — row-group-pruned point lookup, the serving path — else
+    generated inline from the dictionary) → ``levenshtein <= 1`` verify
+    on the few survivors → join scoped df → TakeOrderedAndProject.
+    The IN list is |term|+1 strings computed driver-side."""
     ls = lemma_stats
     if scope is not None:
         ls = ls.filter(F.col("scope") == scope)
     dic = ls.groupBy("lemma").agg(F.sum("df").alias("df"))
     qvars = term_deletes(term)
+    var_src = (
+        variants if variants is not None
+        else lemma_variants(dic.select("lemma"))
+    )
     cand = (
-        lemma_variants(dic.select("lemma"))
-        .filter(F.col("variant").isin(qvars))
+        var_src.filter(F.col("variant").isin(qvars))
         .select("lemma")
         .distinct()
     )
@@ -97,6 +119,7 @@ def correct_terms(
     lemma_stats: DataFrame,
     terms: list[str],
     scope: str | None = None,
+    variants: DataFrame | None = None,
 ) -> list[str]:
     """Spell-correct analyzed query lemmas against the dictionary:
     a term present in the dictionary (df > 0 in scope) passes through;
@@ -120,7 +143,9 @@ def correct_terms(
         if t in known:
             out.append(t)
             continue
-        best = fuzzy_match(lemma_stats, t, scope=scope).head(1)
+        best = fuzzy_match(
+            lemma_stats, t, scope=scope, variants=variants
+        ).head(1)
         if best:
             out.append(best[0]["lemma"])
     return sorted(set(out))

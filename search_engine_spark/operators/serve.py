@@ -100,6 +100,21 @@ class QueryServer:
 
     # -- query ---------------------------------------------------------------
 
+    def _variants(self):
+        """Persisted deletion-neighborhood table (variant, lemma), built
+        once per index epoch on first fuzzy use (upserts delete it like
+        the flat-postings cache); fuzzy lookups then run as a pushed
+        ``variant IN (...)`` parquet point-read instead of regenerating
+        the neighborhood of the whole dictionary per query."""
+        import os
+
+        from search_engine_spark.operators.fuzzy import write_variant_table
+
+        path = f"{self.index_dir}/.cache_variants"
+        if not os.path.exists(path):
+            write_variant_table(self._lemma_stats, path)
+        return self.spark.read.parquet(path)
+
     def _fuzzy_correct(self, terms: list[str], scope: str | None) -> list[str]:
         """Serving-path spell correction: uses the cached dictionary to
         spot unknown terms (no Spark job when all terms are known), then
@@ -108,11 +123,16 @@ class QueryServer:
 
         dfs = self._term_dfs(terms, scope)
         out = []
+        variants = None
         for t in terms:
             if dfs[t] > 0:
                 out.append(t)
                 continue
-            best = fuzzy_match(self._lemma_stats, t, scope=scope).head(1)
+            if variants is None:
+                variants = self._variants()
+            best = fuzzy_match(
+                self._lemma_stats, t, scope=scope, variants=variants
+            ).head(1)
             if best:
                 out.append(best[0]["lemma"])
         return sorted(set(out))

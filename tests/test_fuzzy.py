@@ -176,6 +176,35 @@ def test_server_fuzzy_and_suggest(spark, base_index_dir, dictionary, cutoff):
     assert any(t == lemma for t, _ in sugg) or len(sugg) == 5
 
 
+def test_variant_table_path_identical_and_pushed(
+    spark, base_index_dir, dictionary, cutoff, tmp_path
+):
+    """The persisted (variant, lemma) table (the serving path) must give
+    byte-identical candidates to the inline neighborhood generation, and
+    the query-variant filter must reach its parquet scan (In(variant)
+    in PushedFilters — a row-group-pruned point lookup at scale)."""
+    from search_engine_spark.operators.fuzzy import (
+        fuzzy_match,
+        write_variant_table,
+    )
+
+    ls = spark.read.parquet(f"{base_index_dir['index']}/lemma_stats")
+    vpath = str(tmp_path / "variants")
+    write_variant_table(ls, vpath)
+    variants = spark.read.parquet(vpath)
+    _, typo = _pick_typo(dictionary, cutoff)
+    inline = sorted(map(tuple, fuzzy_match(ls, typo).collect()))
+    via_table = sorted(
+        map(tuple, fuzzy_match(ls, typo, variants=variants).collect())
+    )
+    assert via_table == inline and via_table
+    plan = (
+        fuzzy_match(ls, typo, variants=variants)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "In(variant" in plan
+
+
 def test_suggest_plan_pushes_prefix_filter(spark, base_index_dir):
     """The prefix filter must reach the parquet scan of the dictionary
     (StartsWith in PushedFilters) and the top-k must be
