@@ -58,9 +58,10 @@ class SearchEngine:
         combine: str = "and",  # "or" = disjunctive weak-AND (bm25 only)
         match: str = "term",   # "phrase" = positional adjacency (needs a
         slop: int = 0,         #   positional index); slop = allowed gaps
-        fuzzy: bool = False,   # spell-correct unknown terms (edit dist 1)
+        fuzzy: bool = False,   # spell-correct unknown terms
+        fuzzy_dist: int = 1,   # max edit distance for corrections (1 or 2)
     ) -> dict:
-        key = (query, scope, scorer, combine, match, slop, fuzzy)
+        key = (query, scope, scorer, combine, match, slop, fuzzy, fuzzy_dist)
         if (
             self._cache_key == key
             and self._cache_rows is not None
@@ -93,8 +94,9 @@ class SearchEngine:
             deep = 10 * (offset + limit)
             if fuzzy:
                 # typo tolerance (operators/fuzzy.py): unknown analyzed
-                # lemmas are replaced by their best edit-distance-1
-                # dictionary candidate, then the standard blocks plan runs
+                # lemmas are replaced by their best edit-distance-
+                # ``fuzzy_dist`` dictionary candidate, then the standard
+                # blocks plan runs
                 from search_engine_spark.operators.fuzzy import correct_terms
                 from search_engine_spark.operators.wand import (
                     bm25_blocks_from_terms,
@@ -102,7 +104,8 @@ class SearchEngine:
 
                 corrected = correct_terms(
                     self._lemma_stats, terms, scope,
-                    variants=self._variants(),
+                    variants=self._variants(fuzzy_dist),
+                    max_dist=fuzzy_dist,
                 )
                 terms = corrected  # snippets highlight the corrected terms
                 results = bm25_blocks_from_terms(
@@ -237,17 +240,20 @@ class SearchEngine:
             ],
         }
 
-    def _variants(self):
+    def _variants(self, max_dist: int = 1):
         """Persisted (variant, lemma) deletion-neighborhood table, built
-        once per index epoch (upserts delete it — same lifecycle as the
-        flat-postings cache)."""
+        once per index epoch and per requested depth (upserts delete
+        them — same lifecycle as the flat-postings cache). Depth 2 gets
+        its own table (``.cache_variants_d2``): it is ~len/2× larger and
+        only fuzzy_dist=2 queries pay for it."""
         import os
 
         from search_engine_spark.operators.fuzzy import write_variant_table
 
-        path = f"{self.index_dir}/.cache_variants"
+        suffix = "" if max_dist <= 1 else f"_d{max_dist}"
+        path = f"{self.index_dir}/.cache_variants{suffix}"
         if not os.path.exists(path):
-            write_variant_table(self._lemma_stats, path)
+            write_variant_table(self._lemma_stats, path, max_dist=max_dist)
         return read_table(self.spark, path)
 
     def _flat_postings(self):

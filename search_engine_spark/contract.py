@@ -356,6 +356,7 @@ def q_facet_counts(spark, sf_dir):
 
 
 FUZZY_TERM = "merg"      # 1-edit typo of the corpus term "merge"
+FUZZY2_TERM = "mrg"      # 2-edit typo of "merge" (two deletions)
 SUGGEST_PREFIX = "st"    # completes to stream/... in the corpus
 SUGGEST_K = 10
 
@@ -374,6 +375,28 @@ def q_fuzzy_match(spark, sf_dir):
         .withColumnRenamed("term", "lemma")
     )
     return fuzzy_match(dic, FUZZY_TERM).select(
+        F.col("lemma").alias("term"),
+        F.col("df"),
+        F.col("dist").cast("int").alias("dist"),
+    )
+
+
+def q_fuzzy_match2(spark, sf_dir):
+    """Edit-distance-2 term lookup (operators/fuzzy.py fuzzy_match with
+    max_dist=2 — SymSpell depth-2 deletion-neighborhood candidates
+    verified with native levenshtein; the DuckDB twin is the brute-force
+    levenshtein <= 2 scan the candidate join provably equals). Ranked
+    (dist asc, df desc, term asc) — a near miss beats a frequent-but-
+    far term; the total order makes the LIMIT cut deterministic."""
+    from search_engine_spark.operators.fuzzy import fuzzy_match
+
+    dic = (
+        _tf(spark, sf_dir)
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .withColumnRenamed("term", "lemma")
+    )
+    return fuzzy_match(dic, FUZZY2_TERM, max_dist=2).select(
         F.col("lemma").alias("term"),
         F.col("df"),
         F.col("dist").cast("int").alias("dist"),
@@ -901,6 +924,14 @@ def _oracle_sql_map() -> dict[str, str]:
             WHERE levenshtein(term, '{FUZZY_TERM}') <= 1
             ORDER BY df DESC, term ASC LIMIT 64
         """,
+        "fuzzy_match2": f"""
+            WITH dict AS (
+                SELECT term, count(*) AS df FROM ({_TF_DUCK}) GROUP BY term)
+            SELECT term, df, levenshtein(term, '{FUZZY2_TERM}')::INT AS dist
+            FROM dict
+            WHERE levenshtein(term, '{FUZZY2_TERM}') <= 2
+            ORDER BY dist ASC, df DESC, term ASC LIMIT 64
+        """,
         "suggest_prefix": f"""
             WITH dict AS (
                 SELECT term, sum(tf)::BIGINT AS cf
@@ -1169,6 +1200,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "more_like_this": q_more_like_this,
         "facet_counts": q_facet_counts,
         "fuzzy_match": q_fuzzy_match,
+        "fuzzy_match2": q_fuzzy_match2,
         "suggest_prefix": q_suggest_prefix,
         "docs_ids": q_docs_ids,
         "dedup_exact": q_dedup_exact,

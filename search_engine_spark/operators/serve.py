@@ -100,22 +100,25 @@ class QueryServer:
 
     # -- query ---------------------------------------------------------------
 
-    def _variants(self):
+    def _variants(self, max_dist: int = 1):
         """Persisted deletion-neighborhood table (variant, lemma), built
-        once per index epoch on first fuzzy use (upserts delete it like
-        the flat-postings cache); fuzzy lookups then run as a pushed
-        ``variant IN (...)`` parquet point-read instead of regenerating
-        the neighborhood of the whole dictionary per query."""
+        once per index epoch and depth on first fuzzy use (upserts delete
+        them like the flat-postings cache); fuzzy lookups then run as a
+        pushed ``variant IN (...)`` parquet point-read instead of
+        regenerating the neighborhood of the whole dictionary per query."""
         import os
 
         from search_engine_spark.operators.fuzzy import write_variant_table
 
-        path = f"{self.index_dir}/.cache_variants"
+        suffix = "" if max_dist <= 1 else f"_d{max_dist}"
+        path = f"{self.index_dir}/.cache_variants{suffix}"
         if not os.path.exists(path):
-            write_variant_table(self._lemma_stats, path)
+            write_variant_table(self._lemma_stats, path, max_dist=max_dist)
         return self.spark.read.parquet(path)
 
-    def _fuzzy_correct(self, terms: list[str], scope: str | None) -> list[str]:
+    def _fuzzy_correct(
+        self, terms: list[str], scope: str | None, max_dist: int = 1
+    ) -> list[str]:
         """Serving-path spell correction: uses the cached dictionary to
         spot unknown terms (no Spark job when all terms are known), then
         one small candidate query per typo (operators/fuzzy.py)."""
@@ -129,9 +132,10 @@ class QueryServer:
                 out.append(t)
                 continue
             if variants is None:
-                variants = self._variants()
+                variants = self._variants(max_dist)
             best = fuzzy_match(
-                self._lemma_stats, t, scope=scope, variants=variants
+                self._lemma_stats, t, scope=scope, variants=variants,
+                max_dist=max_dist,
             ).head(1)
             if best:
                 out.append(best[0]["lemma"])
@@ -155,12 +159,13 @@ class QueryServer:
         mode: str = "wand",
         combine: str = "and",
         fuzzy: bool = False,
+        fuzzy_dist: int = 1,
     ) -> list[tuple[int, float]]:
         terms = query_lemmas(query)
         if not terms:
             return []
         if fuzzy:
-            terms = self._fuzzy_correct(terms, scope)
+            terms = self._fuzzy_correct(terms, scope, fuzzy_dist)
             if not terms:
                 return []
         n_docs, avg_len = self._scope_stats(scope)

@@ -231,9 +231,10 @@ def upsert_turns(
     build_doc_stats(docs2).write.mode("overwrite").parquet(f"{out}/doc_stats")
 
     shutil.rmtree(staged, ignore_errors=True)
-    # derived views (flat postings, fuzzy variant table) are now stale
+    # derived views (flat postings, fuzzy variant tables) are now stale
     shutil.rmtree(f"{out}/.cache_postings_flat", ignore_errors=True)
-    shutil.rmtree(f"{out}/.cache_variants", ignore_errors=True)
+    for vdir in glob.glob(f"{out}/.cache_variants*"):
+        shutil.rmtree(vdir, ignore_errors=True)
     job._checkpoint("upsert", -1, n_updated + n_inserted, t0)
     summary = {
         "updated_turns": n_updated,

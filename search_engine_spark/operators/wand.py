@@ -64,8 +64,21 @@ def _decode_one(row) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
 
 def _gather_term(pdf: pd.DataFrame) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """All blocks of one term in one shard → sorted (ids, tfs, dls).
-    Blocks from different scope groups interleave in doc_id, so sort."""
-    parts = [_decode_one(r) for r in pdf.itertuples(index=False)]
+    Blocks from different scope groups interleave in doc_id, so sort.
+    Byte columns are pulled as object arrays once (row-wise pandas
+    access costs multiples of the decode itself)."""
+    parts = [
+        (
+            delta_decode(varbyte_decode(d)).astype(np.int64),
+            varbyte_decode(t).astype(np.int64),
+            varbyte_decode(l).astype(np.int64),
+        )
+        for d, t, l in zip(
+            pdf["doc_ids"].to_numpy(object),
+            pdf["tfs"].to_numpy(object),
+            pdf["doc_lens"].to_numpy(object),
+        )
+    ]
     ids = np.concatenate([p[0] for p in parts])
     tfs = np.concatenate([p[1] for p in parts])
     dls = np.concatenate([p[2] for p in parts])
@@ -183,10 +196,15 @@ def _shard_or_wand_kernel(terms, idfs, avg_len, m):
             )
             metas.append(
                 {
-                    "rows": tp,
                     "first": tp["first_doc_id"].to_numpy(np.int64),
                     "last": tp["last_doc_id"].to_numpy(np.int64),
                     "ub": ub,
+                    # raw byte columns as object arrays — same reason as
+                    # the conjunctive kernel: per-block .iloc access costs
+                    # ~7× the varbyte decode itself
+                    "doc_ids_b": tp["doc_ids"].to_numpy(object),
+                    "tfs_b": tp["tfs"].to_numpy(object),
+                    "dls_b": tp["doc_lens"].to_numpy(object),
                     "decoded": {},
                 }
             )
@@ -226,8 +244,12 @@ def _shard_or_wand_kernel(terms, idfs, avg_len, m):
                     ri = int(ri)
                     hit = m_["decoded"].get(ri)
                     if hit is None:
-                        hit = _decode_one(
-                            next(m_["rows"].iloc[[ri]].itertuples(index=False))
+                        hit = (
+                            delta_decode(
+                                varbyte_decode(m_["doc_ids_b"][ri])
+                            ).astype(np.int64),
+                            varbyte_decode(m_["tfs_b"][ri]).astype(np.int64),
+                            varbyte_decode(m_["dls_b"][ri]).astype(np.int64),
                         )
                         m_["decoded"][ri] = hit
                     parts.append(hit)
@@ -284,35 +306,91 @@ def _shard_wand_kernel(terms, idfs, avg_len, m):
                 return empty
             metas.append(
                 {
-                    "rows": tp,
+                    "scope": tp["scope"].to_numpy(),
                     "first": tp["first_doc_id"].to_numpy(np.int64),
                     "last": tp["last_doc_id"].to_numpy(np.int64),
                     "max_tf": tp["max_tf"].to_numpy(np.int64),
                     "min_dl": tp["min_dl"].to_numpy(np.int64),
                     "count": int(tp["count"].sum()),
+                    # raw byte columns as object arrays: per-block access
+                    # must be a plain array index — a pandas .iloc +
+                    # itertuples round-trip per block measured ~2 ms/call,
+                    # 7× the actual varbyte decode
+                    "doc_ids_b": tp["doc_ids"].to_numpy(object),
+                    "tfs_b": tp["tfs"].to_numpy(object),
+                    "dls_b": tp["doc_lens"].to_numpy(object),
                     "decoded": {},  # block row idx -> (ids, tfs, dls)
                 }
             )
         rarest = min(range(n_terms), key=lambda i: metas[i]["count"])
         others = [i for i in range(n_terms) if i != rarest]
 
-        def blocks_decoded(ti: int, rows_idx: np.ndarray):
+        def decode_block(ti: int, ri: int):
             meta = metas[ti]
-            parts = []
-            for ri in rows_idx:
-                ri = int(ri)
-                hit = meta["decoded"].get(ri)
-                if hit is None:
-                    hit = _decode_one(
-                        next(meta["rows"].iloc[[ri]].itertuples(index=False))
+            hit = meta["decoded"].get(ri)
+            if hit is None:
+                hit = (
+                    delta_decode(
+                        varbyte_decode(meta["doc_ids_b"][ri])
+                    ).astype(np.int64),
+                    varbyte_decode(meta["tfs_b"][ri]).astype(np.int64),
+                    varbyte_decode(meta["dls_b"][ri]).astype(np.int64),
+                )
+                meta["decoded"][ri] = hit
+            return hit
+
+        def scope_groups(ti: int):
+            """Per-scope (firsts, lasts, row_idx) triples, each sorted by
+            first_doc_id. Within one (term, scope) block ranges are
+            disjoint (the encoder batches a SORTED posting stream), so a
+            candidate doc_id maps to at most one block per group via a
+            single vectorized searchsorted; ranges only interleave
+            ACROSS scope groups."""
+            meta = metas[ti]
+            groups = meta.get("scope_groups")
+            if groups is None:
+                groups = []
+                scopes = meta["scope"]
+                for sc in pd.unique(scopes):
+                    idx = np.flatnonzero(scopes == sc)
+                    order = np.argsort(meta["first"][idx], kind="stable")
+                    idx = idx[order]
+                    groups.append(
+                        (meta["first"][idx], meta["last"][idx], idx)
                     )
-                    meta["decoded"][ri] = hit
-                parts.append(hit)
-            ids = np.concatenate([p[0] for p in parts])
-            tfs = np.concatenate([p[1] for p in parts])
-            dls = np.concatenate([p[2] for p in parts])
-            order = np.argsort(ids, kind="stable")
-            return ids[order], tfs[order], dls[order]
+                meta["scope_groups"] = groups
+            return groups
+
+        def term_lookup(ti: int, cand: np.ndarray):
+            """Membership + (tf, dl) gather of ``cand`` (sorted doc_ids)
+            against one term's blocks. Vectorized candidate→block mapping
+            (searchsorted over per-scope block starts), then decode ONLY
+            the blocks that actually hold a candidate — the hot term's
+            blocks that the rare block's few candidates never touch stay
+            varbyte-encoded, and the Python loop is over touched blocks,
+            not all overlapping blocks (the old per-rare-block decode-all
+            + concat + argsort was O(rare_blocks × hot_blocks))."""
+            found = np.zeros(cand.size, dtype=bool)
+            tfs_out = np.zeros(cand.size, dtype=np.int64)
+            dls_out = np.zeros(cand.size, dtype=np.int64)
+            for firsts_s, lasts_s, rows_s in scope_groups(ti):
+                blk = np.searchsorted(firsts_s, cand, side="right") - 1
+                blk_c = np.maximum(blk, 0)
+                in_range = (blk >= 0) & (cand <= lasts_s[blk_c]) & ~found
+                if not in_range.any():
+                    continue
+                for b in np.unique(blk_c[in_range]).tolist():
+                    sel_mask = in_range & (blk_c == b)
+                    ids, tfs, dls = decode_block(ti, int(rows_s[b]))
+                    sub = cand[sel_mask]
+                    pos = np.searchsorted(ids, sub)
+                    pos = np.minimum(pos, ids.size - 1)
+                    hit = ids[pos] == sub
+                    sel = np.flatnonzero(sel_mask)[hit]
+                    found[sel] = True
+                    tfs_out[sel] = tfs[pos[hit]]
+                    dls_out[sel] = dls[pos[hit]]
+            return found, tfs_out, dls_out
 
         heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap
         rmeta = metas[rarest]
@@ -347,22 +425,38 @@ def _shard_wand_kernel(terms, idfs, avg_len, m):
                     )[0]
                 if ub < theta:
                     continue  # block-max skip
-            per_term: list = [None] * n_terms
-            per_term[rarest] = blocks_decoded(rarest, np.array([rb]))
-            for oi, ov in zip(others, overlaps):
-                per_term[oi] = blocks_decoded(oi, ov)
-            # clip others to this block's doc range before intersecting
-            for oi in others:
-                ids, tfs, dls = per_term[oi]
-                lo = np.searchsorted(ids, fb, side="left")
-                hi = np.searchsorted(ids, lb, side="right")
-                per_term[oi] = (ids[lo:hi], tfs[lo:hi], dls[lo:hi])
-                if per_term[oi][0].size == 0:
+            cand, r_tfs, r_dls = decode_block(rarest, rb)
+            per_tf: dict[int, tuple[np.ndarray, np.ndarray]] = {
+                rarest: (r_tfs, r_dls)
+            }
+            # progressively filter the rare block's candidates through the
+            # other terms, globally-rarest first (reference X1 order);
+            # term_lookup touches only hot blocks whose doc range actually
+            # holds a surviving candidate
+            order_o = sorted(
+                range(len(others)), key=lambda j: metas[others[j]]["count"]
+            )
+            for j in order_o:
+                oi = others[j]
+                found, tfs_o, dls_o = term_lookup(oi, cand)
+                if not found.any():
                     dead = True
                     break
+                if not found.all():
+                    cand = cand[found]
+                    for ti, (a, b) in per_tf.items():
+                        per_tf[ti] = (a[found], b[found])
+                    tfs_o, dls_o = tfs_o[found], dls_o[found]
+                per_tf[oi] = (tfs_o, dls_o)
             if dead:
                 continue
-            cand, scores = _intersect_score(per_term, idfs, avg_len)
+            # float64 scoring accumulated in the ORIGINAL (lexicographic)
+            # term order — same values and op order as _intersect_score,
+            # so exact/WAND stay bit-identical
+            scores = np.zeros(cand.size, dtype=np.float64)
+            for ti in range(n_terms):
+                tfs_t, dls_t = per_tf[ti]
+                scores += _term_scores(tfs_t, dls_t, idfs[ti], avg_len)
             for d, s in zip(cand.tolist(), scores.tolist()):
                 item = (s, -d)
                 if len(heap) < m:
@@ -477,7 +571,7 @@ def prune_blocks(
     if scope is not None:
         blocks = blocks.filter(F.col("scope") == scope)
     cols = [
-        "shard", "lemma", "first_doc_id", "last_doc_id",
+        "shard", "scope", "lemma", "first_doc_id", "last_doc_id",
         "count", "max_tf", "min_dl", "doc_ids", "tfs", "doc_lens",
     ]
     if with_positions:

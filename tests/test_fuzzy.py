@@ -50,6 +50,47 @@ def test_term_deletes_covers_edit_distance_one():
             # candidates are only ACCEPTED when levenshtein <= 1
 
 
+def test_term_deletes_covers_edit_distance_two():
+    """Depth-2 guarantee: ed(a,b) <= 2 ⇒ D2(a) ∩ D2(b) != ∅ —
+    exhaustively over all strings of length <= 4 on {a,b,c}. This is
+    the recall property the fuzzy_match2 contract twin rests on (the
+    levenshtein <= 2 verify step provides the matching precision)."""
+    import itertools
+
+    words = [
+        "".join(w)
+        for n in range(1, 5)
+        for w in itertools.product("abc", repeat=n)
+    ]
+    d2 = {w: set(term_deletes(w, max_dist=2)) for w in words}
+    for a in words:
+        for b in words:
+            if _lev(a, b) <= 2:
+                assert d2[a] & d2[b], (a, b)
+
+
+def test_term_deletes_depth_matches_sql_expression(spark):
+    """The driver-side ``term_deletes`` and the native SQL expression
+    used for the dictionary side must generate the SAME neighborhood
+    (sorted-set equality) at both depths — otherwise query variants and
+    table variants could disagree and drop candidates."""
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.operators.fuzzy import lemma_variants
+
+    words = ["merge", "ab", "a", "stream", "xx"]
+    df = spark.createDataFrame([(w,) for w in words], ["lemma"])
+    for dist in (1, 2):
+        got = {
+            w: set()
+            for w in words
+        }
+        for r in lemma_variants(df, max_dist=dist).collect():
+            got[r["lemma"]].add(r["variant"])
+        for w in words:
+            assert got[w] == set(term_deletes(w, max_dist=dist)), (w, dist)
+
+
 @pytest.fixture(scope="module")
 def dictionary(engine_tables):
     rows = (
@@ -109,6 +150,107 @@ def test_fuzzy_match_equals_brute_force(engine_tables, dictionary, cutoff):
     }
     assert got == brute
     assert lemma in got and got[lemma][1] == 1
+
+
+def _pick_typo2(dictionary, cutoff):
+    """A (lemma, typo2) pair at exactly edit distance 2: typo2 analyzes
+    to itself, is absent from the dictionary, and is NOT within distance
+    1 of any dictionary term (so max_dist=1 correction finds nothing and
+    max_dist=2 is what recovers it)."""
+    lemma, _ = _pick_typo(dictionary, cutoff)
+    base = sorted(
+        (lem for lem, (df, _) in dictionary.items()
+         if 3 <= df <= cutoff and len(lem) >= 6),
+        key=lambda x: (-dictionary[x][0], x),
+    ) or [lemma]
+    for lem in base:
+        for typo2 in (
+            lem[:2] + "qq" + lem[4:],          # two substitutions
+            lem[:2] + "q" + lem[3:5] + "q" + lem[6:],  # spread subs
+        ):
+            if typo2 in dictionary or query_lemmas(typo2) != [typo2]:
+                continue
+            if _lev(lem, typo2) != 2:
+                continue
+            if any(_lev(d, typo2) <= 1 for d in dictionary):
+                continue
+            return lem, typo2
+    raise AssertionError("no usable (lemma, typo2) pair in fixture corpus")
+
+
+def test_fuzzy_match2_equals_brute_force(engine_tables, dictionary, cutoff):
+    """Engine candidates at max_dist=2 == driver brute-force levenshtein
+    scan, in the pinned (dist asc, df desc, lemma asc) order."""
+    _, typo2 = _pick_typo2(dictionary, cutoff)
+    got = [
+        (r["lemma"], int(r["df"]), int(r["dist"]))
+        for r in fuzzy_match(
+            engine_tables["lemma_stats"], typo2, max_dist=2
+        ).collect()
+    ]
+    brute = sorted(
+        (
+            (lem, df, _lev(lem, typo2))
+            for lem, (df, _) in dictionary.items()
+            if _lev(lem, typo2) <= 2
+        ),
+        key=lambda x: (x[2], -x[1], x[0]),
+    )[:64]
+    assert got == brute
+    assert got, "typo2 must have at least one distance-2 candidate"
+
+
+def test_correct_terms_depth2(engine_tables, dictionary, cutoff):
+    """max_dist=2 recovers a 2-edit typo that max_dist=1 drops, and a
+    distance-1 candidate always outranks distance-2 ones."""
+    ls = engine_tables["lemma_stats"]
+    _, typo = _pick_typo(dictionary, cutoff)
+    _, typo2 = _pick_typo2(dictionary, cutoff)
+    # depth-1 correction unchanged when run at depth 2: dist sorts first,
+    # and within dist==1 the (df desc, lemma asc) ranking is the same —
+    # unless an exact-distance-1 candidate is outranked by nothing.
+    best_d2 = sorted(
+        ((_lev(lem, typo), -df, lem) for lem, (df, _) in dictionary.items()
+         if _lev(lem, typo) <= 2),
+        key=lambda x: x,
+    )[0][2]
+    assert correct_terms(ls, [typo], max_dist=2) == [best_d2]
+    # the 2-edit typo: dropped at depth 1, recovered at depth 2
+    assert correct_terms(ls, [typo2]) == []
+    expect2 = sorted(
+        ((_lev(lem, typo2), -df, lem) for lem, (df, _) in dictionary.items()
+         if _lev(lem, typo2) <= 2),
+        key=lambda x: x,
+    )[0][2]
+    assert correct_terms(ls, [typo2], max_dist=2) == [expect2]
+
+
+def test_variant_table_depth2_parity(
+    spark, base_index_dir, dictionary, cutoff, tmp_path
+):
+    """The persisted depth-2 variant table gives byte-identical
+    candidates to inline depth-2 generation (the serving path)."""
+    from search_engine_spark.operators.fuzzy import (
+        fuzzy_match,
+        write_variant_table,
+    )
+
+    ls = spark.read.parquet(f"{base_index_dir['index']}/lemma_stats")
+    vpath = str(tmp_path / "variants_d2")
+    write_variant_table(ls, vpath, max_dist=2)
+    variants = spark.read.parquet(vpath)
+    _, typo2 = _pick_typo2(dictionary, cutoff)
+    inline = [
+        tuple(r)
+        for r in fuzzy_match(ls, typo2, max_dist=2).collect()
+    ]
+    via_table = [
+        tuple(r)
+        for r in fuzzy_match(
+            ls, typo2, variants=variants, max_dist=2
+        ).collect()
+    ]
+    assert via_table == inline and via_table
 
 
 def test_correct_terms(engine_tables, dictionary, cutoff):
