@@ -61,6 +61,16 @@ SAMPLE_DEFAULT = 0.15
 # funnel rules: first failing rule claims the doc; integer-only math so
 # both engines compare exactly (digits*5 > chars  ⇔  digit ratio > 0.2;
 # distinct*5 < total*2  ⇔  type/token ratio < 0.4)
+# decontamination pins: eval set = first DECON_PREFIX_TOKENS tokens of
+# every doc with doc_id % DECON_MOD == DECON_REM (deterministic synthetic
+# benchmark — its items genuinely appear in the corpus); shingles seen in
+# more than DECON_MAX_DF docs are boilerplate, not evidence; a doc is
+# contaminated when it holds >= 4/5 of an item's matchable shingles
+DECON_MOD, DECON_REM = 11, 3
+DECON_PREFIX_TOKENS = 12
+DECON_MAX_DF = 50
+DECON_NUM, DECON_DEN = 4, 5
+
 _FUNNEL_RULES_SPARK = [
     ("too_short", "length(text) < 200"),
     (
@@ -762,6 +772,30 @@ def q_quality_funnel(spark, sf_dir):
     )
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (operators/curate.py decontaminate):
+    flag training docs holding >= 4/5 of an eval item's matchable
+    3-shingles. Eval shingles and the doc-shingle join both broadcast;
+    the boilerplate df-cap (> DECON_MAX_DF docs) is exercised too."""
+    from search_engine_spark.operators.curate import decontaminate
+
+    eval_sh = (
+        _read(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") % DECON_MOD) == DECON_REM)
+        .select(
+            F.col("doc_id").alias("eval_id"),
+            F.slice(F.expr(TOKS_SQL), 1, DECON_PREFIX_TOKENS).alias("_t"),
+        )
+        .filter(F.size("_t") >= 3)
+        .select("eval_id", F.explode(F.expr(_SHINGLES_SPARK)).alias("sh"))
+        .distinct()
+    )
+    return decontaminate(
+        _shingles(spark, sf_dir), eval_sh,
+        DECON_NUM, DECON_DEN, max_shingle_df=DECON_MAX_DF,
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle SQL twins
 # ---------------------------------------------------------------------------
@@ -1174,6 +1208,36 @@ def _oracle_sql_map() -> dict[str, str]:
                 count(*) AS n_docs
             FROM documents GROUP BY stage
         """,
+        "decontaminate": f"""
+            WITH doc_sh AS ({_SHINGLES_FLAT_DUCK}),
+            eval_sh AS (
+                SELECT eval_id, unnest(list_distinct(
+                    [_t[i] || ' ' || _t[i+1] || ' ' || _t[i+2]
+                     for i in range(1, len(_t) - 1)])) AS sh
+                FROM (SELECT doc_id AS eval_id,
+                             list_slice({TOKS_DUCK}, 1,
+                                        {DECON_PREFIX_TOKENS}) AS _t
+                      FROM documents
+                      WHERE doc_id % {DECON_MOD} = {DECON_REM})
+                WHERE len(_t) >= 3
+            ),
+            hot AS (SELECT sh FROM doc_sh
+                    GROUP BY sh HAVING count(*) > {DECON_MAX_DF}),
+            ds AS (SELECT * FROM doc_sh
+                   WHERE sh NOT IN (SELECT sh FROM hot)),
+            ev AS (SELECT * FROM eval_sh
+                   WHERE sh NOT IN (SELECT sh FROM hot)),
+            totals AS (SELECT eval_id, count(*)::BIGINT AS eval_total
+                       FROM ev GROUP BY eval_id),
+            shared AS (
+                SELECT d.doc_id, e.eval_id, count(*)::BIGINT AS n_shared
+                FROM ds d JOIN ev e USING (sh)
+                GROUP BY d.doc_id, e.eval_id)
+            SELECT doc_id, eval_id, n_shared, eval_total
+            FROM shared JOIN totals USING (eval_id)
+            WHERE n_shared * {DECON_DEN} >= eval_total * {DECON_NUM}
+            ORDER BY doc_id, eval_id
+        """,
     }
 
 
@@ -1225,6 +1289,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_bins": q_pack_bins,
         "stratified_sample": q_stratified_sample,
         "quality_funnel": q_quality_funnel,
+        "decontaminate": q_decontaminate,
     }
 
 

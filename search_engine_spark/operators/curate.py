@@ -299,3 +299,76 @@ def quality_funnel(
     return docs.groupBy(stage.alias("stage")).agg(
         F.count("*").cast("long").alias("n_docs")
     )
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination (n-gram overlap)
+# ---------------------------------------------------------------------------
+
+
+def decontaminate(
+    doc_shingles: DataFrame,
+    eval_shingles: DataFrame,
+    threshold_num: int = 4,
+    threshold_den: int = 5,
+    max_shingle_df: int | None = None,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Benchmark-decontamination report: every (training doc, eval item)
+    pair whose DISTINCT-shingle overlap covers at least
+    ``threshold_num/threshold_den`` of the eval item's shingles →
+    (doc_id, eval_id, n_shared, eval_total), ordered (doc_id, eval_id).
+    The flagged doc_ids are the ones a training run must drop so the
+    benchmark stays a held-out measurement — the n-gram-overlap rule is
+    the published decontamination recipe of the GPT-3 / Gopher / PaLM
+    training-set appendices (public technique).
+
+    Inputs must be DISTINCT (doc_id, sh) / (eval_id, sh) pairs (shingle
+    builders like contract._shingles already are); counts assume it.
+
+    Scale shape — the reasons this survives 100 TB:
+
+    - The eval side is a *benchmark*, thousands of items, not a corpus:
+      with ``broadcast_eval`` (default) both the shingle join and the
+      totals join are BroadcastHashJoins, so the corpus-sized side
+      streams map-side with NO shuffle at all; the only shuffle is the
+      (doc_id, eval_id) count agg, whose input is already pruned to
+      matching shingles.
+    - ``max_shingle_df`` drops shingles present in more than that many
+      training docs before matching: boilerplate n-grams (licence
+      headers, navigation chrome) are not contamination evidence, and
+      they are exactly the skewed join keys that would hot-spot the agg.
+      The heavy-hitter set is by definition small → broadcast anti-join.
+      ``eval_total`` counts only surviving (matchable) shingles, so the
+      threshold stays a fraction of what COULD match.
+    - Integer cross-multiplication (``n_shared * den >= total * num``)
+      keeps the threshold exact — no float ratio to disagree across
+      engines.
+    """
+    ds, ev = doc_shingles, eval_shingles
+    if max_shingle_df is not None:
+        hot = (
+            ds.groupBy("sh")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") > max_shingle_df)
+            .select("sh")
+        )
+        ds = ds.join(F.broadcast(hot), "sh", "left_anti")
+        ev = ev.join(F.broadcast(hot), "sh", "left_anti")
+    totals = ev.groupBy("eval_id").agg(
+        F.count("*").cast("long").alias("eval_total")
+    )
+    if broadcast_eval:
+        ev, totals = F.broadcast(ev), F.broadcast(totals)
+    return (
+        ds.join(ev, "sh")
+        .groupBy("doc_id", "eval_id")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .join(totals, "eval_id")
+        .filter(
+            F.col("n_shared") * F.lit(threshold_den)
+            >= F.col("eval_total") * F.lit(threshold_num)
+        )
+        .select("doc_id", "eval_id", "n_shared", "eval_total")
+        .orderBy("doc_id", "eval_id")
+    )

@@ -184,3 +184,63 @@ def test_quality_funnel_counts(spark):
     assert got == {
         "too_short": 1, "high_digit": 1, "low_diversity": 1, "kept": 1
     }
+
+
+# ---------------------------------------------------------------------------
+# decontamination
+# ---------------------------------------------------------------------------
+
+
+def _sh_df(spark, rows, idcol):
+    return spark.createDataFrame(rows, f"{idcol} long, sh string")
+
+
+def test_decontaminate_threshold_and_ordering(spark):
+    """Integer threshold semantics: >= num/den of the eval item's
+    shingles, inclusive at the boundary; output ordered (doc, eval)."""
+    from search_engine_spark.operators.curate import decontaminate
+
+    # eval item 100 has 5 shingles; docs share 5, 4 (boundary), 3 of them
+    ev = _sh_df(
+        spark, [(100, f"s{i}") for i in range(5)], "eval_id"
+    )
+    docs = _sh_df(
+        spark,
+        [(1, f"s{i}") for i in range(5)]
+        + [(2, f"s{i}") for i in range(4)] + [(2, "zz")]
+        + [(3, f"s{i}") for i in range(3)] + [(3, "yy"), (3, "xx")],
+        "doc_id",
+    )
+    got = decontaminate(docs, ev, 4, 5).collect()
+    assert [(r.doc_id, r.eval_id, r.n_shared, r.eval_total) for r in got] == [
+        (1, 100, 5, 5),
+        (2, 100, 4, 5),  # 4/5 inclusive
+    ]
+
+
+def test_decontaminate_df_cap_drops_boilerplate(spark):
+    """Shingles in > max_shingle_df docs are evidence for NOBODY, and
+    eval_total shrinks to the matchable remainder."""
+    from search_engine_spark.operators.curate import decontaminate
+
+    # "hot" appears in 3 docs (> cap 2) — only s0/s1 remain matchable
+    ev = _sh_df(spark, [(9, "hot"), (9, "s0"), (9, "s1")], "eval_id")
+    docs = _sh_df(
+        spark,
+        [(1, "hot"), (2, "hot"), (3, "hot"), (1, "s0"), (1, "s1"), (2, "s0")],
+        "doc_id",
+    )
+    got = decontaminate(docs, ev, 4, 5, max_shingle_df=2).collect()
+    # doc 1: 2/2 matchable -> flagged; doc 2: 1/2 < 4/5; doc 3: only hot
+    assert [(r.doc_id, r.n_shared, r.eval_total) for r in got] == [(1, 2, 2)]
+
+
+def test_decontaminate_plan_broadcasts_eval(spark):
+    """The corpus-side shingle join must be a BroadcastHashJoin (no
+    shuffle of the big side) when broadcast_eval is on."""
+    from search_engine_spark.operators.curate import decontaminate
+
+    ev = _sh_df(spark, [(1, "a")], "eval_id")
+    docs = _sh_df(spark, [(1, "a"), (2, "b")], "doc_id")
+    plan = decontaminate(docs, ev)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
