@@ -104,6 +104,7 @@ def search(
     offset: int = 0,
     scorer: str = "bm25",
     combine: str = "and",
+    exclude: list[str] | None = None,
 ) -> list[tuple[int, float]]:
     """Top-k (doc_id, float64 score), pinned semantics. Returns [] on any
     cutoff/no-match path.
@@ -114,10 +115,25 @@ def search(
     per-term instead of killing the whole query), the rest union; a doc's
     score sums the scores of the terms it contains, still accumulated in
     lexicographic term order. "or" is bm25-only.
+
+    ``exclude``: ANALYZED lemmas whose docs are removed from the
+    candidate set BEFORE ranking/top-k (the ``-term`` query syntax —
+    analyze.split_negations does the parsing). Pinned semantics:
+    cutoff gates are computed from the POSITIVE terms only, before
+    exclusion; excluded terms have no df cutoff (excluding a hot term
+    is legitimate — nothing is scored); a lemma both positive and
+    excluded → empty (exclusion wins); unknown excluded lemmas are
+    no-ops.
     """
     terms = query_lemmas(query)  # sorted unique lemmas
     if not terms:
         return []
+    excl = sorted(set(exclude or []))
+    if excl and set(excl) & set(terms):
+        return []
+    excl_docs: set[int] = set()
+    for e in excl:
+        excl_docs |= idx.postings.get(e, {}).keys()
     scope_ids = _scope_doc_ids(idx, scope)
     n_docs = len(scope_ids)
     if n_docs == 0:
@@ -137,7 +153,7 @@ def search(
         for t, df in usable:  # lexicographic term order (pinned)
             idf = bm25_idf(df, n_docs)
             for d, tf in idx.postings.get(t, {}).items():
-                if d in scope_set:
+                if d in scope_set and d not in excl_docs:
                     scores[d] = scores.get(d, 0.0) + bm25_term_score(
                         float(tf), float(idx.doc_len[d]), avg_len, idf,
                         BM25_K1, BM25_B,
@@ -162,6 +178,11 @@ def search(
     if len(terms) == 1 and len(matched) > df_cutoff(n_docs):
         # single-term extra gate (SearchServiceImpl.java:136-139)
         return []
+    if excl_docs:
+        # exclusion AFTER the gates (gates see positive terms only)
+        matched -= excl_docs
+        if not matched:
+            return []
 
     avg_len = sum(idx.doc_len[d] for d in scope_ids) / n_docs
     scores: dict[int, float] = {}

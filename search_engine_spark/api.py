@@ -75,8 +75,16 @@ class SearchEngine:
             data = self._cache_rows[offset:offset + limit]
             return {"result": True, "count": len(self._cache_rows), "data": data}
 
-        terms = query_lemmas(query)
+        # -token query syntax: docs holding an excluded lemma drop from
+        # the candidates before the top-k cut (analyze.split_negations)
+        from search_engine_spark.functions.analyze import split_negations
+
+        pos_q, neg_q = split_negations(query)
+        excl_terms = query_lemmas(neg_q) if neg_q else []
+        terms = query_lemmas(pos_q)
         if match == "phrase":
+            if excl_terms:
+                raise ValueError("phrase search does not support -term")
             if "positions" not in self._blocks.columns:
                 raise ValueError(
                     "phrase search needs a positional index "
@@ -87,7 +95,7 @@ class SearchEngine:
             deep = 10 * (offset + limit)
             results = phrase_search_blocks(
                 self._blocks, self._lemma_stats, self._doc_stats,
-                query, scope=scope, k=deep, offset=0, slop=slop,
+                pos_q, scope=scope, k=deep, offset=0, slop=slop,
             )
         elif scorer == "bm25":
             # fetch a deep page once (cacheable), slice driver-side
@@ -108,16 +116,18 @@ class SearchEngine:
                     max_dist=fuzzy_dist,
                 )
                 terms = corrected  # snippets highlight the corrected terms
+                # exclusions pass through UNcorrected (pinned: only the
+                # scored terms are spell-corrected)
                 results = bm25_blocks_from_terms(
                     self._blocks, self._lemma_stats, self._doc_stats,
                     corrected, scope=scope, k=deep, offset=0, mode="wand",
-                    combine=combine,
+                    combine=combine, exclude_terms=excl_terms,
                 )
             else:
                 results = bm25_search_blocks(
                     self._blocks, self._lemma_stats, self._doc_stats,
-                    query, scope=scope, k=deep, offset=0, mode="wand",
-                    combine=combine,
+                    pos_q, scope=scope, k=deep, offset=0, mode="wand",
+                    combine=combine, exclude_terms=excl_terms,
                 )
         else:
             # legacy reference scorer (Σtf/max-tf + global-max norm) —
@@ -125,10 +135,12 @@ class SearchEngine:
             # epoch (a per-query corpus re-explode is a full scan at scale)
             from search_engine_spark.operators.query import reftf_search
 
+            if excl_terms:
+                raise ValueError("scorer='reftf' does not support -term")
             deep = 10 * (offset + limit)
             results = reftf_search(
                 self._flat_postings(), self._lemma_stats,
-                self._doc_stats, query, scope=scope, k=deep, offset=0,
+                self._doc_stats, pos_q, scope=scope, k=deep, offset=0,
             )
         if match == "phrase":
             # chain-precise bolding: highlight the matched phrase itself
@@ -136,7 +148,7 @@ class SearchEngine:
 
             rows = materialize_with_snippets(
                 results, self._docs.drop("lemma_counts", "bucket"), terms,
-                phrase_seq=analyze(query), slop=slop,
+                phrase_seq=analyze(pos_q), slop=slop,
             ).collect()
         else:
             rows = materialize_with_snippets(

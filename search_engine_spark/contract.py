@@ -289,6 +289,31 @@ def q_bm25_topk(spark, sf_dir):
     return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
 
 
+NOT_TERM = "window"  # excludes 6 of bm25_topk's 10 — non-trivial twin
+
+
+def q_bm25_not_topk(spark, sf_dir):
+    """Negative-term query (the ``-term`` syntax, operators/query.py /
+    operators/wand.py ``exclude_terms``): conjunctive BM25 over
+    BM25_TERMS minus every doc containing NOT_TERM — the anti-join runs
+    BEFORE the top-k cut (excluding after would fake ranks)."""
+    per = _bm25_per_term(spark, sf_dir, BM25_TERMS)
+    excl = (
+        _tf(spark, sf_dir)
+        .filter(F.col("term") == NOT_TERM)
+        .select("doc_id")
+        .distinct()
+    )
+    scored = (
+        per.groupBy("doc_id")
+        .agg(F.count("*").alias("_nm"), F.round(F.sum("_s"), 6).alias("score"))
+        .filter(F.col("_nm") == len(BM25_TERMS))
+        .join(excl, "doc_id", "left_anti")
+        .select("doc_id", "score")
+    )
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
+
+
 def q_bm25_or_topk(spark, sf_dir):
     """Disjunctive (OR / weak-AND result set) BM25 top-10: same per-term
     math, no all-terms gate — the oracle twin for the engine's
@@ -899,6 +924,28 @@ def _oracle_sql_map() -> dict[str, str]:
             SELECT doc_id, score FROM scored
             ORDER BY score DESC, doc_id ASC LIMIT 10
         """,
+        "bm25_not_topk": f"""
+            WITH lens AS (
+                SELECT doc_id, len({TOKS_DUCK})::DOUBLE AS dl FROM documents),
+            st AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM lens),
+            tf AS (SELECT * FROM ({_TF_DUCK}) WHERE term IN ('dup', 'merge')),
+            dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            per AS (
+                SELECT tf.doc_id,
+                       ln(1.0 + ((SELECT n FROM st) - dfs.df + 0.5)
+                                 / (dfs.df + 0.5))
+                       * tf.tf * {BM25_K1 + 1.0}
+                       / (tf.tf + {BM25_K1} * ({1.0 - BM25_B} + {BM25_B}
+                          * lens.dl / (SELECT avgdl FROM st))) AS _s
+                FROM tf JOIN dfs USING (term) JOIN lens USING (doc_id)),
+            scored AS (
+                SELECT doc_id, round(sum(_s), 6) AS score
+                FROM per GROUP BY doc_id HAVING count(*) = 2)
+            SELECT doc_id, score FROM scored
+            WHERE doc_id NOT IN (
+                SELECT doc_id FROM ({_TF_DUCK}) WHERE term = '{NOT_TERM}')
+            ORDER BY score DESC, doc_id ASC LIMIT 10
+        """,
         "bm25_or_topk": f"""
             WITH lens AS (
                 SELECT doc_id, len({TOKS_DUCK})::DOUBLE AS dl FROM documents),
@@ -1259,6 +1306,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cutoff_terms": q_cutoff_terms,
         "sumtf_topk": q_sumtf_topk,
         "bm25_topk": q_bm25_topk,
+        "bm25_not_topk": q_bm25_not_topk,
         "bm25_or_topk": q_bm25_or_topk,
         "phrase_match": q_phrase_match,
         "more_like_this": q_more_like_this,

@@ -129,6 +129,23 @@ def doc_length(text: str) -> int:
     return len(analyze(text))
 
 
+def split_negations(query: str) -> tuple[str, str]:
+    """Split a raw query into (positive text, negated text): a
+    whitespace token starting with ``-`` (and longer than the bare
+    dash) is a negation — ``"merge -draft"`` → ``("merge", "draft")``.
+    Hyphens INSIDE a token ("state-of-the-art") are untouched; both
+    halves then go through the standard analyzer, so negation matching
+    uses exactly the indexed lemma forms. This is query-syntax parsing
+    (pre-analysis), the one place the raw string is inspected."""
+    pos, neg = [], []
+    for tok in query.split():
+        if tok.startswith("-") and len(tok) > 1:
+            neg.append(tok[1:])
+        else:
+            pos.append(tok)
+    return " ".join(pos), " ".join(neg)
+
+
 def query_lemmas(query: str) -> list[str]:
     """Query-side analysis: unique lemmas, sorted lexicographically.
 

@@ -88,17 +88,21 @@ def bm25_search(
     k: int = 10,
     offset: int = 0,
     combine: str = "and",
+    exclude_terms: list[str] | None = None,
 ) -> DataFrame:
     """Top-k BM25 → DataFrame(doc_id, score), pinned semantics
     (oracle.search is the twin). ``combine``: "and" = conjunction with the
     whole-query cutoff kill; "or" = disjunction with per-term cutoff DROP
-    (see oracle.search docstring)."""
+    (see oracle.search docstring). ``exclude_terms``: analyzed lemmas
+    whose docs drop from the candidates before top-k (``-term`` syntax;
+    oracle.search ``exclude`` is the twin)."""
     terms = query_lemmas(query)
     if not terms:
         return _empty(postings_flat.sparkSession)
     return bm25_from_terms(
         postings_flat, lemma_stats, doc_stats, terms,
         scope=scope, k=k, offset=offset, combine=combine,
+        exclude_terms=exclude_terms,
     )
 
 
@@ -113,15 +117,25 @@ def bm25_from_terms(
     offset: int = 0,
     combine: str = "and",
     exclude_doc_id: int | None = None,
+    exclude_terms: list[str] | None = None,
 ) -> DataFrame:
     """Terms-based core of ``bm25_search`` (callers pass pre-analyzed
     lemmas — the query path via ``query_lemmas``, more-like-this via the
     source doc's interesting terms). Terms are deduped and sorted here so
     the per-term float accumulation order stays pinned regardless of
-    caller."""
+    caller.
+
+    ``exclude_terms`` (the ``-term`` query syntax): docs holding ANY
+    excluded lemma leave the candidate set BEFORE the top-k cut — a
+    left-anti join on the excluded lemmas' postings (pushed ``IN``
+    scan, same shape as the positive fetch). Pinned: gates see positive
+    terms only; positive ∩ excluded → empty; no cutoff on exclusions."""
     spark = postings_flat.sparkSession
     terms = sorted(set(terms))
     if not terms:
+        return _empty(spark)
+    excl = sorted(set(exclude_terms or []))
+    if excl and set(excl) & set(terms):
         return _empty(spark)
     n_docs, avg_len = _scope_stats(doc_stats, scope)
     if n_docs == 0:
@@ -164,6 +178,13 @@ def bm25_from_terms(
             F.coalesce(term_col, F.lit(0.0)) if combine == "or" else term_col
         )
     scored = grouped.select("doc_id", total.alias("score"))
+    if excl:
+        ex = postings_flat.filter(F.col("lemma").isin(excl))
+        if scope is not None:
+            ex = ex.filter(F.col("scope") == scope)
+        scored = scored.join(
+            ex.select("doc_id").distinct(), "doc_id", "left_anti"
+        )
     return _paginate(scored, k, offset)
 
 

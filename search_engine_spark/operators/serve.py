@@ -161,13 +161,22 @@ class QueryServer:
         fuzzy: bool = False,
         fuzzy_dist: int = 1,
     ) -> list[tuple[int, float]]:
-        terms = query_lemmas(query)
+        from search_engine_spark.functions.analyze import split_negations
+
+        pos_q, neg_q = split_negations(query)
+        excl = query_lemmas(neg_q) if neg_q else []
+        terms = query_lemmas(pos_q)
         if not terms:
             return []
+        if excl and set(excl) & set(terms):
+            return []  # exclusion wins (oracle.search pin)
         if fuzzy:
+            # exclusions pass through UNcorrected (api.py pin)
             terms = self._fuzzy_correct(terms, scope, fuzzy_dist)
             if not terms:
                 return []
+            if excl and set(excl) & set(terms):
+                return []  # a correction may land on an excluded lemma
         n_docs, avg_len = self._scope_stats(scope)
         if n_docs == 0:
             return []
@@ -181,7 +190,7 @@ class QueryServer:
             return []
         idfs = [bm25_idf(dfs[t], n_docs) for t in terms]
         rows = _blocks_core(
-            prune_blocks(self.blocks, terms, scope),
-            terms, idfs, avg_len, k, offset, mode, combine,
+            prune_blocks(self.blocks, terms + excl, scope),
+            terms, idfs, avg_len, k, offset, mode, combine, excl,
         ).collect()
         return [(r["doc_id"], r["score"]) for r in rows]

@@ -131,6 +131,40 @@ def _union_score(
     return cand, scores
 
 
+def _gather_excluded(pdf: pd.DataFrame, excl_terms: list[str]):
+    """Sorted unique doc_ids holding ANY excluded lemma in this shard
+    (``-term`` query syntax), or None. Exclusion postings live in the
+    SAME doc-range shard as the scored terms, so the membership set is
+    local — decoded once per shard, O(excluded postings), the kernel
+    analog of the flat path's left-anti join."""
+    if not excl_terms:
+        return None
+    ep = pdf[pdf["lemma"].isin(excl_terms)]
+    if ep.empty:
+        return None
+    return np.unique(
+        np.concatenate(
+            [
+                delta_decode(varbyte_decode(d)).astype(np.int64)
+                for d in ep["doc_ids"].to_numpy(object)
+            ]
+        )
+    )
+
+
+def _drop_excluded(
+    cand: np.ndarray, excl, *aligned: np.ndarray
+) -> tuple[np.ndarray, ...]:
+    """Mask ``cand`` (unique doc_ids) and any aligned arrays against the
+    excluded-doc set."""
+    if excl is None or cand.size == 0:
+        return (cand, *aligned)
+    keep = ~np.isin(cand, excl, assume_unique=True)
+    if keep.all():
+        return (cand, *aligned)
+    return (cand[keep], *(a[keep] for a in aligned))
+
+
 def _heap_push(heap: list, m: int, cand: np.ndarray, scores: np.ndarray) -> None:
     for d, s in zip(cand.tolist(), scores.tolist()):
         item = (s, -d)
@@ -150,10 +184,11 @@ def _heap_frame(heap: list) -> pd.DataFrame:
     )
 
 
-def _shard_or_exact_kernel(terms, idfs, avg_len, m):
+def _shard_or_exact_kernel(terms, idfs, avg_len, m, excl_terms=()):
     """Per-shard grouped-map fn: exact disjunctive scoring, local top-m."""
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        excl = _gather_excluded(pdf, excl_terms)
         per_term = []
         for t in terms:
             tp = pdf[pdf["lemma"] == t]
@@ -163,6 +198,7 @@ def _shard_or_exact_kernel(terms, idfs, avg_len, m):
             else:
                 per_term.append(_gather_term(tp))
         cand, scores = _union_score(per_term, idfs, avg_len)
+        cand, scores = _drop_excluded(cand, excl, scores)
         if cand.size > m:
             sel = np.lexsort((cand, -scores))[:m]
             cand, scores = cand[sel], scores[sel]
@@ -171,7 +207,7 @@ def _shard_or_exact_kernel(terms, idfs, avg_len, m):
     return fn
 
 
-def _shard_or_wand_kernel(terms, idfs, avg_len, m):
+def _shard_or_wand_kernel(terms, idfs, avg_len, m, excl_terms=()):
     """Per-shard grouped-map fn: block-max WEAK-AND (disjunctive WAND,
     Broder et al.): sweep doc-id SEGMENTS (the partition induced by all
     block boundaries — within a segment each term's active block set is
@@ -182,6 +218,7 @@ def _shard_or_wand_kernel(terms, idfs, avg_len, m):
     n_terms = len(terms)
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        excl = _gather_excluded(pdf, excl_terms)
         metas = []
         for t in terms:
             tp = pdf[pdf["lemma"] == t].reset_index(drop=True)
@@ -262,16 +299,20 @@ def _shard_or_wand_kernel(terms, idfs, avg_len, m):
                 b = np.searchsorted(ids, hi, side="right")
                 per_term.append((ids[a:b], tfs[a:b], dls[a:b]))
             cand, scores = _union_score(per_term, idfs, avg_len)
+            # exclusion before the heap: θ only ever reflects scorable
+            # docs, so the weak-AND segment skip stays exact
+            cand, scores = _drop_excluded(cand, excl, scores)
             _heap_push(heap, m, cand, scores)
         return _heap_frame(heap)
 
     return fn
 
 
-def _shard_exact_kernel(terms, idfs, avg_len, m):
+def _shard_exact_kernel(terms, idfs, avg_len, m, excl_terms=()):
     """Per-shard grouped-map fn: exact conjunctive scoring, local top-m."""
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        excl = _gather_excluded(pdf, excl_terms)
         per_term = []
         for t in terms:
             tp = pdf[pdf["lemma"] == t]
@@ -281,6 +322,7 @@ def _shard_exact_kernel(terms, idfs, avg_len, m):
                 )
             per_term.append(_gather_term(tp))
         cand, scores = _intersect_score(per_term, idfs, avg_len)
+        cand, scores = _drop_excluded(cand, excl, scores)
         if cand.size > m:
             # local top-m with (score desc, doc_id asc) — lexsort keys
             sel = np.lexsort((cand, -scores))[:m]
@@ -290,7 +332,7 @@ def _shard_exact_kernel(terms, idfs, avg_len, m):
     return fn
 
 
-def _shard_wand_kernel(terms, idfs, avg_len, m):
+def _shard_wand_kernel(terms, idfs, avg_len, m, excl_terms=()):
     """Per-shard grouped-map fn: conjunctive block-max WAND, local top-m."""
     n_terms = len(terms)
 
@@ -324,6 +366,7 @@ def _shard_wand_kernel(terms, idfs, avg_len, m):
             )
         rarest = min(range(n_terms), key=lambda i: metas[i]["count"])
         others = [i for i in range(n_terms) if i != rarest]
+        excl = _gather_excluded(pdf, excl_terms)
 
         def decode_block(ti: int, ri: int):
             meta = metas[ti]
@@ -426,6 +469,12 @@ def _shard_wand_kernel(terms, idfs, avg_len, m):
                 if ub < theta:
                     continue  # block-max skip
             cand, r_tfs, r_dls = decode_block(rarest, rb)
+            # drop excluded docs from the rare block's candidates up
+            # front: θ only ever reflects scorable docs, so the
+            # block-max skip stays exact
+            cand, r_tfs, r_dls = _drop_excluded(cand, excl, r_tfs, r_dls)
+            if cand.size == 0:
+                continue
             per_tf: dict[int, tuple[np.ndarray, np.ndarray]] = {
                 rarest: (r_tfs, r_dls)
             }
@@ -482,17 +531,21 @@ def bm25_search_blocks(
     offset: int = 0,
     mode: str = "wand",
     combine: str = "and",
+    exclude_terms: list[str] | None = None,
 ) -> DataFrame:
     """Top-k BM25 over POSTINGS blocks; rank-identical to the flat path
     and the oracle. ``mode`` ∈ {"wand", "exact"}; ``combine`` ∈ {"and",
     "or"} — "or" drops over-cutoff terms per-term (oracle.search twin) and
-    runs the weak-AND (disjunctive block-max) kernel when mode="wand"."""
+    runs the weak-AND (disjunctive block-max) kernel when mode="wand".
+    ``exclude_terms``: analyzed lemmas whose docs drop from candidates
+    before the top-k cut (``-term`` syntax; see bm25_blocks_from_terms)."""
     terms = query_lemmas(query)
     if not terms:
         return _empty(postings.sparkSession)
     return bm25_blocks_from_terms(
         postings, lemma_stats, doc_stats, terms,
         scope=scope, k=k, offset=offset, mode=mode, combine=combine,
+        exclude_terms=exclude_terms,
     )
 
 
@@ -507,16 +560,26 @@ def bm25_blocks_from_terms(
     offset: int = 0,
     mode: str = "wand",
     combine: str = "and",
+    exclude_terms: list[str] | None = None,
 ) -> DataFrame:
     """Terms-based core of ``bm25_search_blocks`` (callers pass
     pre-analyzed lemmas — fuzzy-corrected queries, more-like-this).
     Terms are deduped and sorted so the per-term accumulation order
-    stays pinned regardless of caller."""
+    stays pinned regardless of caller.
+
+    ``exclude_terms``: excluded lemmas' blocks ride the SAME pruned
+    scan (they shard by doc range like everything else, so each
+    shard's exclusion set is local to the kernel); gates see positive
+    terms only; positive ∩ excluded → empty; no cutoff on exclusions
+    (oracle.search ``exclude`` is the twin)."""
     from search_engine_spark.functions.scoring import df_cutoff
 
     spark = postings.sparkSession
     terms = sorted(set(terms))
     if not terms:
+        return _empty(spark)
+    excl = sorted(set(exclude_terms or []))
+    if excl and set(excl) & set(terms):
         return _empty(spark)
     n_docs, avg_len = _scope_stats(doc_stats, scope)
     if n_docs == 0:
@@ -531,8 +594,8 @@ def bm25_blocks_from_terms(
         return _empty(spark)
     idfs = [bm25_idf(dfs[t], n_docs) for t in terms]
     return _blocks_core(
-        prune_blocks(postings, terms, scope),
-        terms, idfs, avg_len, k, offset, mode, combine,
+        prune_blocks(postings, terms + excl, scope),
+        terms, idfs, avg_len, k, offset, mode, combine, excl,
     )
 
 
@@ -545,10 +608,12 @@ def _blocks_core(
     offset: int,
     mode: str,
     combine: str,
+    excl_terms: list[str] | None = None,
 ) -> DataFrame:
     """Scoring core once stats are resolved: per-shard kernels →
     TakeOrderedAndProject merge. ``blocks`` must already be filtered to
-    the query terms (and scope) and pruned to the kernel columns."""
+    the query terms (plus any excluded terms) and scope, and pruned to
+    the kernel columns."""
     m = offset + k
     kernels = {
         ("and", "wand"): _shard_wand_kernel,
@@ -556,7 +621,9 @@ def _blocks_core(
         ("or", "wand"): _shard_or_wand_kernel,
         ("or", "exact"): _shard_or_exact_kernel,
     }
-    kernel = kernels[(combine, mode)](terms, idfs, avg_len, m)
+    kernel = kernels[(combine, mode)](
+        terms, idfs, avg_len, m, tuple(excl_terms or ())
+    )
     per_shard = blocks.groupBy("shard").applyInPandas(kernel, schema=SEARCH_RESULT)
     return _paginate(per_shard, k, offset)
 
