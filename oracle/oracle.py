@@ -105,6 +105,7 @@ def search(
     scorer: str = "bm25",
     combine: str = "and",
     exclude: list[str] | None = None,
+    extra_terms: list[str] | None = None,
 ) -> list[tuple[int, float]]:
     """Top-k (doc_id, float64 score), pinned semantics. Returns [] on any
     cutoff/no-match path.
@@ -126,6 +127,10 @@ def search(
     no-ops.
     """
     terms = query_lemmas(query)  # sorted unique lemmas
+    # extra_terms: PRE-ANALYZED lemmas (wildcard expansions) unioned in
+    # verbatim — never re-analyzed (re-lemmatizing a lemma can strip it
+    # again); the sorted union keeps accumulation order pinned
+    terms = sorted(set(terms) | set(extra_terms or []))
     if not terms:
         return []
     excl = sorted(set(exclude or []))
@@ -333,3 +338,22 @@ def more_like_this(
                 )
     ranked_docs = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
     return ranked_docs[:k]
+
+
+def expand_prefix(
+    idx: OracleIndex,
+    prefix: str,
+    scope: str | None = None,
+    k: int = 8,
+) -> list[str]:
+    """Wildcard-rewrite twin of operators/fuzzy.expand_prefix: top-k
+    dictionary lemmas completing ``prefix``, ranked (cf desc, lemma
+    asc), cf summed over scopes (or within ``scope``)."""
+    cf: dict[str, int] = {}
+    for (sc, lem), c in idx.lemma_cf.items():
+        if scope is not None and sc != scope:
+            continue
+        if lem.startswith(prefix):
+            cf[lem] = cf.get(lem, 0) + c
+    ranked = sorted(cf.items(), key=lambda kv: (-kv[1], kv[0]))
+    return [lem for lem, _ in ranked[:k]]

@@ -75,12 +75,33 @@ class SearchEngine:
             data = self._cache_rows[offset:offset + limit]
             return {"result": True, "count": len(self._cache_rows), "data": data}
 
-        # -token query syntax: docs holding an excluded lemma drop from
-        # the candidates before the top-k cut (analyze.split_negations)
-        from search_engine_spark.functions.analyze import split_negations
+        # query syntax: "-token" exclusions (split_negations) and
+        # "token*" prefix wildcards (split_wildcards → bounded top-cf
+        # dictionary expansion, OR mode only)
+        from search_engine_spark.functions.analyze import (
+            split_negations,
+            split_wildcards,
+        )
 
         pos_q, neg_q = split_negations(query)
         excl_terms = query_lemmas(neg_q) if neg_q else []
+        pos_q, prefixes = split_wildcards(pos_q)
+        expansions: list[str] = []
+        if prefixes:
+            if match == "phrase" or scorer != "bm25":
+                raise ValueError("wildcards need scorer='bm25' term match")
+            if combine != "or":
+                raise ValueError(
+                    "a wildcard expands to MANY lemmas — requiring all of "
+                    "them (combine='and') is never what you mean; use "
+                    "combine='or'"
+                )
+            from search_engine_spark.operators.fuzzy import expand_prefix
+
+            for p in prefixes:  # sorted unique → deterministic
+                expansions.extend(
+                    expand_prefix(self._lemma_stats, p, scope=scope)
+                )
         terms = query_lemmas(pos_q)
         if match == "phrase":
             if excl_terms:
@@ -115,18 +136,24 @@ class SearchEngine:
                     variants=self._variants(fuzzy_dist),
                     max_dist=fuzzy_dist,
                 )
-                terms = corrected  # snippets highlight the corrected terms
-                # exclusions pass through UNcorrected (pinned: only the
-                # scored terms are spell-corrected)
+                # exclusions and wildcard expansions pass through
+                # UNcorrected (pinned: only explicit scored terms are
+                # spell-corrected; expansions are in-dictionary already)
+                terms = sorted(set(corrected) | set(expansions))
                 results = bm25_blocks_from_terms(
                     self._blocks, self._lemma_stats, self._doc_stats,
-                    corrected, scope=scope, k=deep, offset=0, mode="wand",
+                    terms, scope=scope, k=deep, offset=0, mode="wand",
                     combine=combine, exclude_terms=excl_terms,
                 )
             else:
-                results = bm25_search_blocks(
+                from search_engine_spark.operators.wand import (
+                    bm25_blocks_from_terms,
+                )
+
+                terms = sorted(set(terms) | set(expansions))
+                results = bm25_blocks_from_terms(
                     self._blocks, self._lemma_stats, self._doc_stats,
-                    pos_q, scope=scope, k=deep, offset=0, mode="wand",
+                    terms, scope=scope, k=deep, offset=0, mode="wand",
                     combine=combine, exclude_terms=excl_terms,
                 )
         else:

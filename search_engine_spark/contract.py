@@ -290,6 +290,7 @@ def q_bm25_topk(spark, sf_dir):
 
 
 NOT_TERM = "window"  # excludes 6 of bm25_topk's 10 — non-trivial twin
+WC_PREFIX, WC_TERM, WC_K = "me", "dup", 8  # wildcard "dup me*"
 
 
 def q_bm25_not_topk(spark, sf_dir):
@@ -309,6 +310,32 @@ def q_bm25_not_topk(spark, sf_dir):
         .agg(F.count("*").alias("_nm"), F.round(F.sum("_s"), 6).alias("score"))
         .filter(F.col("_nm") == len(BM25_TERMS))
         .join(excl, "doc_id", "left_anti")
+        .select("doc_id", "score")
+    )
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
+
+
+def q_wildcard_or_topk(spark, sf_dir):
+    """Prefix-wildcard query ("dup me*"): the wildcard rewrites to the
+    top-WC_K dictionary completions by collection frequency
+    (operators/fuzzy.py expand_prefix — the bounded Lucene-style
+    top-terms rewrite), then the expanded term set scores through the
+    standard OR BM25 plan. The twin computes the same expansion with
+    LIKE + ORDER BY cf DESC, term ASC LIMIT."""
+    from search_engine_spark.operators.fuzzy import expand_prefix
+
+    dic = (
+        _tf(spark, sf_dir)
+        .groupBy("term")
+        .agg(F.sum("tf").cast("long").alias("cf"))
+        .withColumnRenamed("term", "lemma")
+    )
+    exp = expand_prefix(dic, WC_PREFIX, k=WC_K)
+    terms = sorted(set(exp) | {WC_TERM})
+    per = _bm25_per_term(spark, sf_dir, terms)
+    scored = (
+        per.groupBy("doc_id")
+        .agg(F.round(F.sum("_s"), 6).alias("score"))
         .select("doc_id", "score")
     )
     return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
@@ -946,6 +973,33 @@ def _oracle_sql_map() -> dict[str, str]:
                 SELECT doc_id FROM ({_TF_DUCK}) WHERE term = '{NOT_TERM}')
             ORDER BY score DESC, doc_id ASC LIMIT 10
         """,
+        "wildcard_or_topk": f"""
+            WITH base_tf AS ({_TF_DUCK}),
+            cfs AS (SELECT term, sum(tf)::BIGINT AS cf
+                    FROM base_tf GROUP BY term),
+            exp AS (SELECT term FROM cfs WHERE term LIKE '{WC_PREFIX}%'
+                    ORDER BY cf DESC, term ASC LIMIT {WC_K}),
+            qt AS (SELECT term FROM exp UNION SELECT '{WC_TERM}'),
+            lens AS (
+                SELECT doc_id, len({TOKS_DUCK})::DOUBLE AS dl FROM documents),
+            st AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM lens),
+            tf AS (SELECT * FROM base_tf
+                   WHERE term IN (SELECT term FROM qt)),
+            dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            per AS (
+                SELECT tf.doc_id,
+                       ln(1.0 + ((SELECT n FROM st) - dfs.df + 0.5)
+                                 / (dfs.df + 0.5))
+                       * tf.tf * {BM25_K1 + 1.0}
+                       / (tf.tf + {BM25_K1} * ({1.0 - BM25_B} + {BM25_B}
+                          * lens.dl / (SELECT avgdl FROM st))) AS _s
+                FROM tf JOIN dfs USING (term) JOIN lens USING (doc_id)),
+            scored AS (
+                SELECT doc_id, round(sum(_s), 6) AS score
+                FROM per GROUP BY doc_id)
+            SELECT doc_id, score FROM scored
+            ORDER BY score DESC, doc_id ASC LIMIT 10
+        """,
         "bm25_or_topk": f"""
             WITH lens AS (
                 SELECT doc_id, len({TOKS_DUCK})::DOUBLE AS dl FROM documents),
@@ -1308,6 +1362,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "bm25_not_topk": q_bm25_not_topk,
         "bm25_or_topk": q_bm25_or_topk,
+        "wildcard_or_topk": q_wildcard_or_topk,
         "phrase_match": q_phrase_match,
         "more_like_this": q_more_like_this,
         "facet_counts": q_facet_counts,

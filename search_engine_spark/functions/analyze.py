@@ -146,6 +146,25 @@ def split_negations(query: str) -> tuple[str, str]:
     return " ".join(pos), " ".join(neg)
 
 
+def split_wildcards(query: str) -> tuple[str, list[str]]:
+    """Split out prefix wildcards: a whitespace token ending in ``*``
+    (longer than the bare star) is a wildcard — ``"dup me*"`` →
+    ``("dup", ["me"])``. Prefixes are FOLDED but never lemmatized (they
+    match dictionary lemmas by startswith; re-lemmatizing a prefix
+    would strip suffixes the user typed); a prefix that isn't a single
+    analyzer token is dropped. Sorted unique prefixes → deterministic
+    expansion order."""
+    rest, prefixes = [], []
+    for tok in query.split():
+        if tok.endswith("*") and len(tok) > 1:
+            p = fold(tok[:-1])
+            if TOKEN_RE.fullmatch(p):
+                prefixes.append(p)
+        else:
+            rest.append(tok)
+    return " ".join(rest), sorted(set(prefixes))
+
+
 def query_lemmas(query: str) -> list[str]:
     """Query-side analysis: unique lemmas, sorted lexicographically.
 

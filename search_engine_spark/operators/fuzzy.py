@@ -253,3 +253,26 @@ def suggest(
         .orderBy(F.desc("cf"), F.asc("lemma"))
         .limit(k)
     )
+
+
+WILDCARD_MAX_EXPANSIONS = 8  # Lucene-PrefixQuery-style bounded rewrite
+
+
+def expand_prefix(
+    lemma_stats: DataFrame,
+    prefix: str,
+    scope: str | None = None,
+    k: int = WILDCARD_MAX_EXPANSIONS,
+) -> list[str]:
+    """Wildcard rewrite (the ``term*`` query syntax): the top-k
+    dictionary lemmas completing ``prefix``, ranked (cf desc, lemma
+    asc) — exactly ``suggest``'s pinned ranking, so the expansion set
+    is deterministic and bounded (the public Lucene top-terms rewrite
+    for PrefixQuery). Driver-side ≤ k-row collect, the broadcast-stats
+    analog; the dictionary scan is a pushed StringStartsWith +
+    TakeOrderedAndProject (see ``suggest``). The expanded lemmas then
+    run through the standard pinned OR plans — an unbounded wildcard
+    never reaches the posting lists."""
+    return [
+        r["lemma"] for r in suggest(lemma_stats, prefix, k=k, scope=scope).collect()
+    ]

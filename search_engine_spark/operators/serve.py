@@ -161,11 +161,25 @@ class QueryServer:
         fuzzy: bool = False,
         fuzzy_dist: int = 1,
     ) -> list[tuple[int, float]]:
-        from search_engine_spark.functions.analyze import split_negations
+        from search_engine_spark.functions.analyze import (
+            split_negations,
+            split_wildcards,
+        )
 
         pos_q, neg_q = split_negations(query)
         excl = query_lemmas(neg_q) if neg_q else []
-        terms = query_lemmas(pos_q)
+        pos_q, prefixes = split_wildcards(pos_q)
+        expansions: list[str] = []
+        if prefixes:
+            if combine != "or":
+                raise ValueError("wildcards require combine='or'")
+            from search_engine_spark.operators.fuzzy import expand_prefix
+
+            for p in prefixes:  # sorted unique → deterministic
+                expansions.extend(
+                    expand_prefix(self._lemma_stats, p, scope=scope)
+                )
+        terms = sorted(set(query_lemmas(pos_q)) | set(expansions))
         if not terms:
             return []
         if excl and set(excl) & set(terms):
