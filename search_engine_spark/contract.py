@@ -824,6 +824,30 @@ def q_quality_funnel(spark, sf_dir):
     )
 
 
+def q_redact_pii(spark, sf_dir):
+    """PII scrub (operators/text.py redact_pii): pinned email/ipv4/
+    long-digit rules, counts on the original text, sequential
+    replacement in rule order. The synthetic corpus holds no PII, so
+    the query INJECTS it deterministically per doc (same injection in
+    the twin) — the redactions are real, not vacuous zero-counts."""
+    from search_engine_spark.operators.text import redact_pii
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" mail u"), F.col("doc_id").cast("string"),
+            F.lit("@ex.io ip 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 acct "),
+            (F.col("doc_id") * 37 + 100000000).cast("string"),
+        ).alias("text"),
+    )
+    return redact_pii(docs).select(
+        "doc_id", "n_email", "n_ipv4", "n_idnum", "text"
+    )
+
+
 def q_decontaminate(spark, sf_dir):
     """Benchmark decontamination (operators/curate.py decontaminate):
     flag training docs holding >= 4/5 of an eval item's matchable
@@ -1309,6 +1333,7 @@ def _oracle_sql_map() -> dict[str, str]:
                 count(*) AS n_docs
             FROM documents GROUP BY stage
         """,
+        "redact_pii": _redact_pii_duck(),
         "decontaminate": f"""
             WITH doc_sh AS ({_SHINGLES_FLAT_DUCK}),
             eval_sh AS (
@@ -1340,6 +1365,21 @@ def _oracle_sql_map() -> dict[str, str]:
             ORDER BY doc_id, eval_id
         """,
     }
+
+
+def _redact_pii_duck() -> str:
+    from search_engine_spark.operators.text import redact_pii_oracle_sql
+
+    injected = (
+        "(SELECT doc_id, text || ' mail u' || doc_id"
+        " || '@ex.io ip 10.0.' || (doc_id % 256) || '.7 acct '"
+        " || (doc_id * 37 + 100000000) AS text FROM documents)"
+    )
+    return (
+        "SELECT doc_id, n_email, n_ipv4, n_idnum, text FROM ("
+        + redact_pii_oracle_sql(source_sql=injected)
+        + ")"
+    )
 
 
 def _stratified_sample_duck() -> str:
@@ -1392,6 +1432,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_bins": q_pack_bins,
         "stratified_sample": q_stratified_sample,
         "quality_funnel": q_quality_funnel,
+        "redact_pii": q_redact_pii,
         "decontaminate": q_decontaminate,
     }
 

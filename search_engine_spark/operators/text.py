@@ -231,3 +231,67 @@ def fingerprint(
         f"(acc, x) -> (acc * 31 + {th} % {mod}) % {mod})"
     )
     return d.select(id_col, fp.alias("fingerprint"))
+
+
+# -- PII redaction -------------------------------------------------------------
+
+# pinned redaction rules, applied IN THIS ORDER (email first: an address
+# contains dots and digits that later rules must not see). Patterns are
+# written in the syntax subset Java regex (Spark) and RE2 (DuckDB)
+# interpret identically — no backrefs, no lookarounds.
+PII_RULES: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("idnum", r"\b\d{9,}\b", "<ID>"),  # long digit runs (SSN/CC-shaped)
+)
+
+
+def redact_pii(
+    docs: DataFrame,
+    text_col: str = "text",
+    rules: tuple[tuple[str, str, str], ...] = PII_RULES,
+) -> DataFrame:
+    """Training-data PII scrub: replace every rule match with its token
+    and count matches per rule → original columns with ``text_col``
+    redacted plus one ``n_<rule>`` long column per rule.
+
+    Scale shape: pure native ``regexp_replace`` / ``regexp_extract_all``
+    column expressions — whole-stage codegen, zero shuffle, zero Python;
+    a map-only pass however wide the corpus. Counts are computed on the
+    ORIGINAL text (before any replacement) so rule order can't hide a
+    match from its own counter; replacements then apply sequentially in
+    rule order (pinned)."""
+    # column-API calls, NOT F.expr(f"... '{pat}' ..."): a pattern embedded
+    # in a SQL string literal loses its backslashes to escape processing
+    out = docs
+    for name, pat, _ in rules:
+        out = out.withColumn(
+            f"n_{name}",
+            F.size(
+                F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0))
+            ).cast("long"),
+        )
+    red = F.col(text_col)
+    for name, pat, token in rules:
+        red = F.regexp_replace(red, pat, token)
+    return out.withColumn(text_col, red)
+
+
+def redact_pii_oracle_sql(
+    source_sql: str = "documents",
+    text_col: str = "text",
+    rules: tuple[tuple[str, str, str], ...] = PII_RULES,
+) -> str:
+    """DuckDB twin of ``redact_pii`` (counts + sequential replacement in
+    the same pinned rule order), as a SELECT over ``source_sql``."""
+    counts = ", ".join(
+        f"len(regexp_extract_all({text_col}, '{pat}'))::BIGINT AS n_{name}"
+        for name, pat, _ in rules
+    )
+    red = text_col
+    for _, pat, token in rules:
+        red = f"regexp_replace({red}, '{pat}', '{token}', 'g')"
+    return (
+        f"SELECT * EXCLUDE ({text_col}), {counts}, {red} AS {text_col} "
+        f"FROM {source_sql}"
+    )
