@@ -357,3 +357,22 @@ def expand_prefix(
             cf[lem] = cf.get(lem, 0) + c
     ranked = sorted(cf.items(), key=lambda kv: (-kv[1], kv[0]))
     return [lem for lem, _ in ranked[:k]]
+
+
+def collapse_ranked(
+    ranked: list[tuple[int, float]],
+    doc_key,
+    per_key: int = 1,
+) -> list[tuple[int, float]]:
+    """Field-collapse twin of operators/query.collapse_results: walk the
+    pinned-order ranking, keep at most ``per_key`` docs per
+    ``doc_key(doc_id)`` value, preserve order."""
+    seen: dict = {}
+    out = []
+    for d, s in ranked:
+        k = doc_key(d)
+        n = seen.get(k, 0)
+        if n < per_key:
+            out.append((d, s))
+            seen[k] = n + 1
+    return out

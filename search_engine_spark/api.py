@@ -60,8 +60,13 @@ class SearchEngine:
         slop: int = 0,         #   positional index); slop = allowed gaps
         fuzzy: bool = False,   # spell-correct unknown terms
         fuzzy_dist: int = 1,   # max edit distance for corrections (1 or 2)
+        collapse: str | None = None,  # docs column: ≤ collapse_limit hits
+        collapse_limit: int = 1,      #   per value (e.g. one per conv_id)
     ) -> dict:
-        key = (query, scope, scorer, combine, match, slop, fuzzy, fuzzy_dist)
+        key = (
+            query, scope, scorer, combine, match, slop, fuzzy, fuzzy_dist,
+            collapse, collapse_limit,
+        )
         if (
             self._cache_key == key
             and self._cache_rows is not None
@@ -169,6 +174,15 @@ class SearchEngine:
                 self._flat_postings(), self._lemma_stats,
                 self._doc_stats, pos_q, scope=scope, k=deep, offset=0,
             )
+        if collapse is not None:
+            # field collapsing on the DEEP page (pinned depth policy):
+            # ≤ collapse_limit hits per value of a docs column, global
+            # order preserved (operators/query.py collapse_results)
+            from search_engine_spark.operators.query import collapse_results
+
+            results = collapse_results(
+                results, self._docs, collapse, collapse_limit
+            ).select("doc_id", "score")
         if match == "phrase":
             # chain-precise bolding: highlight the matched phrase itself
             from search_engine_spark.functions.analyze import analyze

@@ -315,6 +315,24 @@ def q_bm25_not_topk(spark, sf_dir):
     return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
 
 
+def q_collapse_by_source(spark, sf_dir):
+    """Field collapsing (operators/query.py collapse_results): the OR
+    BM25 scored set reduced to ≤1 hit per ``source``, global pinned
+    order, top-10 — the one-hit-per-conversation presentation shape.
+    The window partitions by the collapse key (never single-partition);
+    the results side broadcasts into the docs join."""
+    from search_engine_spark.operators.query import collapse_results
+
+    per = _bm25_per_term(spark, sf_dir, BM25_TERMS)
+    scored = (
+        per.groupBy("doc_id")
+        .agg(F.round(F.sum("_s"), 6).alias("score"))
+        .select("doc_id", "score")
+    )
+    docs = _read(spark, sf_dir, "documents")
+    return collapse_results(scored, docs, "source", per_key=1).limit(10)
+
+
 def q_wildcard_or_topk(spark, sf_dir):
     """Prefix-wildcard query ("dup me*"): the wildcard rewrites to the
     top-WC_K dictionary completions by collection frequency
@@ -997,6 +1015,32 @@ def _oracle_sql_map() -> dict[str, str]:
                 SELECT doc_id FROM ({_TF_DUCK}) WHERE term = '{NOT_TERM}')
             ORDER BY score DESC, doc_id ASC LIMIT 10
         """,
+        "collapse_by_source": f"""
+            WITH lens AS (
+                SELECT doc_id, len({TOKS_DUCK})::DOUBLE AS dl FROM documents),
+            st AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM lens),
+            tf AS (SELECT * FROM ({_TF_DUCK}) WHERE term IN ('dup', 'merge')),
+            dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            per AS (
+                SELECT tf.doc_id,
+                       ln(1.0 + ((SELECT n FROM st) - dfs.df + 0.5)
+                                 / (dfs.df + 0.5))
+                       * tf.tf * {BM25_K1 + 1.0}
+                       / (tf.tf + {BM25_K1} * ({1.0 - BM25_B} + {BM25_B}
+                          * lens.dl / (SELECT avgdl FROM st))) AS _s
+                FROM tf JOIN dfs USING (term) JOIN lens USING (doc_id)),
+            scored AS (
+                SELECT doc_id, round(sum(_s), 6) AS score
+                FROM per GROUP BY doc_id),
+            j AS (
+                SELECT s.doc_id, s.score, d.source,
+                       row_number() OVER (
+                           PARTITION BY d.source
+                           ORDER BY s.score DESC, s.doc_id ASC) AS rk
+                FROM scored s JOIN documents d USING (doc_id))
+            SELECT doc_id, score, source FROM j WHERE rk <= 1
+            ORDER BY score DESC, doc_id ASC LIMIT 10
+        """,
         "wildcard_or_topk": f"""
             WITH base_tf AS ({_TF_DUCK}),
             cfs AS (SELECT term, sum(tf)::BIGINT AS cf
@@ -1403,6 +1447,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_not_topk": q_bm25_not_topk,
         "bm25_or_topk": q_bm25_or_topk,
         "wildcard_or_topk": q_wildcard_or_topk,
+        "collapse_by_source": q_collapse_by_source,
         "phrase_match": q_phrase_match,
         "more_like_this": q_more_like_this,
         "facet_counts": q_facet_counts,

@@ -14,7 +14,7 @@ idf is computed driver-side with the same libm ``math.log``.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from search_engine_spark import BM25_B, BM25_K1
@@ -287,6 +287,41 @@ def facet_counts(
         docs.join(F.broadcast(results.select("doc_id")), "doc_id")
         .groupBy(*[F.col(c) for c in facet_cols])
         .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def collapse_results(
+    results: DataFrame,
+    docs: DataFrame,
+    key_col: str,
+    per_key: int = 1,
+) -> DataFrame:
+    """Field collapsing (the Elasticsearch ``collapse`` analog): keep at
+    most ``per_key`` results per value of a docs column — for transcript
+    search, ``collapse_results(res, docs, "conv_id")`` returns one hit
+    per conversation. The survivors keep the pinned global order
+    (score desc, doc_id asc); within a key the same order picks the
+    keepers.
+
+    The operator is EXACT over the rows it is given; depth policy is the
+    caller's (``SearchEngine.search(collapse=...)`` collapses its deep
+    page — pinned, mirrored by the tests' oracle composition).
+
+    Scale shape: ``results`` is a top-k/deep page (≤ thousands of rows),
+    so the docs join broadcasts the RESULT side (docs is never shuffled)
+    and the window partitions by the collapse key — never a
+    single-partition window."""
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+    )
+    return (
+        docs.select("doc_id", key_col)
+        .join(F.broadcast(results), "doc_id")
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= per_key)
+        .select("doc_id", "score", key_col)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
     )
 
 
