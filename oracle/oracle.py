@@ -96,6 +96,27 @@ def _df_of(idx: OracleIndex, lemma: str, scope: str | None) -> int:
     return idx.lemma_df.get((scope, lemma), 0)
 
 
+def _filter_doc_ids(idx: OracleIndex, filters: dict | None) -> set | None:
+    """Doc ids passing an attribute-filter mapping {column: value-or-list}
+    (AND across columns, OR within; NULL never matches), or None when no
+    filters. The twin of the engine's filter-postings intersection."""
+    if not filters:
+        return None
+    allowed: set[int] | None = None
+    for col in sorted(filters):
+        vals = filters[col]
+        if isinstance(vals, str):
+            vals = [vals]
+        vals = set(vals)
+        col_ids = {
+            int(r.doc_id)
+            for r in idx.docs.itertuples(index=False)
+            if getattr(r, col) is not None and getattr(r, col) in vals
+        }
+        allowed = col_ids if allowed is None else (allowed & col_ids)
+    return allowed
+
+
 def search(
     idx: OracleIndex,
     query: str,
@@ -106,6 +127,7 @@ def search(
     combine: str = "and",
     exclude: list[str] | None = None,
     extra_terms: list[str] | None = None,
+    filters: dict | None = None,
 ) -> list[tuple[int, float]]:
     """Top-k (doc_id, float64 score), pinned semantics. Returns [] on any
     cutoff/no-match path.
@@ -125,6 +147,17 @@ def search(
     is legitimate — nothing is scored); a lemma both positive and
     excluded → empty (exclusion wins); unknown excluded lemmas are
     no-ops.
+
+    ``filters``: doc-attribute restriction {column: value-or-list} over
+    the docs table (role/tool in the transcripts schema). Pinned
+    semantics (operators/filters.py is the engine side): a doc survives
+    iff for EVERY filtered column its value is one of the listed values
+    (AND across columns, OR within a column); NULL attribute values
+    never match; filters are NON-scoring — idf/avgdl/cutoff gates are
+    computed from the positive terms as if unfiltered, and surviving
+    docs keep their unfiltered scores; application point is after the
+    gates, before the top-k cut (the same slot as ``exclude`` — the two
+    compose).
     """
     terms = query_lemmas(query)  # sorted unique lemmas
     # extra_terms: PRE-ANALYZED lemmas (wildcard expansions) unioned in
@@ -139,6 +172,7 @@ def search(
     excl_docs: set[int] = set()
     for e in excl:
         excl_docs |= idx.postings.get(e, {}).keys()
+    allowed = _filter_doc_ids(idx, filters)
     scope_ids = _scope_doc_ids(idx, scope)
     n_docs = len(scope_ids)
     if n_docs == 0:
@@ -158,7 +192,11 @@ def search(
         for t, df in usable:  # lexicographic term order (pinned)
             idf = bm25_idf(df, n_docs)
             for d, tf in idx.postings.get(t, {}).items():
-                if d in scope_set and d not in excl_docs:
+                if (
+                    d in scope_set
+                    and d not in excl_docs
+                    and (allowed is None or d in allowed)
+                ):
                     scores[d] = scores.get(d, 0.0) + bm25_term_score(
                         float(tf), float(idx.doc_len[d]), avg_len, idf,
                         BM25_K1, BM25_B,
@@ -186,6 +224,12 @@ def search(
     if excl_docs:
         # exclusion AFTER the gates (gates see positive terms only)
         matched -= excl_docs
+        if not matched:
+            return []
+    if allowed is not None:
+        # attribute filters, same slot as exclusion (after gates,
+        # before the top-k cut; scores of survivors stay unfiltered)
+        matched &= allowed
         if not matched:
             return []
 

@@ -33,12 +33,21 @@ class SearchEngine:
     """Query + maintenance facade over a built index directory."""
 
     def __init__(self, spark: SparkSession, index_dir: str):
+        import os
+
         self.spark = spark
         self.index_dir = index_dir.rstrip("/")
         self._blocks = read_table(spark, f"{self.index_dir}/postings")
         self._lemma_stats = read_table(spark, f"{self.index_dir}/lemma_stats")
         self._doc_stats = read_table(spark, f"{self.index_dir}/doc_stats")
         self._docs = read_table(spark, f"{self.index_dir}/docs")
+        # attribute filter postings (operators/filters.py) — absent on
+        # indexes built with filter_cols=()
+        self._filter_blocks = (
+            read_table(spark, f"{self.index_dir}/filters")
+            if os.path.exists(f"{self.index_dir}/filters")
+            else None
+        )
         # repeated-query result cache (SearchServiceImpl.java:26-28)
         self._cache_key: tuple | None = None
         self._cache_rows: list[dict] | None = None
@@ -62,10 +71,22 @@ class SearchEngine:
         fuzzy_dist: int = 1,   # max edit distance for corrections (1 or 2)
         collapse: str | None = None,  # docs column: ≤ collapse_limit hits
         collapse_limit: int = 1,      #   per value (e.g. one per conv_id)
+        filters: dict | None = None,  # {col: value-or-list} attribute
+        #   restriction via filter postings (operators/filters.py)
     ) -> dict:
+        from search_engine_spark.operators.filters import filter_groups
+
+        fkey = filter_groups(filters)  # validates + normalizes
+        if fkey and self._filter_blocks is None:
+            raise ValueError(
+                "this index has no filters family (built with "
+                "filter_cols=()); rebuild with IndexBuildJob defaults"
+            )
+        if fkey and (match == "phrase" or scorer != "bm25"):
+            raise ValueError("filters need scorer='bm25' term match")
         key = (
             query, scope, scorer, combine, match, slop, fuzzy, fuzzy_dist,
-            collapse, collapse_limit,
+            collapse, collapse_limit, fkey,
         )
         if (
             self._cache_key == key
@@ -149,6 +170,7 @@ class SearchEngine:
                     self._blocks, self._lemma_stats, self._doc_stats,
                     terms, scope=scope, k=deep, offset=0, mode="wand",
                     combine=combine, exclude_terms=excl_terms,
+                    filters=filters, filter_postings=self._filter_blocks,
                 )
             else:
                 from search_engine_spark.operators.wand import (
@@ -160,6 +182,7 @@ class SearchEngine:
                     self._blocks, self._lemma_stats, self._doc_stats,
                     terms, scope=scope, k=deep, offset=0, mode="wand",
                     combine=combine, exclude_terms=excl_terms,
+                    filters=filters, filter_postings=self._filter_blocks,
                 )
         else:
             # legacy reference scorer (Σtf/max-tf + global-max norm) —

@@ -315,6 +315,42 @@ def q_bm25_not_topk(spark, sf_dir):
     return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
 
 
+FILTER_LANG = "en"  # ~44% of documents — the filter bites the top-10
+
+
+def q_bm25_filtered_topk(spark, sf_dir):
+    """Attribute-filtered BM25 (operators/filters.py semantics):
+    conjunctive BM25 over BM25_TERMS restricted to documents whose
+    ``lang`` is FILTER_LANG. Non-scoring — survivors keep their
+    unfiltered scores; the restriction applies BEFORE the top-k cut
+    (filter-then-cut, like ``-term`` exclusion). The filter side routes
+    through the library's build_filter_flat/filter_groups so the twin
+    pins its NULL-drop + OR-within/AND-across column semantics."""
+    from search_engine_spark.operators.filters import (
+        build_filter_flat,
+        filter_groups,
+    )
+
+    per = _bm25_per_term(spark, sf_dir, BM25_TERMS)
+    scored = (
+        per.groupBy("doc_id")
+        .agg(F.count("*").alias("_nm"), F.round(F.sum("_s"), 6).alias("score"))
+        .filter(F.col("_nm") == len(BM25_TERMS))
+        .select("doc_id", "score")
+    )
+    docs = _read(spark, sf_dir, "documents").withColumn("scope", F.lit("-"))
+    flt = build_filter_flat(docs, cols=("lang",))
+    for g in filter_groups({"lang": FILTER_LANG}, available=("lang",)):
+        scored = scored.join(
+            flt.filter(F.col("lemma").isin(list(g)))
+            .select("doc_id")
+            .distinct(),
+            "doc_id",
+            "left_semi",
+        )
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
+
+
 def q_collapse_by_source(spark, sf_dir):
     """Field collapsing (operators/query.py collapse_results): the OR
     BM25 scored set reduced to ≤1 hit per ``source``, global pinned
@@ -1015,6 +1051,29 @@ def _oracle_sql_map() -> dict[str, str]:
                 SELECT doc_id FROM ({_TF_DUCK}) WHERE term = '{NOT_TERM}')
             ORDER BY score DESC, doc_id ASC LIMIT 10
         """,
+        "bm25_filtered_topk": f"""
+            WITH lens AS (
+                SELECT doc_id, len({TOKS_DUCK})::DOUBLE AS dl FROM documents),
+            st AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM lens),
+            tf AS (SELECT * FROM ({_TF_DUCK}) WHERE term IN ('dup', 'merge')),
+            dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            per AS (
+                SELECT tf.doc_id,
+                       ln(1.0 + ((SELECT n FROM st) - dfs.df + 0.5)
+                                 / (dfs.df + 0.5))
+                       * tf.tf * {BM25_K1 + 1.0}
+                       / (tf.tf + {BM25_K1} * ({1.0 - BM25_B} + {BM25_B}
+                          * lens.dl / (SELECT avgdl FROM st))) AS _s
+                FROM tf JOIN dfs USING (term) JOIN lens USING (doc_id)),
+            scored AS (
+                SELECT doc_id, round(sum(_s), 6) AS score
+                FROM per GROUP BY doc_id HAVING count(*) = 2)
+            SELECT doc_id, score FROM scored
+            WHERE doc_id IN (
+                SELECT doc_id FROM documents
+                WHERE lang IS NOT NULL AND lang = '{FILTER_LANG}')
+            ORDER BY score DESC, doc_id ASC LIMIT 10
+        """,
         "collapse_by_source": f"""
             WITH lens AS (
                 SELECT doc_id, len({TOKS_DUCK})::DOUBLE AS dl FROM documents),
@@ -1447,6 +1506,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_not_topk": q_bm25_not_topk,
         "bm25_or_topk": q_bm25_or_topk,
         "wildcard_or_topk": q_wildcard_or_topk,
+        "bm25_filtered_topk": q_bm25_filtered_topk,
         "collapse_by_source": q_collapse_by_source,
         "phrase_match": q_phrase_match,
         "more_like_this": q_more_like_this,

@@ -1,0 +1,122 @@
+"""Attribute-filtered search: non-scoring filter postings (the Lucene
+FILTER-occur / Elasticsearch ``post_filter``-less ``filter`` clause
+analog — the reference engine has no equivalent; semantics are pinned by
+``oracle.oracle.search(filters=...)``).
+
+Docs carry low-cardinality attributes (``role``, ``tool`` in the
+transcripts input schema). A filtered query — ``search("merge sort",
+filters={"role": "assistant"})`` — must restrict the candidate set
+WITHOUT touching scoring (survivors keep their unfiltered BM25 scores)
+and WITHOUT scanning the docs table at query time. The classic inverted-
+index answer is FILTER POSTINGS: per attribute value, the sorted doc_id
+posting list, stored in the SAME compressed block format and the SAME
+doc-range sharding as term postings (operators/compress.py), in a
+separate ``filters/`` table so dictionary stats (df/cf, the 5% cutoff,
+``statistics()``) never see them.
+
+Query plan shape (scale-critical): the filter lemmas' blocks ride the
+same pruned parquet scan as the query terms' blocks (a ``lemma IN``
+pushed filter on ``filters/`` unioned into the kernel input); each WAND
+kernel intersects its shard's candidates with the shard-local filter
+set — no join against docs, no broadcast of a corpus-sized id set. A
+filter lemma is hot (df ≈ corpus/|values|), so its block list is long,
+but the kernels only DECODE blocks that can still matter (the
+conjunctive kernel's touched-block discipline; the membership set is
+one linear decode of the shard's filter blocks, same as ``-term``
+exclusions).
+
+Pinned semantics (oracle.search ``filters`` is the twin):
+- ``filters``: {column: value-or-list}. A doc survives iff for EVERY
+  filtered column its value is one of the listed values (AND across
+  columns, OR within a column).
+- NULL attribute values emit no filter posting → never match a filter.
+- Non-scoring: idf, avgdl and the df-cutoff gates are computed from the
+  positive terms exactly as if unfiltered; application point is after
+  the gates, before the top-k cut (the same slot as ``-term``
+  exclusions — the two compose).
+
+Lifecycle: built per bucket by IndexBuildJob (checkpointed ``filters``
+stage), rebuilt per TOUCHED bucket on upsert/rebalance — maintenance is
+O(changed buckets), like every other index family.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# attribute columns indexed as filter postings (the transcripts input
+# schema's low-cardinality doc attributes)
+FILTER_COLS = ("role", "tool")
+
+_SEP = "="  # filter lemma = "col=value"; analyzed lemmas ([a-zа-я0-9]+,
+# functions/analyze.TOKEN_RE) can never contain '=', so filter lemmas
+# cannot collide with scored or excluded terms inside a kernel group.
+
+
+def filter_lemma(col: str, value: str) -> str:
+    return f"{col}{_SEP}{value}"
+
+
+def filter_groups(
+    filters: dict | None, available: tuple[str, ...] = FILTER_COLS
+) -> tuple[tuple[str, ...], ...]:
+    """Normalize a user filter mapping into pinned-order lemma groups:
+    one group per column (columns sorted), values sorted unique within a
+    group. AND across groups, OR within. Raises on unindexed columns."""
+    if not filters:
+        return ()
+    groups = []
+    for col in sorted(filters):
+        if col not in available:
+            raise ValueError(
+                f"filter column {col!r} is not indexed (available: "
+                f"{sorted(available)})"
+            )
+        vals = filters[col]
+        if isinstance(vals, str):
+            vals = [vals]
+        if not vals:
+            raise ValueError(f"filter column {col!r} has no values")
+        groups.append(
+            tuple(filter_lemma(col, v) for v in sorted(set(map(str, vals))))
+        )
+    return tuple(groups)
+
+
+def build_filter_flat(
+    docs: DataFrame, cols: tuple[str, ...] = FILTER_COLS
+) -> DataFrame:
+    """docs → flat filter postings (lemma, doc_id, tf, scope, doc_len):
+    one row per (doc, non-NULL attribute). tf/doc_len are constant 1 —
+    filter postings are never scored; the columns exist only so the
+    stream feeds the SAME block encoder as term postings."""
+    parts = [
+        docs.filter(F.col(c).isNotNull()).select(
+            F.concat(F.lit(c + _SEP), F.col(c).cast("string")).alias("lemma"),
+            "doc_id",
+            F.lit(1).cast("long").alias("tf"),
+            "scope",
+            F.lit(1).cast("int").alias("doc_len"),
+        )
+        for c in cols
+    ]
+    return reduce(DataFrame.unionByName, parts)
+
+
+def build_filter_blocks(
+    docs: DataFrame, range_size: int, cols: tuple[str, ...] = FILTER_COLS
+) -> DataFrame:
+    """docs → compressed filter-posting blocks (POSTINGS schema), doc-
+    range-sharded with the SAME ``range_size`` as the term postings so a
+    query's filter blocks land in the same kernel groups as its term
+    blocks."""
+    from search_engine_spark.operators.compress import (
+        build_postings_compressed,
+    )
+
+    return build_postings_compressed(
+        build_filter_flat(docs, cols), range_size=range_size
+    )

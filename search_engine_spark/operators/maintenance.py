@@ -33,6 +33,7 @@ while every settled bucket is untouched.
 
 from __future__ import annotations
 
+import os
 import shutil
 import time
 
@@ -85,6 +86,32 @@ def _rebuild_bucket_postings(
         f"{out}/.staging_post_{b}",
         _old_dir(out, "post", b),
     )
+    if os.path.exists(f"{out}/filters"):
+        # the filters family (operators/filters.py) moves with the bucket
+        from search_engine_spark.operators.filters import (
+            FILTER_COLS,
+            build_filter_blocks,
+        )
+
+        cols = FILTER_COLS
+        try:
+            lin = {
+                r["key"]: r["value"]
+                for r in spark.read.parquet(f"{out}/lineage").collect()
+            }
+            cols = tuple(
+                c for c in lin.get("filter_cols", ",".join(cols)).split(",")
+                if c
+            )
+        except Exception:
+            pass
+        fb = build_filter_blocks(docs_b, range_size, cols)
+        _swap_in(
+            fb,
+            f"{out}/filters/bucket={b}",
+            f"{out}/.staging_filt_{b}",
+            _old_dir(out, "filt", b),
+        )
 
 
 def rebalance_buckets(job: IndexBuildJob, per_bucket: int | None = None) -> dict:
@@ -174,6 +201,7 @@ def rebalance_buckets(job: IndexBuildJob, per_bucket: int | None = None) -> dict
     for b in range(new_n, old_n):
         shutil.rmtree(f"{out}/docs/bucket={b}", ignore_errors=True)
         shutil.rmtree(f"{out}/postings/bucket={b}", ignore_errors=True)
+        shutil.rmtree(f"{out}/filters/bucket={b}", ignore_errors=True)
 
     # lemma_stats re-derives from the (re-sharded) blocks — values are
     # identical, the invariant "stats come from current blocks" is kept;

@@ -89,20 +89,25 @@ def bm25_search(
     offset: int = 0,
     combine: str = "and",
     exclude_terms: list[str] | None = None,
+    filters: dict | None = None,
+    filter_postings_flat: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k BM25 → DataFrame(doc_id, score), pinned semantics
     (oracle.search is the twin). ``combine``: "and" = conjunction with the
     whole-query cutoff kill; "or" = disjunction with per-term cutoff DROP
     (see oracle.search docstring). ``exclude_terms``: analyzed lemmas
     whose docs drop from the candidates before top-k (``-term`` syntax;
-    oracle.search ``exclude`` is the twin)."""
+    oracle.search ``exclude`` is the twin). ``filters`` +
+    ``filter_postings_flat``: attribute restriction (operators/filters.py
+    semantics; the flat analog of the blocks path's filter postings)."""
     terms = query_lemmas(query)
     if not terms:
         return _empty(postings_flat.sparkSession)
     return bm25_from_terms(
         postings_flat, lemma_stats, doc_stats, terms,
         scope=scope, k=k, offset=offset, combine=combine,
-        exclude_terms=exclude_terms,
+        exclude_terms=exclude_terms, filters=filters,
+        filter_postings_flat=filter_postings_flat,
     )
 
 
@@ -118,6 +123,8 @@ def bm25_from_terms(
     combine: str = "and",
     exclude_doc_id: int | None = None,
     exclude_terms: list[str] | None = None,
+    filters: dict | None = None,
+    filter_postings_flat: DataFrame | None = None,
 ) -> DataFrame:
     """Terms-based core of ``bm25_search`` (callers pass pre-analyzed
     lemmas — the query path via ``query_lemmas``, more-like-this via the
@@ -130,6 +137,8 @@ def bm25_from_terms(
     left-anti join on the excluded lemmas' postings (pushed ``IN``
     scan, same shape as the positive fetch). Pinned: gates see positive
     terms only; positive ∩ excluded → empty; no cutoff on exclusions."""
+    from search_engine_spark.operators.filters import filter_groups
+
     spark = postings_flat.sparkSession
     terms = sorted(set(terms))
     if not terms:
@@ -137,6 +146,12 @@ def bm25_from_terms(
     excl = sorted(set(exclude_terms or []))
     if excl and set(excl) & set(terms):
         return _empty(spark)
+    groups = filter_groups(filters)
+    if groups and filter_postings_flat is None:
+        raise ValueError(
+            "filters=... needs the flat filter postings "
+            "(operators/filters.build_filter_flat)"
+        )
     n_docs, avg_len = _scope_stats(doc_stats, scope)
     if n_docs == 0:
         return _empty(spark)
@@ -184,6 +199,16 @@ def bm25_from_terms(
             ex = ex.filter(F.col("scope") == scope)
         scored = scored.join(
             ex.select("doc_id").distinct(), "doc_id", "left_anti"
+        )
+    for g in groups:
+        # one semi-join per filtered column: the group's values OR via
+        # the pushed ``IN (lemma)`` scan, columns AND by stacking joins
+        # (same slot as exclusion — after gates, before the top-k cut)
+        fp = filter_postings_flat.filter(F.col("lemma").isin(list(g)))
+        if scope is not None:
+            fp = fp.filter(F.col("scope") == scope)
+        scored = scored.join(
+            fp.select("doc_id").distinct(), "doc_id", "left_semi"
         )
     return _paginate(scored, k, offset)
 

@@ -139,11 +139,12 @@ def recover_swaps(out: str) -> list[str]:
     whose live dir is missing is renamed back (pre-upsert state — the
     idempotent rerun then reapplies the delta); one whose live dir exists
     is a completed swap and is dropped. Returns the restored paths."""
+    kinds = {"docs": "docs", "post": "postings", "filt": "filters"}
     restored = []
     for old in glob.glob(f"{out}/.old_*_*"):
         name = os.path.basename(old)[len(".old_"):]
         kind, _, bucket = name.rpartition("_")
-        final = f"{out}/{'docs' if kind == 'docs' else 'postings'}/bucket={bucket}"
+        final = f"{out}/{kinds.get(kind, 'postings')}/bucket={bucket}"
         if os.path.exists(final):
             shutil.rmtree(old, ignore_errors=True)
         else:
@@ -175,6 +176,10 @@ def upsert_turns(
     }
     range_size = int(lineage["range_size"])
     last_bucket = int(lineage["n_buckets"]) - 1
+    has_filters = os.path.exists(f"{out}/filters")
+    filter_cols = tuple(
+        c for c in lineage.get("filter_cols", "role,tool").split(",") if c
+    )
 
     # ≤1-row agg collect — the broadcast-stats analog, not a driver loop
     max_id = docs.agg(F.max("doc_id").alias("m")).collect()[0]["m"] or 0
@@ -221,6 +226,18 @@ def upsert_turns(
             blocks_b, f"{out}/postings/bucket={b}", f"{out}/.staging_post_{b}",
             _old_dir(out, "post", b),
         )
+        if has_filters:
+            # the filters family (operators/filters.py) rebuilds per
+            # touched bucket exactly like term postings
+            from search_engine_spark.operators.filters import (
+                build_filter_blocks,
+            )
+
+            fb = build_filter_blocks(docs_b, range_size, filter_cols)
+            _swap_in(
+                fb, f"{out}/filters/bucket={b}",
+                f"{out}/.staging_filt_{b}", _old_dir(out, "filt", b),
+            )
 
     # stats refresh from small outputs (never rescans the corpus)
     blocks = spark.read.parquet(f"{out}/postings")

@@ -165,6 +165,48 @@ def _drop_excluded(
     return (cand[keep], *(a[keep] for a in aligned))
 
 
+def _gather_required(pdf: pd.DataFrame, groups):
+    """Shard-local doc_ids passing the attribute filters (operators/
+    filters.py): per group (one per filtered column), the union of its
+    filter lemmas' doc_ids; groups intersect. None when unfiltered; an
+    EMPTY array when some group has no postings in this shard (no doc
+    here carries the attribute — the shard contributes nothing). One
+    linear decode of the shard's filter blocks, the required-side twin
+    of ``_gather_excluded``."""
+    if not groups:
+        return None
+    req = None
+    for g in groups:
+        gp = pdf[pdf["lemma"].isin(g)]
+        if gp.empty:
+            return np.empty(0, dtype=np.int64)
+        ids = np.unique(
+            np.concatenate(
+                [
+                    delta_decode(varbyte_decode(d)).astype(np.int64)
+                    for d in gp["doc_ids"].to_numpy(object)
+                ]
+            )
+        )
+        req = ids if req is None else req[np.isin(req, ids, assume_unique=True)]
+        if req.size == 0:
+            return req
+    return req
+
+
+def _keep_required(
+    cand: np.ndarray, req, *aligned: np.ndarray
+) -> tuple[np.ndarray, ...]:
+    """Mask ``cand`` (unique doc_ids) and aligned arrays down to the
+    required (filter-passing) set. ``req=None`` = unfiltered."""
+    if req is None or cand.size == 0:
+        return (cand, *aligned)
+    keep = np.isin(cand, req, assume_unique=True)
+    if keep.all():
+        return (cand, *aligned)
+    return (cand[keep], *(a[keep] for a in aligned))
+
+
 def _heap_push(heap: list, m: int, cand: np.ndarray, scores: np.ndarray) -> None:
     for d, s in zip(cand.tolist(), scores.tolist()):
         item = (s, -d)
@@ -184,11 +226,12 @@ def _heap_frame(heap: list) -> pd.DataFrame:
     )
 
 
-def _shard_or_exact_kernel(terms, idfs, avg_len, m, excl_terms=()):
+def _shard_or_exact_kernel(terms, idfs, avg_len, m, excl_terms=(), req_groups=()):
     """Per-shard grouped-map fn: exact disjunctive scoring, local top-m."""
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         excl = _gather_excluded(pdf, excl_terms)
+        req = _gather_required(pdf, req_groups)
         per_term = []
         for t in terms:
             tp = pdf[pdf["lemma"] == t]
@@ -199,6 +242,7 @@ def _shard_or_exact_kernel(terms, idfs, avg_len, m, excl_terms=()):
                 per_term.append(_gather_term(tp))
         cand, scores = _union_score(per_term, idfs, avg_len)
         cand, scores = _drop_excluded(cand, excl, scores)
+        cand, scores = _keep_required(cand, req, scores)
         if cand.size > m:
             sel = np.lexsort((cand, -scores))[:m]
             cand, scores = cand[sel], scores[sel]
@@ -207,7 +251,7 @@ def _shard_or_exact_kernel(terms, idfs, avg_len, m, excl_terms=()):
     return fn
 
 
-def _shard_or_wand_kernel(terms, idfs, avg_len, m, excl_terms=()):
+def _shard_or_wand_kernel(terms, idfs, avg_len, m, excl_terms=(), req_groups=()):
     """Per-shard grouped-map fn: block-max WEAK-AND (disjunctive WAND,
     Broder et al.): sweep doc-id SEGMENTS (the partition induced by all
     block boundaries — within a segment each term's active block set is
@@ -219,6 +263,9 @@ def _shard_or_wand_kernel(terms, idfs, avg_len, m, excl_terms=()):
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         excl = _gather_excluded(pdf, excl_terms)
+        req = _gather_required(pdf, req_groups)
+        if req is not None and req.size == 0:
+            return _heap_frame([])  # a filter group is absent here
         metas = []
         for t in terms:
             tp = pdf[pdf["lemma"] == t].reset_index(drop=True)
@@ -299,20 +346,22 @@ def _shard_or_wand_kernel(terms, idfs, avg_len, m, excl_terms=()):
                 b = np.searchsorted(ids, hi, side="right")
                 per_term.append((ids[a:b], tfs[a:b], dls[a:b]))
             cand, scores = _union_score(per_term, idfs, avg_len)
-            # exclusion before the heap: θ only ever reflects scorable
-            # docs, so the weak-AND segment skip stays exact
+            # exclusion/filter before the heap: θ only ever reflects
+            # scorable docs, so the weak-AND segment skip stays exact
             cand, scores = _drop_excluded(cand, excl, scores)
+            cand, scores = _keep_required(cand, req, scores)
             _heap_push(heap, m, cand, scores)
         return _heap_frame(heap)
 
     return fn
 
 
-def _shard_exact_kernel(terms, idfs, avg_len, m, excl_terms=()):
+def _shard_exact_kernel(terms, idfs, avg_len, m, excl_terms=(), req_groups=()):
     """Per-shard grouped-map fn: exact conjunctive scoring, local top-m."""
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         excl = _gather_excluded(pdf, excl_terms)
+        req = _gather_required(pdf, req_groups)
         per_term = []
         for t in terms:
             tp = pdf[pdf["lemma"] == t]
@@ -323,6 +372,7 @@ def _shard_exact_kernel(terms, idfs, avg_len, m, excl_terms=()):
             per_term.append(_gather_term(tp))
         cand, scores = _intersect_score(per_term, idfs, avg_len)
         cand, scores = _drop_excluded(cand, excl, scores)
+        cand, scores = _keep_required(cand, req, scores)
         if cand.size > m:
             # local top-m with (score desc, doc_id asc) — lexsort keys
             sel = np.lexsort((cand, -scores))[:m]
@@ -332,7 +382,7 @@ def _shard_exact_kernel(terms, idfs, avg_len, m, excl_terms=()):
     return fn
 
 
-def _shard_wand_kernel(terms, idfs, avg_len, m, excl_terms=()):
+def _shard_wand_kernel(terms, idfs, avg_len, m, excl_terms=(), req_groups=()):
     """Per-shard grouped-map fn: conjunctive block-max WAND, local top-m."""
     n_terms = len(terms)
 
@@ -367,6 +417,9 @@ def _shard_wand_kernel(terms, idfs, avg_len, m, excl_terms=()):
         rarest = min(range(n_terms), key=lambda i: metas[i]["count"])
         others = [i for i in range(n_terms) if i != rarest]
         excl = _gather_excluded(pdf, excl_terms)
+        req = _gather_required(pdf, req_groups)
+        if req is not None and req.size == 0:
+            return empty  # a filter group is absent from this shard
 
         def decode_block(ti: int, ri: int):
             meta = metas[ti]
@@ -469,10 +522,11 @@ def _shard_wand_kernel(terms, idfs, avg_len, m, excl_terms=()):
                 if ub < theta:
                     continue  # block-max skip
             cand, r_tfs, r_dls = decode_block(rarest, rb)
-            # drop excluded docs from the rare block's candidates up
-            # front: θ only ever reflects scorable docs, so the
-            # block-max skip stays exact
+            # drop excluded / filtered-out docs from the rare block's
+            # candidates up front: θ only ever reflects scorable docs,
+            # so the block-max skip stays exact
             cand, r_tfs, r_dls = _drop_excluded(cand, excl, r_tfs, r_dls)
+            cand, r_tfs, r_dls = _keep_required(cand, req, r_tfs, r_dls)
             if cand.size == 0:
                 continue
             per_tf: dict[int, tuple[np.ndarray, np.ndarray]] = {
@@ -532,20 +586,25 @@ def bm25_search_blocks(
     mode: str = "wand",
     combine: str = "and",
     exclude_terms: list[str] | None = None,
+    filters: dict | None = None,
+    filter_postings: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k BM25 over POSTINGS blocks; rank-identical to the flat path
     and the oracle. ``mode`` ∈ {"wand", "exact"}; ``combine`` ∈ {"and",
     "or"} — "or" drops over-cutoff terms per-term (oracle.search twin) and
     runs the weak-AND (disjunctive block-max) kernel when mode="wand".
     ``exclude_terms``: analyzed lemmas whose docs drop from candidates
-    before the top-k cut (``-term`` syntax; see bm25_blocks_from_terms)."""
+    before the top-k cut (``-term`` syntax; see bm25_blocks_from_terms).
+    ``filters`` + ``filter_postings``: attribute restriction served from
+    the filter-postings table (operators/filters.py)."""
     terms = query_lemmas(query)
     if not terms:
         return _empty(postings.sparkSession)
     return bm25_blocks_from_terms(
         postings, lemma_stats, doc_stats, terms,
         scope=scope, k=k, offset=offset, mode=mode, combine=combine,
-        exclude_terms=exclude_terms,
+        exclude_terms=exclude_terms, filters=filters,
+        filter_postings=filter_postings,
     )
 
 
@@ -561,6 +620,8 @@ def bm25_blocks_from_terms(
     mode: str = "wand",
     combine: str = "and",
     exclude_terms: list[str] | None = None,
+    filters: dict | None = None,
+    filter_postings: DataFrame | None = None,
 ) -> DataFrame:
     """Terms-based core of ``bm25_search_blocks`` (callers pass
     pre-analyzed lemmas — fuzzy-corrected queries, more-like-this).
@@ -571,8 +632,17 @@ def bm25_blocks_from_terms(
     scan (they shard by doc range like everything else, so each
     shard's exclusion set is local to the kernel); gates see positive
     terms only; positive ∩ excluded → empty; no cutoff on exclusions
-    (oracle.search ``exclude`` is the twin)."""
+    (oracle.search ``exclude`` is the twin).
+
+    ``filters``: {column: value-or-list} attribute restriction
+    (operators/filters.py semantics; oracle.search ``filters`` is the
+    twin). ``filter_postings`` is the index's ``filters/`` blocks table
+    (same POSTINGS schema and doc-range sharding) — the needed filter
+    lemmas' blocks union into the kernel scan and each shard intersects
+    its candidates with its local filter set; non-scoring, gates
+    untouched, applied before the top-k cut."""
     from search_engine_spark.functions.scoring import df_cutoff
+    from search_engine_spark.operators.filters import filter_groups
 
     spark = postings.sparkSession
     terms = sorted(set(terms))
@@ -581,6 +651,12 @@ def bm25_blocks_from_terms(
     excl = sorted(set(exclude_terms or []))
     if excl and set(excl) & set(terms):
         return _empty(spark)
+    groups = filter_groups(filters)
+    if groups and filter_postings is None:
+        raise ValueError(
+            "filters=... needs the index's filter-postings table "
+            "(filter_postings); build with IndexBuildJob (filters stage)"
+        )
     n_docs, avg_len = _scope_stats(doc_stats, scope)
     if n_docs == 0:
         return _empty(spark)
@@ -593,9 +669,15 @@ def bm25_blocks_from_terms(
     elif query_killed_by_cutoff(list(dfs.values()), n_docs):
         return _empty(spark)
     idfs = [bm25_idf(dfs[t], n_docs) for t in terms]
+    blocks = prune_blocks(postings, terms + excl, scope)
+    if groups:
+        flt = prune_blocks(
+            filter_postings, [l for g in groups for l in g], scope
+        )
+        blocks = blocks.unionByName(flt)
     return _blocks_core(
-        prune_blocks(postings, terms + excl, scope),
-        terms, idfs, avg_len, k, offset, mode, combine, excl,
+        blocks, terms, idfs, avg_len, k, offset, mode, combine, excl,
+        groups,
     )
 
 
@@ -609,11 +691,12 @@ def _blocks_core(
     mode: str,
     combine: str,
     excl_terms: list[str] | None = None,
+    req_groups: tuple = (),
 ) -> DataFrame:
     """Scoring core once stats are resolved: per-shard kernels →
     TakeOrderedAndProject merge. ``blocks`` must already be filtered to
-    the query terms (plus any excluded terms) and scope, and pruned to
-    the kernel columns."""
+    the query terms (plus any excluded/filter lemmas) and scope, and
+    pruned to the kernel columns."""
     m = offset + k
     kernels = {
         ("and", "wand"): _shard_wand_kernel,
@@ -622,7 +705,7 @@ def _blocks_core(
         ("or", "exact"): _shard_or_exact_kernel,
     }
     kernel = kernels[(combine, mode)](
-        terms, idfs, avg_len, m, tuple(excl_terms or ())
+        terms, idfs, avg_len, m, tuple(excl_terms or ()), tuple(req_groups)
     )
     per_shard = blocks.groupBy("shard").applyInPandas(kernel, schema=SEARCH_RESULT)
     return _paginate(per_shard, k, offset)

@@ -71,13 +71,19 @@ class IndexBuildJob:
         docs_per_shard: int = DEFAULT_DOCS_PER_SHARD,
         run_id: str | None = None,
         positional: bool = False,
+        filter_cols: tuple[str, ...] | None = None,
     ):
+        from search_engine_spark.operators.filters import FILTER_COLS
+
         self.spark = spark
         self.transcripts_path = transcripts_path
         self.out = out_dir.rstrip("/")
         self.n_buckets = int(n_buckets)
         self.docs_per_shard = int(docs_per_shard)
         self.positional = bool(positional)
+        # attribute columns indexed as non-scoring filter postings
+        # (operators/filters.py); () disables the filters family
+        self.filter_cols = FILTER_COLS if filter_cols is None else tuple(filter_cols)
         self.run_id = run_id or f"run-{uuid.uuid4().hex[:12]}"
         # cooperative cancellation (reference: stop-flag machinery in
         # IndexingServiceImpl.java:36, 50-64 / WebParser.java:65-68)
@@ -159,6 +165,7 @@ class IndexBuildJob:
                 (self.run_id, "n_buckets", str(self.n_buckets), None),
                 (self.run_id, "docs_per_shard", str(self.docs_per_shard), None),
                 (self.run_id, "positional", str(self.positional), None),
+                (self.run_id, "filter_cols", ",".join(self.filter_cols), None),
                 (self.run_id, "range_size",
                  str(shard_spec(total, self.docs_per_shard)), None),
             ],
@@ -201,6 +208,21 @@ class IndexBuildJob:
             )
             n = self.spark.read.parquet(f"{self.out}/postings/bucket={b}").count()
             self._checkpoint("postings", b, n, t0)
+        if self.filter_cols and ("filters", b) not in done:
+            # attribute filter postings (operators/filters.py): same
+            # block format + doc-range sharding, separate table so
+            # df/cf stats never see them
+            from search_engine_spark.operators.filters import (
+                build_filter_blocks,
+            )
+
+            t0 = time.time()
+            docs_b = self.spark.read.parquet(f"{self.out}/docs/bucket={b}")
+            build_filter_blocks(
+                docs_b, range_size, self.filter_cols
+            ).write.mode("overwrite").parquet(f"{self.out}/filters/bucket={b}")
+            n = self.spark.read.parquet(f"{self.out}/filters/bucket={b}").count()
+            self._checkpoint("filters", b, n, t0)
 
     def _stage_stats(self, done: set) -> None:
         """Global stats from the small outputs (no corpus rescan)."""
@@ -247,7 +269,11 @@ class IndexBuildJob:
             if self._cancel.is_set():
                 cancelled = True
                 break
-            if ("docs", b) in done and ("postings", b) in done:
+            if (
+                ("docs", b) in done
+                and ("postings", b) in done
+                and (not self.filter_cols or ("filters", b) in done)
+            ):
                 continue
             t0 = time.time()
             try:
@@ -283,8 +309,14 @@ class IndexBuildJob:
     # -- read side ----------------------------------------------------------
 
     def tables(self) -> dict[str, DataFrame]:
+        import os
+
         r = self.spark.read
+        extra = {}
+        if os.path.exists(f"{self.out}/filters"):
+            extra["filters"] = r.parquet(f"{self.out}/filters")
         return {
+            **extra,
             "docs": r.parquet(f"{self.out}/docs"),
             "postings": r.parquet(f"{self.out}/postings"),
             "lemma_stats": r.parquet(f"{self.out}/lemma_stats"),
