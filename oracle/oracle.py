@@ -105,16 +105,46 @@ def _filter_doc_ids(idx: OracleIndex, filters: dict | None) -> set | None:
     allowed: set[int] | None = None
     for col in sorted(filters):
         vals = filters[col]
-        if isinstance(vals, str):
-            vals = [vals]
-        vals = set(vals)
-        col_ids = {
-            int(r.doc_id)
-            for r in idx.docs.itertuples(index=False)
-            if getattr(r, col) is not None and getattr(r, col) in vals
-        }
+        if col == "date":
+            col_ids = _date_doc_ids(idx, vals)
+        else:
+            if isinstance(vals, str):
+                vals = [vals]
+            vals = set(vals)
+            col_ids = {
+                int(r.doc_id)
+                for r in idx.docs.itertuples(index=False)
+                if getattr(r, col) is not None and getattr(r, col) in vals
+            }
         allowed = col_ids if allowed is None else (allowed & col_ids)
     return allowed
+
+
+def _date_doc_ids(idx: OracleIndex, vals) -> set:
+    """Doc ids whose UTC ts-day matches the "date" filter: a {"from",
+    "to"} dict is the inclusive day range, a day string / list of day
+    strings the exact days. NULL (NaT) ts never matches. Twin of the
+    engine's date-family filter postings + ``date_cover`` expansion
+    (operators/filters.py)."""
+    if isinstance(vals, dict):
+        lo, hi = str(vals["from"]), str(vals["to"])
+        if lo > hi:
+            raise ValueError(f"empty date range: {lo!r} > {hi!r}")
+        return {
+            int(r.doc_id)
+            for r in idx.docs.itertuples(index=False)
+            if r.ts is not None
+            and not pd.isna(r.ts)
+            and lo <= r.ts.strftime("%Y-%m-%d") <= hi
+        }
+    days = {vals} if isinstance(vals, str) else set(map(str, vals))
+    return {
+        int(r.doc_id)
+        for r in idx.docs.itertuples(index=False)
+        if r.ts is not None
+        and not pd.isna(r.ts)
+        and r.ts.strftime("%Y-%m-%d") in days
+    }
 
 
 def search(

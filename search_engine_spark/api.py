@@ -42,12 +42,35 @@ class SearchEngine:
         self._doc_stats = read_table(spark, f"{self.index_dir}/doc_stats")
         self._docs = read_table(spark, f"{self.index_dir}/docs")
         # attribute filter postings (operators/filters.py) — absent on
-        # indexes built with filter_cols=()
-        self._filter_blocks = (
-            read_table(spark, f"{self.index_dir}/filters")
-            if os.path.exists(f"{self.index_dir}/filters")
-            else None
-        )
+        # indexes built with filter_cols=(). The families actually
+        # indexed come from the lineage table (tiny collect), so a
+        # filter on an unindexed family errors instead of silently
+        # matching nothing.
+        from search_engine_spark.operators.filters import FILTER_COLS
+
+        self._filter_blocks = None
+        self._filter_cols: tuple[str, ...] = ()
+        if os.path.exists(f"{self.index_dir}/filters"):
+            self._filter_blocks = read_table(
+                spark, f"{self.index_dir}/filters"
+            )
+            self._filter_cols = FILTER_COLS
+            try:
+                lin = {
+                    r["key"]: r["value"]
+                    for r in spark.read.parquet(
+                        f"{self.index_dir}/lineage"
+                    ).collect()
+                }
+                self._filter_cols = tuple(
+                    c
+                    for c in lin.get(
+                        "filter_cols", ",".join(FILTER_COLS)
+                    ).split(",")
+                    if c
+                )
+            except Exception:
+                pass
         # repeated-query result cache (SearchServiceImpl.java:26-28)
         self._cache_key: tuple | None = None
         self._cache_rows: list[dict] | None = None
@@ -76,12 +99,13 @@ class SearchEngine:
     ) -> dict:
         from search_engine_spark.operators.filters import filter_groups
 
-        fkey = filter_groups(filters)  # validates + normalizes
-        if fkey and self._filter_blocks is None:
+        if filters and self._filter_blocks is None:
             raise ValueError(
                 "this index has no filters family (built with "
                 "filter_cols=()); rebuild with IndexBuildJob defaults"
             )
+        # validates + normalizes against the families THIS index built
+        fkey = filter_groups(filters, available=self._filter_cols)
         if fkey and (match == "phrase" or scorer != "bm25"):
             raise ValueError("filters need scorer='bm25' term match")
         key = (

@@ -773,6 +773,41 @@ def q_events_hourly(spark, sf_dir):
     )
 
 
+DATE_FROM, DATE_TO = "2024-01-05", "2024-01-17"  # mid-range: bites
+
+
+def q_events_date_filter(spark, sf_dir):
+    """Date-range restriction through the calendar filter-posting family
+    (operators/filters.py): events become pseudo-docs, post under their
+    UTC day/month/year lemmas, and the inclusive range [DATE_FROM,
+    DATE_TO] expands to its minimal ``date_cover`` lemma group — the
+    semi-join on that group must select EXACTLY the rows DuckDB selects
+    with a plain BETWEEN on CAST(ts AS DATE). Counts per event_type pin
+    the selection."""
+    from search_engine_spark.operators.filters import (
+        build_filter_flat,
+        filter_groups,
+    )
+
+    ev = _read(spark, sf_dir, "events")
+    docs = ev.select(
+        F.col("event_id").alias("doc_id"), "ts", F.lit("-").alias("scope")
+    )
+    flt = build_filter_flat(docs, cols=("date",))
+    sel = ev.withColumnRenamed("event_id", "doc_id")
+    for g in filter_groups(
+        {"date": {"from": DATE_FROM, "to": DATE_TO}}, available=("date",)
+    ):
+        sel = sel.join(
+            flt.filter(F.col("lemma").isin(list(g)))
+            .select("doc_id")
+            .distinct(),
+            "doc_id",
+            "left_semi",
+        )
+    return sel.groupBy("event_type").agg(F.count("*").alias("n_events"))
+
+
 def q_events_sessions(spark, sf_dir):
     """30-min-gap sessionization per user → session count (lag + window)."""
     ev = _read(spark, sf_dir, "events")
@@ -1377,6 +1412,14 @@ def _oracle_sql_map() -> dict[str, str]:
                    count(*) AS n_events, round(sum(value), 6) AS value_sum
             FROM events GROUP BY 1, 2
         """,
+        "events_date_filter": f"""
+            SELECT event_type, count(*) AS n_events
+            FROM events
+            WHERE ts IS NOT NULL
+              AND CAST(ts AS DATE) BETWEEN DATE '{DATE_FROM}'
+                                       AND DATE '{DATE_TO}'
+            GROUP BY event_type
+        """,
         "events_sessions": """
             WITH g AS (
                 SELECT user_id,
@@ -1530,6 +1573,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "stats_rollup": q_stats_rollup,
         "events_hourly": q_events_hourly,
+        "events_date_filter": q_events_date_filter,
         "events_sessions": q_events_sessions,
         "tpch_pricing": q_tpch_pricing,
         "tpch_top_customers": q_tpch_top_customers,

@@ -48,8 +48,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 # attribute columns indexed as filter postings (the transcripts input
-# schema's low-cardinality doc attributes)
-FILTER_COLS = ("role", "tool")
+# schema's low-cardinality doc attributes). "date" is the calendar
+# family derived from ``ts``: every non-NULL-ts doc posts under its
+# day, month and year lemmas (3 rows/doc), so a date-range query
+# expands to the MINIMAL mixed-granularity cover of the range — a full
+# year is 1 lemma, not 365 (the Lucene/ES date-histogram rollup idea
+# applied to filter postings; at 10^12 turns a multi-year range stays
+# a handful of hot posting lists instead of thousands).
+FILTER_COLS = ("date", "role", "tool")
 
 _SEP = "="  # filter lemma = "col=value"; analyzed lemmas ([a-zа-я0-9]+,
 # functions/analyze.TOKEN_RE) can never contain '=', so filter lemmas
@@ -58,6 +64,39 @@ _SEP = "="  # filter lemma = "col=value"; analyzed lemmas ([a-zа-я0-9]+,
 
 def filter_lemma(col: str, value: str) -> str:
     return f"{col}{_SEP}{value}"
+
+
+def date_cover(frm: str, to: str) -> tuple[str, ...]:
+    """Minimal mixed-granularity lemma cover of the INCLUSIVE calendar-day
+    range [frm, to] (ISO 'YYYY-MM-DD', UTC — the session timezone is
+    pinned UTC in sources/session.py). Greedy left-to-right: a whole year
+    inside the range emits its year lemma, a whole month its month lemma,
+    anything else day lemmas. The union of the covered docs is EXACTLY
+    the docs whose ts-day falls in the range, because every doc posts
+    under all three granularities (build_filter_flat)."""
+    from datetime import date, timedelta
+
+    cur, end = date.fromisoformat(frm), date.fromisoformat(to)
+    if cur > end:
+        raise ValueError(f"empty date range: {frm!r} > {to!r}")
+    out: list[str] = []
+    while cur <= end:
+        if cur.month == 1 and cur.day == 1 and date(cur.year, 12, 31) <= end:
+            out.append(f"date{_SEP}y:{cur.year:04d}")
+            cur = date(cur.year + 1, 1, 1)
+            continue
+        nxt = (
+            date(cur.year + 1, 1, 1)
+            if cur.month == 12
+            else date(cur.year, cur.month + 1, 1)
+        )
+        if cur.day == 1 and nxt - timedelta(days=1) <= end:
+            out.append(f"date{_SEP}m:{cur:%Y-%m}")
+            cur = nxt
+        else:
+            out.append(f"date{_SEP}d:{cur:%Y-%m-%d}")
+            cur += timedelta(days=1)
+    return tuple(out)
 
 
 def filter_groups(
@@ -76,6 +115,9 @@ def filter_groups(
                 f"{sorted(available)})"
             )
         vals = filters[col]
+        if col == "date":
+            groups.append(_date_group(vals))
+            continue
         if isinstance(vals, str):
             vals = [vals]
         if not vals:
@@ -86,23 +128,69 @@ def filter_groups(
     return tuple(groups)
 
 
+def _date_group(vals) -> tuple[str, ...]:
+    """The "date" family's group: {"from": day, "to": day} → minimal
+    cover; a day string or list of day strings → their day lemmas.
+    Days are ISO 'YYYY-MM-DD' (validated); NULL ts never matches."""
+    from datetime import date
+
+    if isinstance(vals, dict):
+        extra = set(vals) - {"from", "to"}
+        if extra or "from" not in vals or "to" not in vals:
+            raise ValueError(
+                'date range filter is {"from": "YYYY-MM-DD", "to": '
+                f'"YYYY-MM-DD"}}; got keys {sorted(vals)}'
+            )
+        return date_cover(vals["from"], vals["to"])
+    if isinstance(vals, str):
+        vals = [vals]
+    if not vals:
+        raise ValueError("filter column 'date' has no values")
+    days = sorted(set(map(str, vals)))
+    for d in days:
+        date.fromisoformat(d)  # raises on malformed days
+    return tuple(f"date{_SEP}d:{d}" for d in days)
+
+
 def build_filter_flat(
     docs: DataFrame, cols: tuple[str, ...] = FILTER_COLS
 ) -> DataFrame:
     """docs → flat filter postings (lemma, doc_id, tf, scope, doc_len):
-    one row per (doc, non-NULL attribute). tf/doc_len are constant 1 —
-    filter postings are never scored; the columns exist only so the
-    stream feeds the SAME block encoder as term postings."""
-    parts = [
-        docs.filter(F.col(c).isNotNull()).select(
-            F.concat(F.lit(c + _SEP), F.col(c).cast("string")).alias("lemma"),
+    one row per (doc, non-NULL attribute); the "date" family posts each
+    non-NULL-ts doc under its day, month AND year lemmas (UTC — pinned
+    session timezone) so range queries hit the minimal ``date_cover``.
+    tf/doc_len are constant 1 — filter postings are never scored; the
+    columns exist only so the stream feeds the SAME block encoder as
+    term postings."""
+
+    def _part(src: DataFrame, lemma_col) -> DataFrame:
+        return src.select(
+            lemma_col.alias("lemma"),
             "doc_id",
             F.lit(1).cast("long").alias("tf"),
             "scope",
             F.lit(1).cast("int").alias("doc_len"),
         )
-        for c in cols
-    ]
+
+    parts = []
+    for c in cols:
+        if c == "date":
+            dated = docs.filter(F.col("ts").isNotNull())
+            for tag, fmt in (
+                ("d", "yyyy-MM-dd"), ("m", "yyyy-MM"), ("y", "yyyy")
+            ):
+                parts.append(_part(
+                    dated,
+                    F.concat(
+                        F.lit(f"date{_SEP}{tag}:"),
+                        F.date_format("ts", fmt),
+                    ),
+                ))
+            continue
+        parts.append(_part(
+            docs.filter(F.col(c).isNotNull()),
+            F.concat(F.lit(c + _SEP), F.col(c).cast("string")),
+        ))
     return reduce(DataFrame.unionByName, parts)
 
 

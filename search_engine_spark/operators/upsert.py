@@ -176,9 +176,13 @@ def upsert_turns(
     }
     range_size = int(lineage["range_size"])
     last_bucket = int(lineage["n_buckets"]) - 1
+    from search_engine_spark.operators.filters import FILTER_COLS
+
     has_filters = os.path.exists(f"{out}/filters")
     filter_cols = tuple(
-        c for c in lineage.get("filter_cols", "role,tool").split(",") if c
+        c
+        for c in lineage.get("filter_cols", ",".join(FILTER_COLS)).split(",")
+        if c
     )
 
     # ≤1-row agg collect — the broadcast-stats analog, not a driver loop

@@ -43,6 +43,101 @@ def test_filter_groups_normalization():
         filter_groups({"role": []})
 
 
+# -- calendar date family ------------------------------------------------------
+
+
+def _expand_cover(lemmas) -> set[str]:
+    """Brute-force expansion of a cover back to its day strings."""
+    from datetime import date, timedelta
+
+    days: set[str] = set()
+    for lem in lemmas:
+        tag, v = lem.split("=", 1)[1].split(":", 1)
+        if tag == "d":
+            days.add(v)
+        elif tag == "m":
+            y, m = map(int, v.split("-"))
+            cur = date(y, m, 1)
+            while cur.month == m:
+                days.add(cur.isoformat())
+                cur += timedelta(days=1)
+        else:
+            y = int(v)
+            cur = date(y, 1, 1)
+            while cur.year == y:
+                days.add(cur.isoformat())
+                cur += timedelta(days=1)
+    return days
+
+
+def test_date_cover_minimal_and_exact():
+    from datetime import date, timedelta
+
+    from search_engine_spark.operators.filters import date_cover
+
+    assert date_cover("2025-01-03", "2025-01-05") == (
+        "date=d:2025-01-03", "date=d:2025-01-04", "date=d:2025-01-05",
+    )
+    assert date_cover("2025-01-01", "2025-12-31") == ("date=y:2025",)
+    assert date_cover("2025-02-01", "2025-02-28") == ("date=m:2025-02",)
+    cov = date_cover("2024-12-30", "2026-02-03")
+    assert "date=y:2025" in cov and "date=m:2026-01" in cov
+    with pytest.raises(ValueError, match="empty date range"):
+        date_cover("2025-01-02", "2025-01-01")
+
+    # property: expansion == exact day enumeration for a sweep of ranges
+    rng = np.random.default_rng(7)
+    base = date(2023, 11, 20)
+    for _ in range(60):
+        a = base + timedelta(days=int(rng.integers(0, 500)))
+        b = a + timedelta(days=int(rng.integers(0, 900)))
+        cov = date_cover(a.isoformat(), b.isoformat())
+        exact = {
+            (a + timedelta(days=i)).isoformat()
+            for i in range((b - a).days + 1)
+        }
+        assert _expand_cover(cov) == exact, (a, b)
+        # minimality: never more lemmas than days, and any span covering
+        # a whole year compresses below day count
+        assert len(cov) <= (b - a).days + 1
+
+
+def test_date_group_forms():
+    assert filter_groups({"date": "2025-01-03"}) == (
+        ("date=d:2025-01-03",),
+    )
+    assert filter_groups({"date": ["2025-01-05", "2025-01-03"]}) == (
+        ("date=d:2025-01-03", "date=d:2025-01-05"),
+    )
+    assert filter_groups(
+        {"date": {"from": "2025-01-01", "to": "2025-12-31"}}
+    ) == (("date=y:2025",),)
+    with pytest.raises(ValueError, match="from"):
+        filter_groups({"date": {"frm": "2025-01-01"}})
+    with pytest.raises(ValueError):
+        filter_groups({"date": "01/02/2025"})  # malformed day
+
+
+def test_null_ts_emits_no_date_postings(spark):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "scope": ["s", "s"],
+            "ts": [pd.Timestamp("2025-01-03"), pd.NaT],
+            "role": ["user", None],
+        }
+    )
+    sdf = spark.createDataFrame(pdf)
+    rows = build_filter_flat(sdf, cols=("date", "role")).collect()
+    lemmas = sorted((r["lemma"], r["doc_id"]) for r in rows)
+    assert lemmas == [
+        ("date=d:2025-01-03", 1),
+        ("date=m:2025-01", 1),
+        ("date=y:2025", 1),
+        ("role=user", 1),
+    ]
+
+
 # -- rank identity across every implementation -------------------------------
 
 
@@ -61,6 +156,17 @@ CASES = [
      {"role": "tool", "tool": ["bash", "search", "browser", "editor"]},
      True),
     ("f07_paginated", RARE, None, 5, 3, "and", {"role": "user"}, False),
+    # the shared corpus spans 2025-01-01 .. 2025-01-13 (conv start =
+    # epoch + conv_idx hours) — mid-range date filters bite
+    ("f08_date_range", RARE, None, 10, 0, "and",
+     {"date": {"from": "2025-01-03", "to": "2025-01-07"}}, True),
+    ("f09_date_days", RARE, None, 10, 0, "and",
+     {"date": ["2025-01-02", "2025-01-04", "2025-01-06"]}, True),
+    ("f10_date_and_role", RARE, None, 10, 0, "and",
+     {"date": {"from": "2025-01-01", "to": "2025-01-09"},
+      "role": "assistant"}, True),
+    ("f11_date_or_mode", f"{RARE} {VOCAB[40]}", None, 10, 0, "or",
+     {"date": {"from": "2025-01-02", "to": "2025-01-08"}}, True),
 ]
 
 
@@ -182,6 +288,41 @@ def test_filters_require_postings_table(engine_tables):
         )
 
 
+def test_date_filter_multi_granularity_postings(spark, small_pdf):
+    """A corpus whose turns span >2 years exercises the month/year cover
+    lemmas against REAL postings (the shared corpus only spans days):
+    flat engine == oracle on a range whose cover mixes all three
+    granularities."""
+    from search_engine_spark.operators.build import build_all
+    from search_engine_spark.operators.docs import build_docs
+    from search_engine_spark.operators.filters import date_cover
+    from search_engine_spark.schemas import TRANSCRIPTS
+
+    mod = small_pdf.copy()
+    mod["ts"] = (
+        mod["ts"] + pd.to_timedelta(np.arange(len(mod)) % 900, unit="D")
+    ).astype("datetime64[us]")
+    frm, to = "2025-06-01", "2026-12-31"
+    cov = date_cover(frm, to)
+    assert any(l.startswith("date=y:") for l in cov)
+    assert any(l.startswith("date=m:") for l in cov)
+
+    idx = orc.build_index(mod)
+    filters = {"date": {"from": frm, "to": to}}
+    exp = orc.search(idx, RARE, k=10, filters=filters)
+    base = orc.search(idx, RARE, k=10)
+    assert exp and exp != base
+
+    sdf = spark.createDataFrame(mod, schema=TRANSCRIPTS)
+    docs = build_docs(sdf, with_lemmas=True)
+    pf, ls, ds = build_all(docs)
+    got = bm25_search(
+        pf, ls, ds, RARE, k=10, filters=filters,
+        filter_postings_flat=build_filter_flat(docs),
+    ).collect()
+    assert [(r["doc_id"], r["score"]) for r in got] == exp
+
+
 # -- API facade ---------------------------------------------------------------
 
 
@@ -213,6 +354,25 @@ def test_filters_via_api(spark, base_index_dir, oracle_idx):
     eng._filter_blocks = None
     with pytest.raises(ValueError, match="no filters family"):
         eng.search(RARE, filters={"role": "user"})
+
+
+def test_date_filter_via_api(spark, base_index_dir, oracle_idx):
+    from search_engine_spark.api import SearchEngine
+
+    eng = SearchEngine(spark, base_index_dir["index"])
+    assert eng._filter_cols == ("date", "role", "tool")
+    filters = {"date": {"from": "2025-01-02", "to": "2025-01-06"}}
+    exp = orc.search(oracle_idx, RARE, k=10, filters=filters)
+    assert exp
+    res = eng.search(RARE, limit=10, filters=filters)
+    assert [d["relevance"] for d in res["data"]] == [
+        s for _, s in exp[: len(res["data"])]
+    ]
+    # an index whose lineage predates the date family must error, not
+    # silently match nothing
+    eng._filter_cols = ("role", "tool")
+    with pytest.raises(ValueError, match="not indexed"):
+        eng.search(RARE, filters={"date": "2025-01-02"})
 
 
 # -- upsert keeps the filters family in sync ----------------------------------
