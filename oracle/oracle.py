@@ -321,13 +321,16 @@ def phrase_search(
     k: int = 10,
     offset: int = 0,
     slop: int = 0,
+    filters: dict | None = None,
 ) -> list[tuple[int, float]]:
     """Top-k phrase search: docs whose analyzed lemma stream contains the
     query's analyzed lemma SEQUENCE (order + adjacency, ``slop`` extra
     lemmas allowed between consecutive terms), scored with the same
     pinned BM25 over the phrase's distinct terms, (score desc, doc_id
     asc). Conjunctive cutoff semantics apply (a phrase is an AND plus a
-    position predicate)."""
+    position predicate). ``filters``: same pinned semantics as
+    ``search`` — non-scoring, gates (incl. the single-term match-count
+    gate) see the UNfiltered result, application before the top-k cut."""
     seq = analyze(query)  # ordered, duplicates kept — NOT query_lemmas
     if not seq:
         return []
@@ -353,6 +356,10 @@ def phrase_search(
     ]
     if len(seq) == 1 and len(verified) > df_cutoff(n_docs):
         return []  # single-term gate, same as search()
+    allowed = _filter_doc_ids(idx, filters)
+    if allowed is not None:
+        # attribute filters: after the gates, before the top-k cut
+        verified = [d for d in verified if d in allowed]
     if not verified:
         return []
     avg_len = sum(idx.doc_len[d] for d in scope_ids) / n_docs

@@ -106,8 +106,8 @@ class SearchEngine:
             )
         # validates + normalizes against the families THIS index built
         fkey = filter_groups(filters, available=self._filter_cols)
-        if fkey and (match == "phrase" or scorer != "bm25"):
-            raise ValueError("filters need scorer='bm25' term match")
+        if fkey and scorer != "bm25":
+            raise ValueError("filters need scorer='bm25'")
         key = (
             query, scope, scorer, combine, match, slop, fuzzy, fuzzy_dist,
             collapse, collapse_limit, fkey,
@@ -167,6 +167,7 @@ class SearchEngine:
             results = phrase_search_blocks(
                 self._blocks, self._lemma_stats, self._doc_stats,
                 pos_q, scope=scope, k=deep, offset=0, slop=slop,
+                filters=filters, filter_postings=self._filter_blocks,
             )
         elif scorer == "bm25":
             # fetch a deep page once (cacheable), slice driver-side
@@ -301,16 +302,48 @@ class SearchEngine:
         scope: str | None = None,
         combine: str = "and",
         depth: int = 1000,
+        match: str = "term",
+        slop: int = 0,
+        filters: dict | None = None,
     ) -> dict:
         """Facet panel for a query: per-value doc counts over the top-
         ``depth`` results (operators/query.py facet_counts — the ≤depth
-        result side broadcasts, docs are never shuffled)."""
+        result side broadcasts, docs are never shuffled). ``facet_cols``
+        may include the derived calendar facets ``day``/``month``/
+        ``year`` (the date-histogram panel). ``filters``/``match``/
+        ``slop`` restrict the match set with the same pinned semantics
+        as ``search`` (attribute filter postings / positional phrase)."""
+        from search_engine_spark.operators.filters import filter_groups
         from search_engine_spark.operators.query import facet_counts
 
-        results = bm25_search_blocks(
-            self._blocks, self._lemma_stats, self._doc_stats, query,
-            scope=scope, k=depth, offset=0, mode="wand", combine=combine,
-        )
+        if filters and self._filter_blocks is None:
+            raise ValueError(
+                "this index has no filters family (built with "
+                "filter_cols=()); rebuild with IndexBuildJob defaults"
+            )
+        filter_groups(filters, available=self._filter_cols)  # validate
+        if match == "phrase":
+            if "positions" not in self._blocks.columns:
+                raise ValueError(
+                    "phrase search needs a positional index "
+                    "(IndexBuildJob(..., positional=True))"
+                )
+            from search_engine_spark.operators.wand import (
+                phrase_search_blocks,
+            )
+
+            results = phrase_search_blocks(
+                self._blocks, self._lemma_stats, self._doc_stats, query,
+                scope=scope, k=depth, offset=0, slop=slop,
+                filters=filters, filter_postings=self._filter_blocks,
+            )
+        else:
+            results = bm25_search_blocks(
+                self._blocks, self._lemma_stats, self._doc_stats, query,
+                scope=scope, k=depth, offset=0, mode="wand",
+                combine=combine, filters=filters,
+                filter_postings=self._filter_blocks,
+            )
         rows = facet_counts(results, self._docs, list(facet_cols)).collect()
         return {
             "result": True,

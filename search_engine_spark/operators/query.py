@@ -302,15 +302,34 @@ def more_like_this(
     )
 
 
+# calendar facet names derived from docs.ts (UTC session timezone —
+# sources/session.py pins it; same calendar the date FILTER family uses,
+# operators/filters.py). Requested as plain facet_cols entries; a real
+# docs column of the same name would win, but docs has none of these.
+CALENDAR_FACETS = {"day": "yyyy-MM-dd", "month": "yyyy-MM", "year": "yyyy"}
+
+
 def facet_counts(
     results: DataFrame, docs: DataFrame, facet_cols: list[str]
 ) -> DataFrame:
     """Search-UI facets: per-value doc counts over a result set. The
     results side is ≤ k rows (a top-k output), so it broadcasts (J4's
-    pattern) and the agg groups at most k rows — no shuffle of docs."""
+    pattern) and the agg groups at most k rows — no shuffle of docs.
+
+    ``facet_cols`` entries may be docs columns (scope, role, tool, ...)
+    or the derived calendar names ``day``/``month``/``year``
+    (``date_format(ts)``, the date-histogram facet) — derivation happens
+    AFTER the broadcast-join cut, so the format runs on ≤ k rows."""
+    exprs = [
+        F.date_format("ts", CALENDAR_FACETS[c]).alias(c)
+        if c in CALENDAR_FACETS and c not in docs.columns
+        else F.col(c)
+        for c in facet_cols
+    ]
     return (
         docs.join(F.broadcast(results.select("doc_id")), "doc_id")
-        .groupBy(*[F.col(c) for c in facet_cols])
+        .select(*exprs)
+        .groupBy(*facet_cols)
         .agg(F.count("*").alias("n_docs"))
     )
 

@@ -754,16 +754,24 @@ def _gather_term_positional(pdf: pd.DataFrame):
     )
 
 
-def _shard_phrase_kernel(seq_terms, uniq_terms, idfs, avg_len, m, slop):
+def _shard_phrase_kernel(
+    seq_terms, uniq_terms, idfs, avg_len, m, slop, req_groups=()
+):
     """Per-shard grouped-map fn: conjunctive candidates → positional
     phrase verify (ordered chain, ≤ slop lemmas between consecutive
-    terms) → BM25 scoring of verified docs, local top-m."""
+    terms) → BM25 scoring of verified docs, local top-m. ``req_groups``:
+    attribute filter lemma groups (operators/filters.py) — candidates
+    intersect the shard-local filter set BEFORE the (more expensive)
+    position verify."""
     from oracle.oracle import phrase_match_doc  # pure position matcher
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"doc_id": [], "score": []}).astype(
             {"doc_id": "int64", "score": "float64"}
         )
+        req = _gather_required(pdf, req_groups)
+        if req is not None and req.size == 0:
+            return empty  # a filter group is absent from this shard
         gathered = {}
         for t in uniq_terms:
             tp = pdf[pdf["lemma"] == t]
@@ -780,6 +788,9 @@ def _shard_phrase_kernel(seq_terms, uniq_terms, idfs, avg_len, m, slop):
             cand = cand[np.isin(cand, per_term[i][0], assume_unique=True)]
             if cand.size == 0:
                 return empty
+        (cand,) = _keep_required(cand, req)
+        if cand.size == 0:
+            return empty
         # position verify per candidate (candidate sets are small after
         # the conjunction; the chain check is O(Σ positions) per doc)
         keep = []
@@ -815,19 +826,32 @@ def phrase_search_blocks(
     k: int = 10,
     offset: int = 0,
     slop: int = 0,
+    filters: dict | None = None,
+    filter_postings: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k phrase/proximity search over POSITIONAL blocks
     (POSTINGS_POS, built with ``build_docs(positional=True)``):
     the query's analyzed lemma SEQUENCE must appear in order with at most
     ``slop`` extra lemmas between consecutive terms; matching docs score
-    with the same pinned BM25 (oracle.phrase_search is the twin)."""
+    with the same pinned BM25 (oracle.phrase_search is the twin).
+    ``filters`` + ``filter_postings``: attribute restriction exactly as
+    in ``bm25_blocks_from_terms`` — the filter lemmas' (non-positional)
+    blocks union into the kernel scan with null positions; non-scoring,
+    applied before the position verify and the top-k cut."""
     from search_engine_spark.functions.analyze import analyze
+    from search_engine_spark.operators.filters import filter_groups
 
     spark = postings_pos.sparkSession
     seq = analyze(query)  # ordered, duplicates kept
     if not seq:
         return _empty(spark)
     uniq = sorted(set(seq))
+    groups = filter_groups(filters)
+    if groups and filter_postings is None:
+        raise ValueError(
+            "filters=... needs the index's filter-postings table "
+            "(filter_postings); build with IndexBuildJob (filters stage)"
+        )
     n_docs, avg_len = _scope_stats(doc_stats, scope)
     if n_docs == 0:
         return _empty(spark)
@@ -836,8 +860,15 @@ def phrase_search_blocks(
         return _empty(spark)
     idfs = [bm25_idf(dfs[t], n_docs) for t in uniq]
     blocks = prune_blocks(postings_pos, uniq, scope, with_positions=True)
+    if groups:
+        flt = prune_blocks(
+            filter_postings, [l for g in groups for l in g], scope
+        )
+        blocks = blocks.unionByName(flt, allowMissingColumns=True)
     m = offset + k
-    kernel = _shard_phrase_kernel(seq, uniq, idfs, avg_len, m, slop)
+    kernel = _shard_phrase_kernel(
+        seq, uniq, idfs, avg_len, m, slop, tuple(groups)
+    )
     per_shard = blocks.groupBy("shard").applyInPandas(kernel, schema=SEARCH_RESULT)
     if len(seq) == 1:
         # single-term gate (SearchServiceImpl.java:136-139): the oracle

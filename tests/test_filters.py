@@ -496,3 +496,93 @@ def test_kernels_with_filters_random(cfg):
         )
         assert got_e == ref, combine
         assert got_w == ref, combine
+
+
+# -- facets compose with filters + calendar histogram -------------------------
+
+
+def test_facet_counts_calendar_derivation(engine_tables):
+    """The derived day/month/year facets (operators/query.py
+    CALENDAR_FACETS) equal a pandas strftime groupby over the same
+    result set — UTC on both sides (sources/session.py pins the session
+    timezone)."""
+    from search_engine_spark.operators.query import bm25_search, facet_counts
+
+    results = bm25_search(
+        engine_tables["postings_flat"],
+        engine_tables["lemma_stats"],
+        engine_tables["doc_stats"],
+        RARE,
+        k=50,
+    )
+    hit_ids = {r["doc_id"] for r in results.collect()}
+    assert hit_ids  # a non-trivial result set (RARE passes the cutoff)
+    docs_pdf = (
+        engine_tables["docs"].select("doc_id", "role", "ts").toPandas()
+    )
+    sub = docs_pdf[docs_pdf["doc_id"].isin(hit_ids)]
+    for col, fmt in (("day", "%Y-%m-%d"), ("month", "%Y-%m"), ("year", "%Y")):
+        got = {
+            (r[col], r["role"]): r["n_docs"]
+            for r in facet_counts(
+                results, engine_tables["docs"], [col, "role"]
+            ).collect()
+        }
+        want = (
+            sub.groupby([sub["ts"].dt.strftime(fmt), "role"])
+            .size()
+            .to_dict()
+        )
+        assert got == want and sum(got.values()) == len(hit_ids), col
+        if col == "day":
+            assert len({d for d, _ in want}) > 1  # the histogram bins
+
+
+def test_facets_api_with_filters_and_day(spark, base_index_dir, oracle_idx):
+    """SearchEngine.facets(filters=...) restricts the match set with the
+    pinned filter semantics (oracle.search(filters=...) is the twin) and
+    the 'day' facet_col yields the date-histogram panel."""
+    from search_engine_spark.api import SearchEngine
+
+    eng = SearchEngine(spark, base_index_dir["index"])
+    docs_pdf = eng._docs.select("doc_id", "role", "ts").toPandas()
+
+    base = eng.facets(RARE, facet_cols=("day",), depth=10_000)
+    for filters in (None, {"role": "user"}):  # filtered LAST (checked below)
+        exp_ids = {
+            d for d, _ in orc.search(
+                oracle_idx, RARE, k=10_000, filters=filters
+            )
+        }
+        sub = docs_pdf[docs_pdf["doc_id"].isin(exp_ids)]
+        want = sub.groupby(sub["ts"].dt.strftime("%Y-%m-%d")).size().to_dict()
+        fac = eng.facets(
+            RARE, facet_cols=("day",), depth=10_000, filters=filters
+        )
+        got = {f["day"]: f["n_docs"] for f in fac["facets"]}
+        assert got == want, filters
+    assert fac["facets"] != base["facets"]  # the role filter bites
+
+    # (day, role) two-column panel under a date-range filter
+    filters = {"date": {"from": "2025-01-02", "to": "2025-01-06"}}
+    exp_ids = {
+        d for d, _ in orc.search(oracle_idx, RARE, k=10_000, filters=filters)
+    }
+    sub = docs_pdf[docs_pdf["doc_id"].isin(exp_ids)]
+    want = (
+        sub.groupby([sub["ts"].dt.strftime("%Y-%m-%d"), "role"])
+        .size()
+        .to_dict()
+    )
+    fac = eng.facets(
+        RARE, facet_cols=("day", "role"), depth=10_000, filters=filters
+    )
+    assert {(f["day"], f["role"]): f["n_docs"] for f in fac["facets"]} == want
+    assert all(
+        "2025-01-02" <= f["day"] <= "2025-01-06" for f in fac["facets"]
+    )
+
+    with pytest.raises(ValueError, match="not indexed"):
+        eng.facets(RARE, filters={"conv_id": "x"})
+    with pytest.raises(ValueError, match="positional"):
+        eng.facets(RARE, match="phrase")  # base index is non-positional

@@ -70,13 +70,14 @@ def test_more_like_this_missing_doc_is_empty(engine_tables):
 
 def test_facet_counts_matches_pandas(engine_tables):
     from search_engine_spark.operators.query import bm25_search, facet_counts
+    from tests.test_spark_engine import RARE
 
     results = bm25_search(
         engine_tables["postings_flat"],
         engine_tables["lemma_stats"],
         engine_tables["doc_stats"],
-        "dup merge",
-        k=50,
+        RARE,  # NOT "dup merge": that conjunction never co-occurs in the
+        k=50,  # fixture corpus, so the test was passing on empty sets
     )
     got = {
         (r["scope"], r["role"]): r["n_docs"]
@@ -92,7 +93,7 @@ def test_facet_counts_matches_pandas(engine_tables):
     )
     sub = docs_pdf[docs_pdf["doc_id"].isin(hit_ids)]
     want = sub.groupby(["scope", "role"]).size().to_dict()
-    assert got == want and sum(got.values()) == len(hit_ids)
+    assert hit_ids and got == want and sum(got.values()) == len(hit_ids)
 
 
 def test_api_more_like_this_and_facets(spark, base_index_dir):

@@ -159,6 +159,19 @@ def test_positional_job_api_upsert(spark, tmp_path_factory):
     res = eng.search(q, match="phrase", limit=100)
     assert len(res["data"]) == len(exp)
     assert [r["relevance"] for r in res["data"]] == [s for _, s in exp]
+    # filters compose with phrase through the API (the positional index
+    # carries the filters family); one of the two role filters must bite
+    role5 = small.iloc[5]["role"]
+    other = "assistant" if role5 != "assistant" else "user"
+    for role in (role5, other):
+        exp_f = orc.phrase_search(idx, q, k=100, filters={"role": role})
+        res_f = eng.search(q, match="phrase", limit=100,
+                           filters={"role": role})
+        assert [r["relevance"] for r in res_f["data"]] == [
+            s for _, s in exp_f
+        ], role
+    assert orc.phrase_search(idx, q, k=100, filters={"role": other}) != exp \
+        or orc.phrase_search(idx, q, k=100, filters={"role": role5}) != exp
     # phrase results carry chain-precise snippets: the matched pair is
     # bolded together (both terms, in order) in the top hit
     import re as _re
@@ -182,6 +195,64 @@ def test_positional_job_api_upsert(spark, tmp_path_factory):
     eng2 = SearchEngine(spark, str(base / "idx"))
     res2 = eng2.search(q, match="phrase", limit=100)
     assert len(res2["data"]) == len(exp) + 1
+
+
+def test_phrase_with_filters_rank_identity(
+    spark, pos_tables, small_pdf, oracle_idx, engine_tables
+):
+    """Attribute/date filters compose with phrase match: the filter
+    lemmas' non-positional blocks union into the positional kernel scan
+    and candidates intersect the shard-local filter set BEFORE the
+    position verify (oracle.phrase_search(filters=...) is the twin)."""
+    from search_engine_spark.operators.filters import build_filter_blocks
+    from search_engine_spark.operators.wand import phrase_search_blocks
+
+    # same range_size as pos_tables blocks → same kernel shards
+    flt = build_filter_blocks(engine_tables["docs"], range_size=512)
+    t = pos_tables
+    queries = _phrases_from_corpus(small_pdf)
+    filter_cases = [
+        {"role": "user"},
+        {"role": "assistant"},
+        {"date": {"from": "2025-01-02", "to": "2025-01-07"}},
+        {"role": ["user", "assistant"],
+         "date": {"from": "2025-01-01", "to": "2025-01-05"}},
+    ]
+    nonempty = bites = 0
+    for q in queries[:3]:
+        base = orc.phrase_search(oracle_idx, q, k=10)
+        for filters in filter_cases:
+            exp = orc.phrase_search(oracle_idx, q, k=10, filters=filters)
+            got = [
+                (r["doc_id"], r["score"])
+                for r in phrase_search_blocks(
+                    t["blocks"], t["lemma_stats"], t["doc_stats"], q,
+                    k=10, filters=filters, filter_postings=flt,
+                ).collect()
+            ]
+            assert got == exp, (q, filters)
+            nonempty += bool(exp)
+            bites += exp != base
+    assert nonempty and bites
+
+    # single-term phrase over-cutoff gate sees the UNfiltered count:
+    # empty on both sides even though a filter would shrink it
+    from search_engine_spark.sources.corpus import HOT_TERM
+
+    assert orc.phrase_search(
+        oracle_idx, HOT_TERM, k=10, filters={"role": "user"}
+    ) == []
+    got = phrase_search_blocks(
+        t["blocks"], t["lemma_stats"], t["doc_stats"], HOT_TERM,
+        k=10, filters={"role": "user"}, filter_postings=flt,
+    ).collect()
+    assert got == []
+
+    with pytest.raises(ValueError, match="filter_postings"):
+        phrase_search_blocks(
+            t["blocks"], t["lemma_stats"], t["doc_stats"], queries[0],
+            k=10, filters={"role": "user"},
+        )
 
 
 def test_phrase_requires_positional_index(spark, base_index_dir):
