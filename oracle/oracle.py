@@ -147,6 +147,31 @@ def _date_doc_ids(idx: OracleIndex, vals) -> set:
     }
 
 
+def _page(
+    ranked: list[tuple[int, float]], k: int, offset: int, after
+) -> list[tuple[int, float]]:
+    """Final cut over the full pinned-order ranking: the offset/limit
+    page, or — when ``after=(score, doc_id)`` — the first k rows
+    strictly AFTER the cursor in (score desc, doc_id asc) order.
+    Cursor and offset are mutually exclusive; score equality in the
+    tiebreak arm is exact (float64 scores are pinned bit-identical
+    across oracle and engine)."""
+    if after is not None:
+        if offset:
+            raise ValueError(
+                "after=(score, doc_id) replaces offset pagination — "
+                "pass offset=0 with a cursor"
+            )
+        s0, d0 = after
+        tail = [
+            (d, s) for d, s in ranked if s < s0 or (s == s0 and d > d0)
+        ]
+        return tail[:k]
+    lo = max(0, min(offset, len(ranked)))
+    hi = max(lo, min(offset + k, len(ranked)))
+    return ranked[lo:hi]
+
+
 def search(
     idx: OracleIndex,
     query: str,
@@ -158,6 +183,7 @@ def search(
     exclude: list[str] | None = None,
     extra_terms: list[str] | None = None,
     filters: dict | None = None,
+    after: tuple[float, int] | None = None,
 ) -> list[tuple[int, float]]:
     """Top-k (doc_id, float64 score), pinned semantics. Returns [] on any
     cutoff/no-match path.
@@ -188,6 +214,12 @@ def search(
     docs keep their unfiltered scores; application point is after the
     gates, before the top-k cut (the same slot as ``exclude`` — the two
     compose).
+
+    ``after``: (score, doc_id) cursor pagination — the k rows strictly
+    after the cursor in the pinned order (see ``_page``); replaces
+    ``offset``. Chaining pages via the last row of each page walks the
+    full ranking exactly (the order is total, so cursor paging ≡ offset
+    paging with no skipped or repeated rows).
     """
     terms = query_lemmas(query)  # sorted unique lemmas
     # extra_terms: PRE-ANALYZED lemmas (wildcard expansions) unioned in
@@ -232,9 +264,7 @@ def search(
                         BM25_K1, BM25_B,
                     )
         ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
-        lo = max(0, min(offset, len(ranked)))
-        hi = max(lo, min(offset + k, len(ranked)))
-        return ranked[lo:hi]
+        return _page(ranked, k, offset, after)
     if combine != "and":
         raise ValueError(f"unknown combine {combine!r}")
 
@@ -286,9 +316,7 @@ def search(
         raise ValueError(f"unknown scorer {scorer!r}")
 
     ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
-    lo = max(0, min(offset, len(ranked)))
-    hi = max(lo, min(offset + k, len(ranked)))
-    return ranked[lo:hi]
+    return _page(ranked, k, offset, after)
 
 
 def phrase_match_doc(
@@ -322,6 +350,7 @@ def phrase_search(
     offset: int = 0,
     slop: int = 0,
     filters: dict | None = None,
+    after: tuple[float, int] | None = None,
 ) -> list[tuple[int, float]]:
     """Top-k phrase search: docs whose analyzed lemma stream contains the
     query's analyzed lemma SEQUENCE (order + adjacency, ``slop`` extra
@@ -373,9 +402,7 @@ def phrase_search(
                 BM25_K1, BM25_B,
             )
     ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
-    lo = max(0, min(offset, len(ranked)))
-    hi = max(lo, min(offset + k, len(ranked)))
-    return ranked[lo:hi]
+    return _page(ranked, k, offset, after)
 
 
 def more_like_this(

@@ -74,6 +74,7 @@ class SearchEngine:
         # repeated-query result cache (SearchServiceImpl.java:26-28)
         self._cache_key: tuple | None = None
         self._cache_rows: list[dict] | None = None
+        self._cache_ids: list[int] = []
         # True when the priming fetch returned fewer rows than it asked
         # for — the cache then holds EVERY match and any offset is valid
         self._cache_exhausted: bool = False
@@ -96,6 +97,9 @@ class SearchEngine:
         collapse_limit: int = 1,      #   per value (e.g. one per conv_id)
         filters: dict | None = None,  # {col: value-or-list} attribute
         #   restriction via filter postings (operators/filters.py)
+        after: tuple[float, int] | None = None,  # (relevance, doc_id)
+        #   cursor from a previous page's "next_after" — deep pagination
+        #   at O(limit) per page (replaces offset; wand.py _after_cut)
     ) -> dict:
         from search_engine_spark.operators.filters import filter_groups
 
@@ -104,13 +108,27 @@ class SearchEngine:
                 "this index has no filters family (built with "
                 "filter_cols=()); rebuild with IndexBuildJob defaults"
             )
+        if after is not None:
+            after = (float(after[0]), int(after[1]))
+            if offset:
+                raise ValueError(
+                    "after=... replaces offset pagination — pass offset=0"
+                )
+            if scorer != "bm25":
+                raise ValueError("after needs scorer='bm25'")
+            if collapse is not None:
+                raise ValueError(
+                    "after does not compose with collapse (a collapse "
+                    "keeper depends on rows before the cursor) — page "
+                    "collapsed results with offset"
+                )
         # validates + normalizes against the families THIS index built
         fkey = filter_groups(filters, available=self._filter_cols)
         if fkey and scorer != "bm25":
             raise ValueError("filters need scorer='bm25'")
         key = (
             query, scope, scorer, combine, match, slop, fuzzy, fuzzy_dist,
-            collapse, collapse_limit, fkey,
+            collapse, collapse_limit, fkey, after,
         )
         if (
             self._cache_key == key
@@ -123,7 +141,15 @@ class SearchEngine:
             )
         ):
             data = self._cache_rows[offset:offset + limit]
-            return {"result": True, "count": len(self._cache_rows), "data": data}
+            ids = self._cache_ids[offset:offset + limit]
+            return {
+                "result": True,
+                "count": len(self._cache_rows),
+                "data": data,
+                "next_after": (
+                    [data[-1]["relevance"], ids[-1]] if data else None
+                ),
+            }
 
         # query syntax: "-token" exclusions (split_negations) and
         # "token*" prefix wildcards (split_wildcards → bounded top-cf
@@ -168,6 +194,7 @@ class SearchEngine:
                 self._blocks, self._lemma_stats, self._doc_stats,
                 pos_q, scope=scope, k=deep, offset=0, slop=slop,
                 filters=filters, filter_postings=self._filter_blocks,
+                after=after,
             )
         elif scorer == "bm25":
             # fetch a deep page once (cacheable), slice driver-side
@@ -196,6 +223,7 @@ class SearchEngine:
                     terms, scope=scope, k=deep, offset=0, mode="wand",
                     combine=combine, exclude_terms=excl_terms,
                     filters=filters, filter_postings=self._filter_blocks,
+                    after=after,
                 )
             else:
                 from search_engine_spark.operators.wand import (
@@ -208,6 +236,7 @@ class SearchEngine:
                     terms, scope=scope, k=deep, offset=0, mode="wand",
                     combine=combine, exclude_terms=excl_terms,
                     filters=filters, filter_postings=self._filter_blocks,
+                    after=after,
                 )
         else:
             # legacy reference scorer (Σtf/max-tf + global-max norm) —
@@ -254,14 +283,21 @@ class SearchEngine:
             }
             for r in rows
         ]
+        ids = [r["doc_id"] for r in rows]
         self._cache_key, self._cache_rows = key, data
+        self._cache_ids = ids
         self._cache_exhausted = len(data) < deep
         # count is the fetched depth (a lower bound when the deep page
         # filled up), matching the reference's capped-result behavior
+        page, page_ids = data[offset:offset + limit], ids[offset:offset + limit]
         return {
             "result": True,
             "count": len(data),
-            "data": data[offset:offset + limit],
+            "data": page,
+            # cursor for the page after this one — pass back as after=
+            "next_after": (
+                [page[-1]["relevance"], page_ids[-1]] if page else None
+            ),
         }
 
     def more_like_this(self, doc_id: int, scope: str | None = None,
@@ -479,6 +515,7 @@ class SearchEngine:
         job = IndexBuildJob(self.spark, "", self.index_dir)
         summary = upsert_turns(job, delta)
         self._cache_key = self._cache_rows = None
+        self._cache_ids = []
         # re-open swapped tables (file listings changed)
         self.__init__(self.spark, self.index_dir)
         return {"result": True, **summary}
@@ -494,5 +531,6 @@ class SearchEngine:
         job = IndexBuildJob(self.spark, "", self.index_dir)
         summary = rebalance_buckets(job, per_bucket)
         self._cache_key = self._cache_rows = None
+        self._cache_ids = []
         self.__init__(self.spark, self.index_dir)
         return {"result": True, **summary}

@@ -289,6 +289,39 @@ def q_bm25_topk(spark, sf_dir):
     return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
 
 
+def q_bm25_search_after(spark, sf_dir):
+    """Cursor (search_after) pagination in SQL form: the 10 rows strictly
+    AFTER the 5th-ranked row of the bm25_topk ranking, filtered by
+    (score, doc_id) cursor comparison — NOT by OFFSET. The pinned order
+    is total, so the two are provably equal; the engine-side kernels
+    (operators/wand.py ``_after_cut``, oracle.search ``after``) serve the
+    cursor form at O(k) per page. The cursor row itself is resolved
+    relationally on both sides (a 1-row broadcast), so the twin stays
+    self-contained."""
+    per = _bm25_per_term(spark, sf_dir, BM25_TERMS)
+    scored = (
+        per.groupBy("doc_id")
+        .agg(F.count("*").alias("_nm"), F.round(F.sum("_s"), 6).alias("score"))
+        .filter(F.col("_nm") == len(BM25_TERMS))
+        .select("doc_id", "score")
+    )
+    cursor = (
+        scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(5)
+        .orderBy(F.asc("score"), F.desc("doc_id")).limit(1)  # the 5th row
+        .select(F.col("score").alias("c_s"), F.col("doc_id").alias("c_d"))
+    )
+    return (
+        scored.crossJoin(F.broadcast(cursor))
+        .filter(
+            (F.col("score") < F.col("c_s"))
+            | ((F.col("score") == F.col("c_s")) & (F.col("doc_id") > F.col("c_d")))
+        )
+        .select("doc_id", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
 NOT_TERM = "window"  # excludes 6 of bm25_topk's 10 — non-trivial twin
 WC_PREFIX, WC_TERM, WC_K = "me", "dup", 8  # wildcard "dup me*"
 
@@ -1064,6 +1097,31 @@ def _oracle_sql_map() -> dict[str, str]:
             SELECT doc_id, score FROM scored
             ORDER BY score DESC, doc_id ASC LIMIT 10
         """,
+        "bm25_search_after": f"""
+            WITH lens AS (
+                SELECT doc_id, len({TOKS_DUCK})::DOUBLE AS dl FROM documents),
+            st AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM lens),
+            tf AS (SELECT * FROM ({_TF_DUCK}) WHERE term IN ('dup', 'merge')),
+            dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            per AS (
+                SELECT tf.doc_id,
+                       ln(1.0 + ((SELECT n FROM st) - dfs.df + 0.5)
+                                 / (dfs.df + 0.5))
+                       * tf.tf * {BM25_K1 + 1.0}
+                       / (tf.tf + {BM25_K1} * ({1.0 - BM25_B} + {BM25_B}
+                          * lens.dl / (SELECT avgdl FROM st))) AS _s
+                FROM tf JOIN dfs USING (term) JOIN lens USING (doc_id)),
+            scored AS (
+                SELECT doc_id, round(sum(_s), 6) AS score
+                FROM per GROUP BY doc_id HAVING count(*) = 2),
+            cur AS (
+                SELECT score AS c_s, doc_id AS c_d FROM scored
+                ORDER BY score DESC, doc_id ASC LIMIT 1 OFFSET 4)
+            SELECT s.doc_id, s.score FROM scored s, cur
+            WHERE s.score < cur.c_s
+               OR (s.score = cur.c_s AND s.doc_id > cur.c_d)
+            ORDER BY s.score DESC, s.doc_id ASC LIMIT 10
+        """,
         "bm25_not_topk": f"""
             WITH lens AS (
                 SELECT doc_id, len({TOKS_DUCK})::DOUBLE AS dl FROM documents),
@@ -1546,6 +1604,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cutoff_terms": q_cutoff_terms,
         "sumtf_topk": q_sumtf_topk,
         "bm25_topk": q_bm25_topk,
+        "bm25_search_after": q_bm25_search_after,
         "bm25_not_topk": q_bm25_not_topk,
         "bm25_or_topk": q_bm25_or_topk,
         "wildcard_or_topk": q_wildcard_or_topk,

@@ -207,6 +207,23 @@ def _keep_required(
     return (cand[keep], *(a[keep] for a in aligned))
 
 
+def _after_cut(
+    cand: np.ndarray, scores: np.ndarray, after
+) -> tuple[np.ndarray, np.ndarray]:
+    """Cursor-pagination filter: keep only rows strictly AFTER
+    ``after=(score, doc_id)`` in the pinned (score desc, doc_id asc)
+    order. Scores are bit-identical across kernels and the oracle (the
+    rank-identity invariant), so the float equality in the tiebreak arm
+    is exact, not approximate. ``after=None`` = no cursor."""
+    if after is None or cand.size == 0:
+        return cand, scores
+    s0, d0 = after
+    keep = (scores < s0) | ((scores == s0) & (cand > d0))
+    if keep.all():
+        return cand, scores
+    return cand[keep], scores[keep]
+
+
 def _heap_push(heap: list, m: int, cand: np.ndarray, scores: np.ndarray) -> None:
     for d, s in zip(cand.tolist(), scores.tolist()):
         item = (s, -d)
@@ -226,7 +243,9 @@ def _heap_frame(heap: list) -> pd.DataFrame:
     )
 
 
-def _shard_or_exact_kernel(terms, idfs, avg_len, m, excl_terms=(), req_groups=()):
+def _shard_or_exact_kernel(
+    terms, idfs, avg_len, m, excl_terms=(), req_groups=(), after=None
+):
     """Per-shard grouped-map fn: exact disjunctive scoring, local top-m."""
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -243,6 +262,7 @@ def _shard_or_exact_kernel(terms, idfs, avg_len, m, excl_terms=(), req_groups=()
         cand, scores = _union_score(per_term, idfs, avg_len)
         cand, scores = _drop_excluded(cand, excl, scores)
         cand, scores = _keep_required(cand, req, scores)
+        cand, scores = _after_cut(cand, scores, after)
         if cand.size > m:
             sel = np.lexsort((cand, -scores))[:m]
             cand, scores = cand[sel], scores[sel]
@@ -251,7 +271,9 @@ def _shard_or_exact_kernel(terms, idfs, avg_len, m, excl_terms=(), req_groups=()
     return fn
 
 
-def _shard_or_wand_kernel(terms, idfs, avg_len, m, excl_terms=(), req_groups=()):
+def _shard_or_wand_kernel(
+    terms, idfs, avg_len, m, excl_terms=(), req_groups=(), after=None
+):
     """Per-shard grouped-map fn: block-max WEAK-AND (disjunctive WAND,
     Broder et al.): sweep doc-id SEGMENTS (the partition induced by all
     block boundaries — within a segment each term's active block set is
@@ -346,17 +368,22 @@ def _shard_or_wand_kernel(terms, idfs, avg_len, m, excl_terms=(), req_groups=())
                 b = np.searchsorted(ids, hi, side="right")
                 per_term.append((ids[a:b], tfs[a:b], dls[a:b]))
             cand, scores = _union_score(per_term, idfs, avg_len)
-            # exclusion/filter before the heap: θ only ever reflects
-            # scorable docs, so the weak-AND segment skip stays exact
+            # exclusion/filter/cursor before the heap: θ only ever
+            # reflects ADMISSIBLE docs, so the weak-AND segment skip
+            # stays exact (the bound still dominates every admissible
+            # doc's true score; pre-cursor docs simply never enter θ)
             cand, scores = _drop_excluded(cand, excl, scores)
             cand, scores = _keep_required(cand, req, scores)
+            cand, scores = _after_cut(cand, scores, after)
             _heap_push(heap, m, cand, scores)
         return _heap_frame(heap)
 
     return fn
 
 
-def _shard_exact_kernel(terms, idfs, avg_len, m, excl_terms=(), req_groups=()):
+def _shard_exact_kernel(
+    terms, idfs, avg_len, m, excl_terms=(), req_groups=(), after=None
+):
     """Per-shard grouped-map fn: exact conjunctive scoring, local top-m."""
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -373,6 +400,7 @@ def _shard_exact_kernel(terms, idfs, avg_len, m, excl_terms=(), req_groups=()):
         cand, scores = _intersect_score(per_term, idfs, avg_len)
         cand, scores = _drop_excluded(cand, excl, scores)
         cand, scores = _keep_required(cand, req, scores)
+        cand, scores = _after_cut(cand, scores, after)
         if cand.size > m:
             # local top-m with (score desc, doc_id asc) — lexsort keys
             sel = np.lexsort((cand, -scores))[:m]
@@ -382,7 +410,9 @@ def _shard_exact_kernel(terms, idfs, avg_len, m, excl_terms=(), req_groups=()):
     return fn
 
 
-def _shard_wand_kernel(terms, idfs, avg_len, m, excl_terms=(), req_groups=()):
+def _shard_wand_kernel(
+    terms, idfs, avg_len, m, excl_terms=(), req_groups=(), after=None
+):
     """Per-shard grouped-map fn: conjunctive block-max WAND, local top-m."""
     n_terms = len(terms)
 
@@ -560,6 +590,11 @@ def _shard_wand_kernel(terms, idfs, avg_len, m, excl_terms=(), req_groups=()):
             for ti in range(n_terms):
                 tfs_t, dls_t = per_tf[ti]
                 scores += _term_scores(tfs_t, dls_t, idfs[ti], avg_len)
+            # cursor filter before the heap (scores are only known here,
+            # so pre-cursor blocks still decode — θ stays exact because
+            # it reflects only admissible docs and block UBs dominate
+            # every doc's true score)
+            cand, scores = _after_cut(cand, scores, after)
             for d, s in zip(cand.tolist(), scores.tolist()):
                 item = (s, -d)
                 if len(heap) < m:
@@ -588,6 +623,7 @@ def bm25_search_blocks(
     exclude_terms: list[str] | None = None,
     filters: dict | None = None,
     filter_postings: DataFrame | None = None,
+    after: tuple[float, int] | None = None,
 ) -> DataFrame:
     """Top-k BM25 over POSTINGS blocks; rank-identical to the flat path
     and the oracle. ``mode`` ∈ {"wand", "exact"}; ``combine`` ∈ {"and",
@@ -596,7 +632,8 @@ def bm25_search_blocks(
     ``exclude_terms``: analyzed lemmas whose docs drop from candidates
     before the top-k cut (``-term`` syntax; see bm25_blocks_from_terms).
     ``filters`` + ``filter_postings``: attribute restriction served from
-    the filter-postings table (operators/filters.py)."""
+    the filter-postings table (operators/filters.py). ``after``: cursor
+    pagination — see bm25_blocks_from_terms."""
     terms = query_lemmas(query)
     if not terms:
         return _empty(postings.sparkSession)
@@ -604,7 +641,7 @@ def bm25_search_blocks(
         postings, lemma_stats, doc_stats, terms,
         scope=scope, k=k, offset=offset, mode=mode, combine=combine,
         exclude_terms=exclude_terms, filters=filters,
-        filter_postings=filter_postings,
+        filter_postings=filter_postings, after=after,
     )
 
 
@@ -622,6 +659,7 @@ def bm25_blocks_from_terms(
     exclude_terms: list[str] | None = None,
     filters: dict | None = None,
     filter_postings: DataFrame | None = None,
+    after: tuple[float, int] | None = None,
 ) -> DataFrame:
     """Terms-based core of ``bm25_search_blocks`` (callers pass
     pre-analyzed lemmas — fuzzy-corrected queries, more-like-this).
@@ -640,7 +678,16 @@ def bm25_blocks_from_terms(
     (same POSTINGS schema and doc-range sharding) — the needed filter
     lemmas' blocks union into the kernel scan and each shard intersects
     its candidates with its local filter set; non-scoring, gates
-    untouched, applied before the top-k cut."""
+    untouched, applied before the top-k cut.
+
+    ``after``: (score, doc_id) cursor for deep pagination — return the
+    top-k of the rows strictly AFTER the cursor in the pinned
+    (score desc, doc_id asc) order (oracle.search ``after`` is the
+    twin). Unlike ``offset`` (whose deep page costs O(offset+k) heap
+    per shard), a cursor page costs O(k) however deep it is — the
+    kernels drop pre-cursor docs at admission, so page 1000 shuffles
+    the same ≤ shards×k rows as page 1. Mutually exclusive with
+    ``offset`` (cutoff gates are stats-driven and see no cursor)."""
     from search_engine_spark.functions.scoring import df_cutoff
     from search_engine_spark.operators.filters import filter_groups
 
@@ -648,6 +695,11 @@ def bm25_blocks_from_terms(
     terms = sorted(set(terms))
     if not terms:
         return _empty(spark)
+    if after is not None and offset:
+        raise ValueError(
+            "after=(score, doc_id) replaces offset pagination — pass "
+            "offset=0 with a cursor"
+        )
     excl = sorted(set(exclude_terms or []))
     if excl and set(excl) & set(terms):
         return _empty(spark)
@@ -677,7 +729,7 @@ def bm25_blocks_from_terms(
         blocks = blocks.unionByName(flt)
     return _blocks_core(
         blocks, terms, idfs, avg_len, k, offset, mode, combine, excl,
-        groups,
+        groups, after,
     )
 
 
@@ -692,6 +744,7 @@ def _blocks_core(
     combine: str,
     excl_terms: list[str] | None = None,
     req_groups: tuple = (),
+    after: tuple[float, int] | None = None,
 ) -> DataFrame:
     """Scoring core once stats are resolved: per-shard kernels →
     TakeOrderedAndProject merge. ``blocks`` must already be filtered to
@@ -705,7 +758,8 @@ def _blocks_core(
         ("or", "exact"): _shard_or_exact_kernel,
     }
     kernel = kernels[(combine, mode)](
-        terms, idfs, avg_len, m, tuple(excl_terms or ()), tuple(req_groups)
+        terms, idfs, avg_len, m, tuple(excl_terms or ()), tuple(req_groups),
+        after,
     )
     per_shard = blocks.groupBy("shard").applyInPandas(kernel, schema=SEARCH_RESULT)
     return _paginate(per_shard, k, offset)
@@ -755,7 +809,7 @@ def _gather_term_positional(pdf: pd.DataFrame):
 
 
 def _shard_phrase_kernel(
-    seq_terms, uniq_terms, idfs, avg_len, m, slop, req_groups=()
+    seq_terms, uniq_terms, idfs, avg_len, m, slop, req_groups=(), after=None
 ):
     """Per-shard grouped-map fn: conjunctive candidates → positional
     phrase verify (ordered chain, ≤ slop lemmas between consecutive
@@ -809,6 +863,7 @@ def _shard_phrase_kernel(
         for (ids, tfs, dls), idf in zip(per_term, idfs):  # lexicographic
             pos = np.searchsorted(ids, verified)
             scores += _term_scores(tfs[pos], dls[pos], idf, avg_len)
+        verified, scores = _after_cut(verified, scores, after)
         if verified.size > m:
             sel = np.lexsort((verified, -scores))[:m]
             verified, scores = verified[sel], scores[sel]
@@ -828,6 +883,7 @@ def phrase_search_blocks(
     slop: int = 0,
     filters: dict | None = None,
     filter_postings: DataFrame | None = None,
+    after: tuple[float, int] | None = None,
 ) -> DataFrame:
     """Top-k phrase/proximity search over POSITIONAL blocks
     (POSTINGS_POS, built with ``build_docs(positional=True)``):
@@ -852,6 +908,11 @@ def phrase_search_blocks(
             "filters=... needs the index's filter-postings table "
             "(filter_postings); build with IndexBuildJob (filters stage)"
         )
+    if after is not None and offset:
+        raise ValueError(
+            "after=(score, doc_id) replaces offset pagination — pass "
+            "offset=0 with a cursor"
+        )
     n_docs, avg_len = _scope_stats(doc_stats, scope)
     if n_docs == 0:
         return _empty(spark)
@@ -867,7 +928,7 @@ def phrase_search_blocks(
         blocks = blocks.unionByName(flt, allowMissingColumns=True)
     m = offset + k
     kernel = _shard_phrase_kernel(
-        seq, uniq, idfs, avg_len, m, slop, tuple(groups)
+        seq, uniq, idfs, avg_len, m, slop, tuple(groups), after
     )
     per_shard = blocks.groupBy("shard").applyInPandas(kernel, schema=SEARCH_RESULT)
     if len(seq) == 1:

@@ -285,3 +285,34 @@ def test_phrase_stricter_than_and(spark, pos_tables, small_pdf, oracle_idx):
         ).collect()
     }
     assert phrase and phrase <= conj
+
+
+def test_phrase_cursor_rank_identity(pos_tables, small_pdf, oracle_idx):
+    """Cursor (search_after) pagination on the phrase path: rank-identical
+    to oracle.phrase_search(after=...) (see tests/test_search_after.py
+    for the bm25 kernels)."""
+    from search_engine_spark.operators.wand import phrase_search_blocks
+
+    from tests.test_spark_engine import RARE
+
+    t = pos_tables
+    paged_any = False
+    # RARE as a single-term "phrase" trivially matches every doc that
+    # contains it (well over one page); the multi-word corpus phrases
+    # page only when a window recurs across docs
+    for q in [RARE] + _phrases_from_corpus(small_pdf):
+        full = orc.phrase_search(oracle_idx, q, k=10_000)
+        if len(full) < 2:
+            continue
+        paged_any = True
+        cur = (full[0][1], full[0][0])
+        got = [
+            (r["doc_id"], r["score"])
+            for r in phrase_search_blocks(
+                t["blocks"], t["lemma_stats"], t["doc_stats"], q,
+                k=5, after=cur,
+            ).collect()
+        ]
+        assert got == orc.phrase_search(oracle_idx, q, k=5, after=cur)
+        assert got == full[1:6]
+    assert paged_any
