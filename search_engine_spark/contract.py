@@ -970,6 +970,17 @@ def q_redact_pii(spark, sf_dir):
     )
 
 
+def q_repetition_signals(spark, sf_dir):
+    """Gopher-style within-document repetition signals (operators/
+    text.py repetition_signals): most-frequent-token ratio and
+    duplicate 2-/3-gram ratios over the shared token stream — the
+    quality thresholds of Rae et al. 2021 table A1. Map-only
+    higher-order-function pass, zero shuffle, zero Python."""
+    from search_engine_spark.operators.text import repetition_signals
+
+    return repetition_signals(_read(spark, sf_dir, "documents"), TOKS_SQL)
+
+
 def q_decontaminate(spark, sf_dir):
     """Benchmark decontamination (operators/curate.py decontaminate):
     flag training docs holding >= 4/5 of an eval item's matchable
@@ -1538,6 +1549,7 @@ def _oracle_sql_map() -> dict[str, str]:
             FROM documents GROUP BY stage
         """,
         "redact_pii": _redact_pii_duck(),
+        "repetition_signals": _repetition_signals_duck(),
         "decontaminate": f"""
             WITH doc_sh AS ({_SHINGLES_FLAT_DUCK}),
             eval_sh AS (
@@ -1584,6 +1596,14 @@ def _redact_pii_duck() -> str:
         + redact_pii_oracle_sql(source_sql=injected)
         + ")"
     )
+
+
+def _repetition_signals_duck() -> str:
+    from search_engine_spark.operators.text import (
+        repetition_signals_oracle_sql,
+    )
+
+    return repetition_signals_oracle_sql(TOKS_DUCK)
 
 
 def _stratified_sample_duck() -> str:
@@ -1641,6 +1661,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "quality_funnel": q_quality_funnel,
         "redact_pii": q_redact_pii,
+        "repetition_signals": q_repetition_signals,
         "decontaminate": q_decontaminate,
     }
 

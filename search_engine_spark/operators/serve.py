@@ -64,6 +64,25 @@ class QueryServer:
                 self._dfs[(r["scope"], r["lemma"])] = int(r["df"])
             self._all_loaded = True
         self._known_terms: set[str] = set()
+        # attribute filter postings: loaded lazily on the first filtered
+        # query (persisted like blocks — same binary-column layout)
+        self._filter_blocks = None
+        self._cache_blocks = cache_blocks
+
+    def _filters_table(self):
+        import os
+
+        if self._filter_blocks is None:
+            path = f"{self.index_dir}/filters"
+            if not os.path.exists(path):
+                raise ValueError(
+                    "this index has no filters family (built with "
+                    "filter_cols=()); rebuild with IndexBuildJob defaults"
+                )
+            self._filter_blocks = self.spark.read.parquet(path)
+            if self._cache_blocks:
+                self._filter_blocks = self._filter_blocks.persist()
+        return self._filter_blocks
 
     # -- stats ---------------------------------------------------------------
 
@@ -160,12 +179,23 @@ class QueryServer:
         combine: str = "and",
         fuzzy: bool = False,
         fuzzy_dist: int = 1,
+        filters: dict | None = None,
+        after: tuple[float, int] | None = None,
     ) -> list[tuple[int, float]]:
         from search_engine_spark.functions.analyze import (
             split_negations,
             split_wildcards,
         )
+        from search_engine_spark.operators.filters import filter_groups
 
+        groups = filter_groups(filters)
+        if groups:
+            self._filters_table()  # errors early on a filterless index
+        if after is not None and offset:
+            raise ValueError(
+                "after=(score, doc_id) replaces offset pagination — pass "
+                "offset=0 with a cursor"
+            )
         pos_q, neg_q = split_negations(query)
         excl = query_lemmas(neg_q) if neg_q else []
         pos_q, prefixes = split_wildcards(pos_q)
@@ -203,8 +233,77 @@ class QueryServer:
         elif query_killed_by_cutoff(list(dfs.values()), n_docs):
             return []
         idfs = [bm25_idf(dfs[t], n_docs) for t in terms]
+        blocks = prune_blocks(self.blocks, terms + excl, scope)
+        if groups:
+            flt = prune_blocks(
+                self._filters_table(), [l for g in groups for l in g], scope
+            )
+            blocks = blocks.unionByName(flt)
         rows = _blocks_core(
-            prune_blocks(self.blocks, terms + excl, scope),
-            terms, idfs, avg_len, k, offset, mode, combine, excl,
+            blocks, terms, idfs, avg_len, k, offset, mode, combine, excl,
+            groups, after,
         ).collect()
+        return [(r["doc_id"], r["score"]) for r in rows]
+
+    def phrase(
+        self,
+        query: str,
+        scope: str | None = None,
+        k: int = 10,
+        offset: int = 0,
+        slop: int = 0,
+        filters: dict | None = None,
+        after: tuple[float, int] | None = None,
+    ) -> list[tuple[int, float]]:
+        """Phrase/proximity search from the serving session — the same
+        pinned semantics as ``wand.phrase_search_blocks`` (oracle
+        ``phrase_search`` twin) but stats come from the cached
+        dictionary, so a steady-state phrase query is ONE Spark job."""
+        from search_engine_spark.functions.analyze import analyze
+        from search_engine_spark.operators.filters import filter_groups
+        from search_engine_spark.operators.wand import (
+            _paginate,
+            _shard_phrase_kernel,
+        )
+        from search_engine_spark.schemas import SEARCH_RESULT
+
+        if "positions" not in self.blocks.columns:
+            raise ValueError(
+                "phrase search needs a positional index "
+                "(IndexBuildJob(..., positional=True))"
+            )
+        if after is not None and offset:
+            raise ValueError(
+                "after=(score, doc_id) replaces offset pagination — pass "
+                "offset=0 with a cursor"
+            )
+        groups = filter_groups(filters)
+        if groups:
+            self._filters_table()
+        seq = analyze(query)  # ordered, duplicates kept
+        if not seq:
+            return []
+        uniq = sorted(set(seq))
+        n_docs, avg_len = self._scope_stats(scope)
+        if n_docs == 0:
+            return []
+        dfs = self._term_dfs(uniq, scope)
+        if query_killed_by_cutoff(list(dfs.values()), n_docs):
+            return []
+        if len(seq) == 1 and dfs[uniq[0]] > df_cutoff(n_docs):
+            return []  # single-term gate (wand.phrase_search_blocks pin)
+        idfs = [bm25_idf(dfs[t], n_docs) for t in uniq]
+        blocks = prune_blocks(self.blocks, uniq, scope, with_positions=True)
+        if groups:
+            flt = prune_blocks(
+                self._filters_table(), [l for g in groups for l in g], scope
+            )
+            blocks = blocks.unionByName(flt, allowMissingColumns=True)
+        kernel = _shard_phrase_kernel(
+            seq, uniq, idfs, avg_len, offset + k, slop, tuple(groups), after
+        )
+        per_shard = blocks.groupBy("shard").applyInPandas(
+            kernel, schema=SEARCH_RESULT
+        )
+        rows = _paginate(per_shard, k, offset).collect()
         return [(r["doc_id"], r["score"]) for r in rows]

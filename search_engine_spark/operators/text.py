@@ -295,3 +295,77 @@ def redact_pii_oracle_sql(
         f"SELECT * EXCLUDE ({text_col}), {counts}, {red} AS {text_col} "
         f"FROM {source_sql}"
     )
+
+
+# -- repetition signals (Gopher-style quality filter) ---------------------------
+
+
+def repetition_signals(
+    docs: DataFrame, tokens_sql: str, id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, top_token_ratio, dup_bigram_ratio, dup_trigram_ratio):
+    the within-document repetition signals the Gopher / MassiveText
+    quality filter thresholds on (Rae et al. 2021, table A1) — the
+    fraction of tokens claimed by the single most frequent token, and
+    1 - distinct/total over the token 2- and 3-gram streams.
+
+    Scale shape: pure higher-order-function column expressions over the
+    per-row token array — whole-stage codegen, zero shuffle, zero
+    Python; a map-only pass like ``text_quality``. Per-row cost is
+    O(distinct × n) for the top-token count and O(n) for the n-gram
+    ratios — bounded by document length, independent of corpus size.
+    Ratios are single divisions (no float accumulation), so round(x, 6)
+    is deterministic on both engines."""
+    d = docs.select(id_col, F.expr(tokens_sql).alias("_t"))
+    n = F.size("_t")
+    top_cnt = F.array_max(
+        F.expr("transform(array_distinct(_t), u -> size(filter(_t, x -> x = u)))")
+    )
+
+    def dup_ngram(k: int):
+        grams = (
+            f"transform(slice(_t, 1, greatest(size(_t) - {k - 1}, 0)), "
+            f"(x, i) -> concat_ws(' ', slice(_t, i + 1, {k})))"
+        )
+        return F.expr(
+            f"round(case when size({grams}) > 0 then "
+            f"cast(1.0 as double) - cast(size(array_distinct({grams})) as double)"
+            f" / size({grams}) else 0.0 end, 6)"
+        )
+
+    return d.select(
+        id_col,
+        F.round(
+            F.when(n > 0, top_cnt.cast("double") / n).otherwise(0.0), 6
+        ).alias("top_token_ratio"),
+        dup_ngram(2).alias("dup_bigram_ratio"),
+        dup_ngram(3).alias("dup_trigram_ratio"),
+    )
+
+
+def repetition_signals_oracle_sql(
+    tokens_duck: str, source_sql: str = "documents", id_col: str = "doc_id"
+) -> str:
+    """DuckDB twin of ``repetition_signals`` (same pinned ratios over
+    the same token stream), as a full SELECT over ``source_sql``."""
+    return f"""
+        WITH t AS (SELECT {id_col}, {tokens_duck} AS _t FROM {source_sql}),
+        g AS (SELECT {id_col}, _t,
+                list_transform(range(1, len(_t)),
+                    i -> _t[i] || ' ' || _t[i + 1]) AS g2,
+                list_transform(range(1, len(_t) - 1),
+                    i -> _t[i] || ' ' || _t[i + 1] || ' ' || _t[i + 2]) AS g3
+              FROM t)
+        SELECT {id_col},
+               round(CASE WHEN len(_t) > 0 THEN
+                   list_max(list_transform(list_distinct(_t),
+                       u -> len(list_filter(_t, x -> x = u))))::DOUBLE
+                   / len(_t) ELSE 0.0 END, 6) AS top_token_ratio,
+               round(CASE WHEN len(g2) > 0 THEN
+                   1.0::DOUBLE - len(list_distinct(g2))::DOUBLE / len(g2)
+                   ELSE 0.0 END, 6) AS dup_bigram_ratio,
+               round(CASE WHEN len(g3) > 0 THEN
+                   1.0::DOUBLE - len(list_distinct(g3))::DOUBLE / len(g3)
+                   ELSE 0.0 END, 6) AS dup_trigram_ratio
+        FROM g
+    """

@@ -316,3 +316,37 @@ def test_phrase_cursor_rank_identity(pos_tables, small_pdf, oracle_idx):
         assert got == orc.phrase_search(oracle_idx, q, k=5, after=cur)
         assert got == full[1:6]
     assert paged_any
+
+
+def test_query_server_phrase(
+    spark, pos_tables, engine_tables, small_pdf, oracle_idx,
+    tmp_path_factory,
+):
+    """QueryServer.phrase: phrase serving from cached stats — identical
+    to oracle.phrase_search across slop/filters/cursor; one Spark job in
+    steady state (stats resolved driver-side from the preloaded dict)."""
+    from search_engine_spark.operators.filters import build_filter_blocks
+    from search_engine_spark.operators.serve import QueryServer
+    from tests.test_spark_engine import RARE
+
+    d = str(tmp_path_factory.mktemp("pos_srv"))
+    pos_tables["blocks"].write.parquet(f"{d}/postings")
+    pos_tables["lemma_stats"].write.parquet(f"{d}/lemma_stats")
+    pos_tables["doc_stats"].write.parquet(f"{d}/doc_stats")
+    build_filter_blocks(engine_tables["docs"], range_size=512).write.parquet(
+        f"{d}/filters"
+    )
+    srv = QueryServer(spark, d, cache_blocks=False)
+    checked = 0
+    for q in [RARE] + _phrases_from_corpus(small_pdf)[:3]:
+        for kwargs in ({}, {"slop": 1}, {"filters": {"role": "user"}}):
+            exp = orc.phrase_search(oracle_idx, q, k=10, **kwargs)
+            assert srv.phrase(q, k=10, **kwargs) == exp, (q, kwargs)
+            checked += bool(exp)
+    assert checked
+    full = orc.phrase_search(oracle_idx, RARE, k=10_000)
+    assert len(full) > 6
+    cur = (full[0][1], full[0][0])
+    assert srv.phrase(RARE, k=5, after=cur) == full[1:6]
+    with pytest.raises(ValueError, match="offset"):
+        srv.phrase(RARE, k=5, offset=2, after=cur)

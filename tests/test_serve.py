@@ -51,3 +51,32 @@ def test_server_memoized_dictionary(spark, base_index_dir, oracle_idx):
     assert not srv._all_loaded
     _check(srv, oracle_idx)
     assert srv._known_terms  # memo actually populated
+
+
+def test_server_filters_and_cursor(spark, base_index_dir, oracle_idx):
+    """The serving session supports attribute filters (lazily loaded
+    filter-postings table) and search_after cursors — rank-identical to
+    oracle.search(filters=..., after=...)."""
+    import pytest
+
+    from tests.test_spark_engine import RARE
+
+    srv = QueryServer(spark, base_index_dir["index"], cache_blocks=False)
+    assert srv._filter_blocks is None  # lazy until a filtered query
+    filters = {"role": "user"}
+    exp = orc.search(oracle_idx, RARE, k=10, filters=filters)
+    assert exp and exp != orc.search(oracle_idx, RARE, k=10)
+    assert srv.search(RARE, k=10, filters=filters) == exp
+    assert srv._filter_blocks is not None
+
+    # cursor paging from the 2nd row, composed with the filter
+    full = orc.search(oracle_idx, RARE, k=10_000, filters=filters)
+    cur = (full[1][1], full[1][0])
+    got = srv.search(RARE, k=4, filters=filters, after=cur)
+    assert got == full[2:6]
+    # plain cursor (no filter) too
+    full_nf = orc.search(oracle_idx, RARE, k=10_000)
+    cur = (full_nf[0][1], full_nf[0][0])
+    assert srv.search(RARE, k=4, after=cur) == full_nf[1:5]
+    with pytest.raises(ValueError, match="offset"):
+        srv.search(RARE, k=4, offset=2, after=cur)
