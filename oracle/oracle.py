@@ -319,6 +319,97 @@ def search(
     return _page(ranked, k, offset, after)
 
 
+def bool_search(
+    idx: OracleIndex,
+    query: str,
+    scope: str | None = None,
+    k: int = 10,
+    offset: int = 0,
+    filters: dict | None = None,
+    after: tuple[float, int] | None = None,
+) -> list[tuple[int, float]]:
+    """Boolean query search (functions/boolquery.py syntax + pinned
+    semantics — see its module docstring). Matching is set algebra over
+    the AST within the scope; a pure-negative clause matches nothing.
+    df cutoff drops positive lemmas PER-TERM (OR-mode style;
+    prune_over_cutoff); negated subtrees are never cutoff-pruned.
+    score(doc) = Σ bm25_term_score over the distinct positive lemmas of
+    the pruned tree present in the doc, accumulated in lexicographic
+    lemma order. ``filters``/``after`` compose exactly as in ``search``
+    (non-scoring restriction after the gates; cursor replaces offset).
+    Twin: operators/wand.py ``bool_search_blocks``."""
+    from search_engine_spark.functions.boolquery import (
+        all_lemmas,
+        parse_bool,
+        positive_lemmas,
+        prune_over_cutoff,
+    )
+
+    tree = parse_bool(query)
+    if tree is None:
+        return []
+    scope_ids = _scope_doc_ids(idx, scope)
+    n_docs = len(scope_ids)
+    if n_docs == 0:
+        return []
+    cutoff = df_cutoff(n_docs)
+    over = {
+        t for t in positive_lemmas(tree) if _df_of(idx, t, scope) > cutoff
+    }
+    tree = prune_over_cutoff(tree, over)
+    if tree is None:
+        return []
+    scope_set = set(scope_ids)
+    term_docs = {
+        t: {d for d in idx.postings.get(t, {}) if d in scope_set}
+        for t in all_lemmas(tree)
+    }
+
+    def ev(node) -> set:
+        if node[0] == "term":
+            return term_docs[node[1]]
+        if node[0] == "or":
+            s: set = set()
+            for c in node[1]:
+                s |= ev(c)
+            return s
+        pos, negs = node[1], node[2]
+        if not pos:
+            return set()  # pure-negative clause matches nothing
+        parts = sorted((ev(c) for c in pos), key=len)
+        s = set(parts[0])
+        for p in parts[1:]:
+            s &= p
+            if not s:
+                return s
+        for nchild in negs:
+            s -= ev(nchild)
+            if not s:
+                return s
+        return s
+
+    matched = ev(tree)
+    allowed = _filter_doc_ids(idx, filters)
+    if allowed is not None:
+        matched &= allowed
+    if not matched:
+        return []
+    avg_len = sum(idx.doc_len[d] for d in scope_ids) / n_docs
+    scores: dict[int, float] = {}
+    for t in positive_lemmas(tree):  # lexicographic order (pinned)
+        idf = bm25_idf(_df_of(idx, t, scope), n_docs)
+        plist = idx.postings.get(t, {})
+        for d in matched:
+            tf = plist.get(d)
+            if tf is not None:
+                scores[d] = scores.get(d, 0.0) + bm25_term_score(
+                    float(tf), float(idx.doc_len[d]), avg_len, idf,
+                    BM25_K1, BM25_B,
+                )
+    ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+    return _page(ranked, k, offset, after)
+
+
 def phrase_match_doc(
     pos_lists: list[list[int]], slop: int = 0
 ) -> bool:

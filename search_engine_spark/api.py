@@ -151,106 +151,135 @@ class SearchEngine:
                 ),
             }
 
-        # query syntax: "-token" exclusions (split_negations) and
-        # "token*" prefix wildcards (split_wildcards → bounded top-cf
-        # dictionary expansion, OR mode only)
-        from search_engine_spark.functions.analyze import (
-            split_negations,
-            split_wildcards,
-        )
-
-        pos_q, neg_q = split_negations(query)
-        excl_terms = query_lemmas(neg_q) if neg_q else []
-        pos_q, prefixes = split_wildcards(pos_q)
-        expansions: list[str] = []
-        if prefixes:
-            if match == "phrase" or scorer != "bm25":
-                raise ValueError("wildcards need scorer='bm25' term match")
-            if combine != "or":
+        if match == "bool":
+            # boolean query syntax (functions/boolquery.py): nested
+            # AND/OR/NOT/parens with implicit AND — the syntax carries
+            # its own negation/grouping, so the -term/wildcard splitting
+            # below does not apply. Served by operators/wand.py
+            # bool_search_blocks (oracle.bool_search is the twin).
+            if fuzzy or scorer != "bm25" or combine != "and":
                 raise ValueError(
-                    "a wildcard expands to MANY lemmas — requiring all of "
-                    "them (combine='and') is never what you mean; use "
-                    "combine='or'"
+                    "match='bool' needs scorer='bm25', combine='and', "
+                    "fuzzy=False (the syntax carries its own operators)"
                 )
-            from search_engine_spark.operators.fuzzy import expand_prefix
-
-            for p in prefixes:  # sorted unique → deterministic
-                expansions.extend(
-                    expand_prefix(self._lemma_stats, p, scope=scope)
-                )
-        terms = query_lemmas(pos_q)
-        if match == "phrase":
-            if excl_terms:
-                raise ValueError("phrase search does not support -term")
-            if "positions" not in self._blocks.columns:
-                raise ValueError(
-                    "phrase search needs a positional index "
-                    "(IndexBuildJob(..., positional=True))"
-                )
-            from search_engine_spark.operators.wand import phrase_search_blocks
-
-            deep = 10 * (offset + limit)
-            results = phrase_search_blocks(
-                self._blocks, self._lemma_stats, self._doc_stats,
-                pos_q, scope=scope, k=deep, offset=0, slop=slop,
-                filters=filters, filter_postings=self._filter_blocks,
-                after=after,
+            from search_engine_spark.functions.boolquery import (
+                parse_bool,
+                positive_lemmas,
             )
-        elif scorer == "bm25":
-            # fetch a deep page once (cacheable), slice driver-side
+            from search_engine_spark.operators.wand import bool_search_blocks
+
             deep = 10 * (offset + limit)
-            if fuzzy:
-                # typo tolerance (operators/fuzzy.py): unknown analyzed
-                # lemmas are replaced by their best edit-distance-
-                # ``fuzzy_dist`` dictionary candidate, then the standard
-                # blocks plan runs
-                from search_engine_spark.operators.fuzzy import correct_terms
-                from search_engine_spark.operators.wand import (
-                    bm25_blocks_from_terms,
-                )
-
-                corrected = correct_terms(
-                    self._lemma_stats, terms, scope,
-                    variants=self._variants(fuzzy_dist),
-                    max_dist=fuzzy_dist,
-                )
-                # exclusions and wildcard expansions pass through
-                # UNcorrected (pinned: only explicit scored terms are
-                # spell-corrected; expansions are in-dictionary already)
-                terms = sorted(set(corrected) | set(expansions))
-                results = bm25_blocks_from_terms(
-                    self._blocks, self._lemma_stats, self._doc_stats,
-                    terms, scope=scope, k=deep, offset=0, mode="wand",
-                    combine=combine, exclude_terms=excl_terms,
-                    filters=filters, filter_postings=self._filter_blocks,
-                    after=after,
-                )
-            else:
-                from search_engine_spark.operators.wand import (
-                    bm25_blocks_from_terms,
-                )
-
-                terms = sorted(set(terms) | set(expansions))
-                results = bm25_blocks_from_terms(
-                    self._blocks, self._lemma_stats, self._doc_stats,
-                    terms, scope=scope, k=deep, offset=0, mode="wand",
-                    combine=combine, exclude_terms=excl_terms,
-                    filters=filters, filter_postings=self._filter_blocks,
-                    after=after,
-                )
+            results = bool_search_blocks(
+                self._blocks, self._lemma_stats, self._doc_stats, query,
+                scope=scope, k=deep, offset=0, filters=filters,
+                filter_postings=self._filter_blocks, after=after,
+            )
+            # snippet highlighting uses the positive lemmas (negated
+            # subtrees are non-scoring and never bolded); like OR mode,
+            # the highlight set is the UNpruned query — cutoff-dropped
+            # lemmas simply never appear in the matched docs' top ranks
+            terms = positive_lemmas(parse_bool(query))
         else:
-            # legacy reference scorer (Σtf/max-tf + global-max norm) —
-            # served from a flat-postings view materialized ONCE per index
-            # epoch (a per-query corpus re-explode is a full scan at scale)
-            from search_engine_spark.operators.query import reftf_search
-
-            if excl_terms:
-                raise ValueError("scorer='reftf' does not support -term")
-            deep = 10 * (offset + limit)
-            results = reftf_search(
-                self._flat_postings(), self._lemma_stats,
-                self._doc_stats, pos_q, scope=scope, k=deep, offset=0,
+            # query syntax: "-token" exclusions (split_negations) and
+            # "token*" prefix wildcards (split_wildcards → bounded top-cf
+            # dictionary expansion, OR mode only)
+            from search_engine_spark.functions.analyze import (
+                split_negations,
+                split_wildcards,
             )
+
+            pos_q, neg_q = split_negations(query)
+            excl_terms = query_lemmas(neg_q) if neg_q else []
+            pos_q, prefixes = split_wildcards(pos_q)
+            expansions: list[str] = []
+            if prefixes:
+                if match == "phrase" or scorer != "bm25":
+                    raise ValueError("wildcards need scorer='bm25' term match")
+                if combine != "or":
+                    raise ValueError(
+                        "a wildcard expands to MANY lemmas — requiring all of "
+                        "them (combine='and') is never what you mean; use "
+                        "combine='or'"
+                    )
+                from search_engine_spark.operators.fuzzy import expand_prefix
+
+                for p in prefixes:  # sorted unique → deterministic
+                    expansions.extend(
+                        expand_prefix(self._lemma_stats, p, scope=scope)
+                    )
+            terms = query_lemmas(pos_q)
+            if match == "phrase":
+                if excl_terms:
+                    raise ValueError("phrase search does not support -term")
+                if "positions" not in self._blocks.columns:
+                    raise ValueError(
+                        "phrase search needs a positional index "
+                        "(IndexBuildJob(..., positional=True))"
+                    )
+                from search_engine_spark.operators.wand import phrase_search_blocks
+
+                deep = 10 * (offset + limit)
+                results = phrase_search_blocks(
+                    self._blocks, self._lemma_stats, self._doc_stats,
+                    pos_q, scope=scope, k=deep, offset=0, slop=slop,
+                    filters=filters, filter_postings=self._filter_blocks,
+                    after=after,
+                )
+            elif scorer == "bm25":
+                # fetch a deep page once (cacheable), slice driver-side
+                deep = 10 * (offset + limit)
+                if fuzzy:
+                    # typo tolerance (operators/fuzzy.py): unknown analyzed
+                    # lemmas are replaced by their best edit-distance-
+                    # ``fuzzy_dist`` dictionary candidate, then the standard
+                    # blocks plan runs
+                    from search_engine_spark.operators.fuzzy import correct_terms
+                    from search_engine_spark.operators.wand import (
+                        bm25_blocks_from_terms,
+                    )
+
+                    corrected = correct_terms(
+                        self._lemma_stats, terms, scope,
+                        variants=self._variants(fuzzy_dist),
+                        max_dist=fuzzy_dist,
+                    )
+                    # exclusions and wildcard expansions pass through
+                    # UNcorrected (pinned: only explicit scored terms are
+                    # spell-corrected; expansions are in-dictionary already)
+                    terms = sorted(set(corrected) | set(expansions))
+                    results = bm25_blocks_from_terms(
+                        self._blocks, self._lemma_stats, self._doc_stats,
+                        terms, scope=scope, k=deep, offset=0, mode="wand",
+                        combine=combine, exclude_terms=excl_terms,
+                        filters=filters, filter_postings=self._filter_blocks,
+                        after=after,
+                    )
+                else:
+                    from search_engine_spark.operators.wand import (
+                        bm25_blocks_from_terms,
+                    )
+
+                    terms = sorted(set(terms) | set(expansions))
+                    results = bm25_blocks_from_terms(
+                        self._blocks, self._lemma_stats, self._doc_stats,
+                        terms, scope=scope, k=deep, offset=0, mode="wand",
+                        combine=combine, exclude_terms=excl_terms,
+                        filters=filters, filter_postings=self._filter_blocks,
+                        after=after,
+                    )
+            else:
+                # legacy reference scorer (Σtf/max-tf + global-max norm) —
+                # served from a flat-postings view materialized ONCE per index
+                # epoch (a per-query corpus re-explode is a full scan at scale)
+                from search_engine_spark.operators.query import reftf_search
+
+                if excl_terms:
+                    raise ValueError("scorer='reftf' does not support -term")
+                deep = 10 * (offset + limit)
+                results = reftf_search(
+                    self._flat_postings(), self._lemma_stats,
+                    self._doc_stats, pos_q, scope=scope, k=deep, offset=0,
+                )
         if collapse is not None:
             # field collapsing on the DEEP page (pinned depth policy):
             # ≤ collapse_limit hits per value of a docs column, global

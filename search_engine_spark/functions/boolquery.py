@@ -1,0 +1,243 @@
+"""Boolean query language: nested AND / OR / NOT with parentheses,
+compiled to a small AST shared by the oracle and the Spark kernels.
+
+Syntax (Lucene-lite; reference has no boolean syntax — this is a
+beyond-reference feature, cf. Lucene's BooleanQuery as public prior
+art):
+
+- ``a b``            implicit AND (adjacency)
+- ``a AND b``        explicit AND (keyword, uppercase only)
+- ``a OR b``         OR binds LOOSER than AND: ``a b OR c`` = (a AND b) OR c
+- ``NOT a`` / ``-a`` negation; only meaningful as a conjunct — a clause
+                     with no positive conjunct matches NOTHING (Lucene's
+                     pure-negative behavior: there is no match-all
+                     universe to subtract from at scale)
+- ``( ... )``        grouping; ``NOT ( ... )`` negates the whole group
+- ``"``              reserved (phrase atoms), currently rejected
+
+Every word atom runs through the standard analyzer, so matching uses
+exactly the indexed lemma forms; a stopword atom is VACUOUS and simply
+vanishes from its clause (``the AND merge`` ≡ ``merge``). A word that
+analyzes to several lemmas becomes an implicit AND group.
+
+AST (plain picklable tuples — they travel into applyInPandas closures):
+
+- ``("term", lemma)``
+- ``("and", (pos_children...), (neg_children...))`` — matches docs in
+  EVERY positive child and NO negative child
+- ``("or", (children...))`` — matches docs in ANY child
+
+Nested ANDs are flattened on assembly (and-associativity), so a
+pure-negative GROUP used as a conjunct — ``a AND (NOT b)`` — merges into
+the parent's negative list and means exactly ``a -b``.
+
+Pinned matching/scoring semantics (oracle.bool_search is the twin):
+
+- df cutoff is PER-TERM, OR-mode style (oracle.search combine="or"): a
+  positive lemma whose df exceeds the 5% cutoff is dropped from the
+  tree; an AND clause whose positive conjuncts all drop dies entirely
+  (negations die with it); negated subtrees are never cutoff-pruned
+  (excluding a hot term is legitimate — nothing is scored for it).
+- score(doc) = Σ bm25_term_score over the DISTINCT positive lemmas of
+  the pruned tree that the doc CONTAINS (wherever it matched),
+  accumulated in lexicographic lemma order — float64, bit-identical
+  between oracle and kernels. ``a b`` is therefore score-identical to
+  combine="and" and ``a OR b`` to combine="or" when no cutoff fires.
+"""
+
+from __future__ import annotations
+
+from search_engine_spark.functions.analyze import analyze
+
+_KEYWORDS = {"AND", "OR", "NOT"}
+
+Node = tuple  # ("term", str) | ("and", tuple, tuple) | ("or", tuple)
+
+
+def _lex(query: str) -> list[str]:
+    if '"' in query:
+        raise ValueError('\'"\' is reserved for phrase atoms — not yet '
+                         "supported in boolean syntax")
+    return query.replace("(", " ( ").replace(")", " ) ").split()
+
+
+class _Parser:
+    def __init__(self, toks: list[str]):
+        self.toks = toks
+        self.i = 0
+
+    def peek(self) -> str | None:
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def take(self) -> str:
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    # or_expr := and_expr ('OR' and_expr)*
+    def or_expr(self) -> Node | None:
+        kids = []
+        first = self.and_expr()
+        if first is not None:
+            kids.append(first)
+        while self.peek() == "OR":
+            self.take()
+            nxt = self.and_expr()
+            if nxt is not None:
+                kids.append(nxt)
+        if not kids:
+            return None
+        return kids[0] if len(kids) == 1 else ("or", tuple(kids))
+
+    # and_expr := factor ('AND'? factor)*   (implicit AND on adjacency)
+    def and_expr(self) -> Node | None:
+        pos: list[Node] = []
+        negs: list[Node] = []
+        saw_atom = False
+        pending_and = False
+        while True:
+            t = self.peek()
+            if t is None or t in (")", "OR"):
+                if pending_and:
+                    raise ValueError(
+                        "dangling 'AND': expected a term or group"
+                    )
+                break
+            if t == "AND":
+                self.take()
+                pending_and = True
+                continue
+            pending_and = False
+            neg, node = self.factor()
+            saw_atom = True
+            if node is None:  # vacuous (stopword) atom — vanishes
+                continue
+            if neg:
+                negs.append(node)
+            elif node[0] == "and":
+                # flatten nested AND (associativity): a AND (NOT b)
+                # merges b into THIS clause's negative list
+                pos.extend(node[1])
+                negs.extend(node[2])
+            else:
+                pos.append(node)
+        if not saw_atom:
+            raise ValueError("dangling operator: expected a term or group")
+        if not pos and not negs:
+            return None
+        if len(pos) == 1 and not negs:
+            return pos[0]
+        return ("and", tuple(pos), tuple(negs))
+
+    # factor := ('NOT' | '-'word) factor | '(' or_expr ')' | word
+    # returns (negated?, node)
+    def factor(self) -> tuple[bool, Node | None]:
+        t = self.peek()
+        if t is None:
+            raise ValueError("dangling operator: expected a term or group")
+        if t == "NOT":
+            self.take()
+            neg, node = self.factor()
+            return (not neg, node)  # NOT NOT a = a (involution)
+        if t == "(":
+            self.take()
+            node = self.or_expr()
+            if self.peek() != ")":
+                raise ValueError("unbalanced '(' in boolean query")
+            self.take()
+            return (False, node)
+        if t == ")":
+            raise ValueError("unbalanced ')' in boolean query")
+        word = self.take()
+        if word in _KEYWORDS:
+            raise ValueError(f"dangling operator {word!r}")
+        if word.startswith("-") and len(word) > 1:
+            lemmas = analyze(word[1:])
+            return (True, _atom(lemmas))
+        return (False, _atom(analyze(word)))
+
+
+def _atom(lemmas: list[str]) -> Node | None:
+    uniq = sorted(set(lemmas))
+    if not uniq:
+        return None
+    if len(uniq) == 1:
+        return ("term", uniq[0])
+    return ("and", tuple(("term", l) for l in uniq), ())
+
+
+def parse_bool(query: str) -> Node | None:
+    """Raw query string → AST (None = vacuous query, matches nothing).
+    Raises ValueError on malformed syntax (unbalanced parens, dangling
+    operators, reserved quotes)."""
+    toks = _lex(query)
+    if not toks:
+        return None
+    p = _Parser(toks)
+    node = p.or_expr()
+    if p.peek() is not None:
+        raise ValueError("unbalanced ')' in boolean query")
+    return node
+
+
+def positive_lemmas(node: Node | None) -> list[str]:
+    """Sorted distinct lemmas reachable WITHOUT crossing a negation edge
+    — the scoring set (and the df-cutoff-gated set)."""
+    out: set[str] = set()
+
+    def walk(n: Node) -> None:
+        if n[0] == "term":
+            out.add(n[1])
+        elif n[0] == "or":
+            for c in n[1]:
+                walk(c)
+        else:
+            for c in n[1]:
+                walk(c)
+
+    if node is not None:
+        walk(node)
+    return sorted(out)
+
+
+def all_lemmas(node: Node | None) -> list[str]:
+    """Sorted distinct lemmas anywhere in the tree (postings to fetch)."""
+    out: set[str] = set()
+
+    def walk(n: Node) -> None:
+        if n[0] == "term":
+            out.add(n[1])
+        elif n[0] == "or":
+            for c in n[1]:
+                walk(c)
+        else:
+            for c in n[1] + n[2]:
+                walk(c)
+
+    if node is not None:
+        walk(node)
+    return sorted(out)
+
+
+def prune_over_cutoff(node: Node | None, over: set[str]) -> Node | None:
+    """Drop over-cutoff POSITIVE lemmas (per-term, OR-mode style). An
+    AND whose positive conjuncts all drop dies entirely; negated
+    subtrees are never pruned. Returns None when the whole tree dies."""
+    if node is None or not over:
+        return node
+    kind = node[0]
+    if kind == "term":
+        return None if node[1] in over else node
+    if kind == "or":
+        kids = [p for c in node[1]
+                if (p := prune_over_cutoff(c, over)) is not None]
+        if not kids:
+            return None
+        return kids[0] if len(kids) == 1 else ("or", tuple(kids))
+    pos = [p for c in node[1]
+           if (p := prune_over_cutoff(c, over)) is not None]
+    if not pos:
+        return None
+    if len(pos) == 1 and not node[2]:
+        return pos[0]
+    return ("and", tuple(pos), node[2])

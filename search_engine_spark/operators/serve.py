@@ -307,3 +307,67 @@ class QueryServer:
         )
         rows = _paginate(per_shard, k, offset).collect()
         return [(r["doc_id"], r["score"]) for r in rows]
+
+    def bool_search(
+        self,
+        query: str,
+        scope: str | None = None,
+        k: int = 10,
+        offset: int = 0,
+        filters: dict | None = None,
+        after: tuple[float, int] | None = None,
+    ) -> list[tuple[int, float]]:
+        """Boolean query (functions/boolquery.py syntax — nested
+        AND/OR/NOT/parens) from the serving session: the same pinned
+        semantics as ``wand.bool_search_blocks`` (oracle.bool_search
+        twin) but stats resolve from the cached dictionary, so a
+        steady-state boolean query is ONE Spark job."""
+        from search_engine_spark.functions.boolquery import (
+            all_lemmas,
+            parse_bool,
+            positive_lemmas,
+            prune_over_cutoff,
+        )
+        from search_engine_spark.operators.filters import filter_groups
+        from search_engine_spark.operators.wand import (
+            _paginate,
+            _shard_bool_kernel,
+        )
+        from search_engine_spark.schemas import SEARCH_RESULT
+
+        tree = parse_bool(query)
+        if tree is None:
+            return []
+        if after is not None and offset:
+            raise ValueError(
+                "after=(score, doc_id) replaces offset pagination — pass "
+                "offset=0 with a cursor"
+            )
+        groups = filter_groups(filters)
+        if groups:
+            self._filters_table()
+        n_docs, avg_len = self._scope_stats(scope)
+        if n_docs == 0:
+            return []
+        pos = positive_lemmas(tree)
+        dfs = self._term_dfs(pos, scope)
+        cutoff = df_cutoff(n_docs)
+        tree = prune_over_cutoff(tree, {t for t in pos if dfs[t] > cutoff})
+        if tree is None:
+            return []
+        terms = positive_lemmas(tree)
+        idfs = [bm25_idf(dfs[t], n_docs) for t in terms]
+        blocks = prune_blocks(self.blocks, all_lemmas(tree), scope)
+        if groups:
+            flt = prune_blocks(
+                self._filters_table(), [l for g in groups for l in g], scope
+            )
+            blocks = blocks.unionByName(flt)
+        kernel = _shard_bool_kernel(
+            tree, terms, idfs, avg_len, offset + k, tuple(groups), after
+        )
+        per_shard = blocks.groupBy("shard").applyInPandas(
+            kernel, schema=SEARCH_RESULT
+        )
+        rows = _paginate(per_shard, k, offset).collect()
+        return [(r["doc_id"], r["score"]) for r in rows]

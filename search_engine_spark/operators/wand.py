@@ -765,6 +765,157 @@ def _blocks_core(
     return _paginate(per_shard, k, offset)
 
 
+def _shard_bool_kernel(tree, terms, idfs, avg_len, m, req_groups=(), after=None):
+    """Per-shard grouped-map fn: boolean-AST matching + exact scoring.
+
+    Shards partition docs by id range, so every lemma of a given doc —
+    positive, negated, or filter — decodes in the SAME shard; the set
+    algebra over the AST is therefore shard-local and exact (the same
+    locality argument as ``_gather_excluded``). Matching evaluates the
+    tree bottom-up over sorted unique doc_id arrays (intersection
+    ascending by size, unions via np.unique, negations via masked
+    isin); scoring then sums ``_term_scores`` over the positive lemmas
+    in lexicographic order — += lands on disjoint positions per term,
+    so per-doc accumulation order equals the term-loop order,
+    bit-identical to oracle.bool_search."""
+    from search_engine_spark.functions.boolquery import all_lemmas
+
+    lemmas = all_lemmas(tree)
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        req = _gather_required(pdf, req_groups)
+        z = np.empty(0, dtype=np.int64)
+        per = {}
+        for t in lemmas:
+            tp = pdf[pdf["lemma"] == t]
+            per[t] = (z, z, z) if tp.empty else _gather_term(tp)
+
+        def ev(node) -> np.ndarray:
+            if node[0] == "term":
+                return per[node[1]][0]
+            if node[0] == "or":
+                parts = [p for c in node[1] if (p := ev(c)).size]
+                if not parts:
+                    return z
+                return np.unique(np.concatenate(parts))
+            pos, negs = node[1], node[2]
+            if not pos:
+                return z  # pure-negative clause matches nothing
+            parts = sorted((ev(c) for c in pos), key=lambda a: a.size)
+            cand = parts[0]
+            for p in parts[1:]:
+                if cand.size == 0:
+                    return cand
+                cand = cand[np.isin(cand, p, assume_unique=True)]
+            for nchild in negs:
+                if cand.size == 0:
+                    return cand
+                ns = ev(nchild)
+                if ns.size:
+                    cand = cand[~np.isin(cand, ns, assume_unique=True)]
+            return cand
+
+        cand = ev(tree)
+        scores = np.zeros(cand.size, dtype=np.float64)
+        for t, idf in zip(terms, idfs):  # lexicographic (pinned)
+            ids, tfs, dls = per[t]
+            if ids.size == 0 or cand.size == 0:
+                continue
+            mask = np.isin(cand, ids, assume_unique=True)
+            if not mask.any():
+                continue
+            at = np.searchsorted(ids, cand[mask])
+            scores[mask] += _term_scores(tfs[at], dls[at], idf, avg_len)
+        cand, scores = _keep_required(cand, req, scores)
+        cand, scores = _after_cut(cand, scores, after)
+        if cand.size > m:
+            sel = np.lexsort((cand, -scores))[:m]
+            cand, scores = cand[sel], scores[sel]
+        return pd.DataFrame({"doc_id": cand, "score": scores})
+
+    return fn
+
+
+def bool_search_blocks(
+    postings: DataFrame,
+    lemma_stats: DataFrame,
+    doc_stats: DataFrame,
+    query: str,
+    *,
+    scope: str | None = None,
+    k: int = 10,
+    offset: int = 0,
+    filters: dict | None = None,
+    filter_postings: DataFrame | None = None,
+    after: tuple[float, int] | None = None,
+) -> DataFrame:
+    """Top-k BM25 over a BOOLEAN query (functions/boolquery.py syntax:
+    nested AND/OR/NOT/parens, ``-term``, implicit AND) served from
+    compressed block postings; rank-identical to oracle.bool_search.
+
+    Driver side resolves stats and applies the per-term df cutoff
+    (OR-mode style — over-cutoff positive lemmas drop from the tree,
+    negated subtrees are never pruned); the pruned AST then travels
+    into one per-shard kernel that fetches ONLY the tree's lemmas
+    (filter pushed to the parquet scan via ``prune_blocks``), so the
+    scan cost is the same as an equivalent flat AND/OR query — the
+    boolean structure costs set algebra over already-decoded arrays,
+    not extra IO. Candidates are bounded by the rarest positive
+    conjunct per AND clause (ascending-size intersection order).
+
+    ``filters``/``filter_postings``/``after`` compose exactly as in
+    ``bm25_blocks_from_terms`` (non-scoring attribute restriction;
+    O(k) cursor pagination)."""
+    from search_engine_spark.functions.boolquery import (
+        all_lemmas,
+        parse_bool,
+        positive_lemmas,
+        prune_over_cutoff,
+    )
+    from search_engine_spark.functions.scoring import df_cutoff
+    from search_engine_spark.operators.filters import filter_groups
+
+    spark = postings.sparkSession
+    tree = parse_bool(query)
+    if tree is None:
+        return _empty(spark)
+    if after is not None and offset:
+        raise ValueError(
+            "after=(score, doc_id) replaces offset pagination — pass "
+            "offset=0 with a cursor"
+        )
+    groups = filter_groups(filters)
+    if groups and filter_postings is None:
+        raise ValueError(
+            "filters=... needs the index's filter-postings table "
+            "(filter_postings); build with IndexBuildJob (filters stage)"
+        )
+    n_docs, avg_len = _scope_stats(doc_stats, scope)
+    if n_docs == 0:
+        return _empty(spark)
+    pos = positive_lemmas(tree)
+    dfs = _term_dfs(lemma_stats, pos, scope)
+    cutoff = df_cutoff(n_docs)
+    tree = prune_over_cutoff(tree, {t for t in pos if dfs[t] > cutoff})
+    if tree is None:
+        return _empty(spark)
+    terms = positive_lemmas(tree)
+    idfs = [bm25_idf(dfs[t], n_docs) for t in terms]
+    blocks = prune_blocks(postings, all_lemmas(tree), scope)
+    if groups:
+        flt = prune_blocks(
+            filter_postings, [l for g in groups for l in g], scope
+        )
+        blocks = blocks.unionByName(flt)
+    kernel = _shard_bool_kernel(
+        tree, terms, idfs, avg_len, offset + k, tuple(groups), after
+    )
+    per_shard = blocks.groupBy("shard").applyInPandas(
+        kernel, schema=SEARCH_RESULT
+    )
+    return _paginate(per_shard, k, offset)
+
+
 def prune_blocks(
     postings: DataFrame, terms: list[str], scope: str | None,
     with_positions: bool = False,
