@@ -327,6 +327,7 @@ def bool_search(
     offset: int = 0,
     filters: dict | None = None,
     after: tuple[float, int] | None = None,
+    synonyms: dict | None = None,
 ) -> list[tuple[int, float]]:
     """Boolean query search (functions/boolquery.py syntax + pinned
     semantics — see its module docstring). Matching is set algebra over
@@ -337,15 +338,18 @@ def bool_search(
     the pruned tree present in the doc, accumulated in lexicographic
     lemma order. ``filters``/``after`` compose exactly as in ``search``
     (non-scoring restriction after the gates; cursor replaces offset).
+    ``synonyms`` ({lemma: synonym lemmas}, see compile_synonyms) expands
+    positive term atoms to OR groups BEFORE the cutoff gate.
     Twin: operators/wand.py ``bool_search_blocks``."""
     from search_engine_spark.functions.boolquery import (
         all_lemmas,
+        expand_synonyms,
         parse_bool,
         positive_lemmas,
         prune_over_cutoff,
     )
 
-    tree = parse_bool(query)
+    tree = expand_synonyms(parse_bool(query), synonyms)
     if tree is None:
         return []
     scope_ids = _scope_doc_ids(idx, scope)

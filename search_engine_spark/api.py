@@ -100,8 +100,17 @@ class SearchEngine:
         after: tuple[float, int] | None = None,  # (relevance, doc_id)
         #   cursor from a previous page's "next_after" — deep pagination
         #   at O(limit) per page (replaces offset; wand.py _after_cut)
+        synonyms: dict | None = None,  # {lemma: synonym lemmas}
+        #   (boolquery.compile_synonyms) — query-time OR-group
+        #   expansion; needs match="bool" (any query string parses)
     ) -> dict:
         from search_engine_spark.operators.filters import filter_groups
+
+        if synonyms and match != "bool":
+            raise ValueError(
+                "synonyms= needs match='bool' (a plain term query is "
+                "valid boolean syntax — implicit AND)"
+            )
 
         if filters and self._filter_blocks is None:
             raise ValueError(
@@ -126,9 +135,14 @@ class SearchEngine:
         fkey = filter_groups(filters, available=self._filter_cols)
         if fkey and scorer != "bm25":
             raise ValueError("filters need scorer='bm25'")
+        skey = (
+            tuple(sorted((l, tuple(s)) for l, s in synonyms.items()))
+            if synonyms
+            else None
+        )
         key = (
             query, scope, scorer, combine, match, slop, fuzzy, fuzzy_dist,
-            collapse, collapse_limit, fkey, after,
+            collapse, collapse_limit, fkey, after, skey,
         )
         if (
             self._cache_key == key
@@ -173,12 +187,18 @@ class SearchEngine:
                 self._blocks, self._lemma_stats, self._doc_stats, query,
                 scope=scope, k=deep, offset=0, filters=filters,
                 filter_postings=self._filter_blocks, after=after,
+                synonyms=synonyms,
             )
-            # snippet highlighting uses the positive lemmas (negated
-            # subtrees are non-scoring and never bolded); like OR mode,
-            # the highlight set is the UNpruned query — cutoff-dropped
-            # lemmas simply never appear in the matched docs' top ranks
-            terms = positive_lemmas(parse_bool(query))
+            # snippet highlighting uses the positive lemmas incl.
+            # synonym expansions (negated subtrees are non-scoring and
+            # never bolded); like OR mode, the highlight set is the
+            # UNpruned query — cutoff-dropped lemmas simply never appear
+            # in the matched docs' top ranks
+            from search_engine_spark.functions.boolquery import (
+                expand_synonyms,
+            )
+
+            terms = positive_lemmas(expand_synonyms(parse_bool(query), synonyms))
         else:
             # query syntax: "-token" exclusions (split_negations) and
             # "token*" prefix wildcards (split_wildcards → bounded top-cf

@@ -388,6 +388,36 @@ def q_bm25_bool_topk(spark, sf_dir):
     )
 
 
+def q_bm25_synonym_topk(spark, sf_dir):
+    """Query-time synonym expansion in SQL form (functions/boolquery.py
+    ``expand_synonyms`` + the boolean kernel): the query ``dup key``
+    with synonym groups {dup≡merge, key≡window} expands to
+    ``(dup OR merge) AND (key OR window)``; every PRESENT expansion
+    lemma contributes its own idf-weighted partial (pinned re-pin of
+    Lucene SynonymQuery blending — see expand_synonyms)."""
+    terms = ["dup", "key", "merge", "window"]
+    per = _bm25_per_term(spark, sf_dir, terms)
+    have = (
+        per.groupBy("doc_id")
+        .agg(
+            *[
+                F.max((F.col("term") == t).cast("int")).alias(f"h_{t}")
+                for t in terms
+            ],
+            F.round(F.sum("_s"), 6).alias("score"),
+        )
+        .filter(
+            ((F.col("h_dup") == 1) | (F.col("h_merge") == 1))
+            & ((F.col("h_key") == 1) | (F.col("h_window") == 1))
+        )
+    )
+    return (
+        have.select("doc_id", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
 FILTER_LANG = "en"  # ~44% of documents — the filter bites the top-10
 
 
@@ -1224,6 +1254,35 @@ def _oracle_sql_map() -> dict[str, str]:
                 SELECT doc_id FROM ({_TF_DUCK}) WHERE term = '{NOT_TERM}')
             ORDER BY score DESC, doc_id ASC LIMIT 10
         """,
+        "bm25_synonym_topk": f"""
+            WITH lens AS (
+                SELECT doc_id, len({TOKS_DUCK})::DOUBLE AS dl FROM documents),
+            st AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM lens),
+            tf AS (SELECT * FROM ({_TF_DUCK})
+                   WHERE term IN ('dup', 'key', 'merge', 'window')),
+            dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            per AS (
+                SELECT tf.doc_id, tf.term,
+                       ln(1.0 + ((SELECT n FROM st) - dfs.df + 0.5)
+                                 / (dfs.df + 0.5))
+                       * tf.tf * {BM25_K1 + 1.0}
+                       / (tf.tf + {BM25_K1} * ({1.0 - BM25_B} + {BM25_B}
+                          * lens.dl / (SELECT avgdl FROM st))) AS _s
+                FROM tf JOIN dfs USING (term) JOIN lens USING (doc_id)),
+            have AS (
+                SELECT doc_id,
+                       max(CASE WHEN term = 'dup' THEN 1 ELSE 0 END) AS h_dup,
+                       max(CASE WHEN term = 'key' THEN 1 ELSE 0 END) AS h_key,
+                       max(CASE WHEN term = 'merge' THEN 1 ELSE 0 END)
+                           AS h_merge,
+                       max(CASE WHEN term = 'window' THEN 1 ELSE 0 END)
+                           AS h_window,
+                       round(sum(_s), 6) AS score
+                FROM per GROUP BY doc_id)
+            SELECT doc_id, score FROM have
+            WHERE (h_dup = 1 OR h_merge = 1) AND (h_key = 1 OR h_window = 1)
+            ORDER BY score DESC, doc_id ASC LIMIT 10
+        """,
         "bm25_filtered_topk": f"""
             WITH lens AS (
                 SELECT doc_id, len({TOKS_DUCK})::DOUBLE AS dl FROM documents),
@@ -1696,6 +1755,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search_after": q_bm25_search_after,
         "bm25_not_topk": q_bm25_not_topk,
         "bm25_bool_topk": q_bm25_bool_topk,
+        "bm25_synonym_topk": q_bm25_synonym_topk,
         "bm25_or_topk": q_bm25_or_topk,
         "wildcard_or_topk": q_wildcard_or_topk,
         "bm25_filtered_topk": q_bm25_filtered_topk,

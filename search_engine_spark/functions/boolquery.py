@@ -219,6 +219,60 @@ def all_lemmas(node: Node | None) -> list[str]:
     return sorted(out)
 
 
+def compile_synonyms(raw_groups: list[list[str]]) -> dict[str, tuple[str, ...]]:
+    """Raw synonym groups (lists of words, e.g. loaded from a config
+    table) → {lemma: sorted tuple of the OTHER lemmas in its group}.
+    Each word runs through the standard analyzer so expansion matches
+    the indexed lemma forms; words sharing a group are symmetric
+    equivalents, and a word in several groups gets their union."""
+    lemma_groups: list[set[str]] = []
+    for grp in raw_groups:
+        lems: set[str] = set()
+        for w in grp:
+            lems.update(analyze(w))
+        if len(lems) > 1:
+            lemma_groups.append(lems)
+    out: dict[str, set[str]] = {}
+    for g in lemma_groups:
+        for l in g:
+            out.setdefault(l, set()).update(g - {l})
+    return {l: tuple(sorted(s)) for l, s in out.items()}
+
+
+def expand_synonyms(
+    node: Node | None, synonyms: dict[str, tuple[str, ...]] | None
+) -> Node | None:
+    """Query-time synonym expansion: each POSITIVE term atom with an
+    entry in ``synonyms`` (see compile_synonyms) becomes an OR group
+    over the term and its synonyms. Pinned semantics:
+
+    - expansion precedes the df-cutoff gate, so a hot synonym drops
+      per-term like any other positive lemma;
+    - negated subtrees are NEVER expanded (you exclude exactly what you
+      typed);
+    - scoring follows the standard OR rule — each present synonym
+      contributes its own idf-weighted BM25 partial (a deliberate
+      re-pin of Lucene's SynonymQuery blending, which pretends the
+      group is one term; per-term sums keep the oracle/kernel
+      accumulation order pinned and rank-identity exact)."""
+    if node is None or not synonyms:
+        return node
+    kind = node[0]
+    if kind == "term":
+        syns = synonyms.get(node[1])
+        if not syns:
+            return node
+        alts = sorted({node[1], *syns})
+        return ("or", tuple(("term", l) for l in alts))
+    if kind == "or":
+        return ("or", tuple(expand_synonyms(c, synonyms) for c in node[1]))
+    return (
+        "and",
+        tuple(expand_synonyms(c, synonyms) for c in node[1]),
+        node[2],  # negations untouched
+    )
+
+
 def prune_over_cutoff(node: Node | None, over: set[str]) -> Node | None:
     """Drop over-cutoff POSITIVE lemmas (per-term, OR-mode style). An
     AND whose positive conjuncts all drop dies entirely; negated

@@ -316,14 +316,17 @@ class QueryServer:
         offset: int = 0,
         filters: dict | None = None,
         after: tuple[float, int] | None = None,
+        synonyms: dict | None = None,
     ) -> list[tuple[int, float]]:
         """Boolean query (functions/boolquery.py syntax — nested
         AND/OR/NOT/parens) from the serving session: the same pinned
         semantics as ``wand.bool_search_blocks`` (oracle.bool_search
         twin) but stats resolve from the cached dictionary, so a
-        steady-state boolean query is ONE Spark job."""
+        steady-state boolean query is ONE Spark job. ``synonyms``
+        expands positive term atoms to OR groups pre-cutoff."""
         from search_engine_spark.functions.boolquery import (
             all_lemmas,
+            expand_synonyms,
             parse_bool,
             positive_lemmas,
             prune_over_cutoff,
@@ -335,7 +338,7 @@ class QueryServer:
         )
         from search_engine_spark.schemas import SEARCH_RESULT
 
-        tree = parse_bool(query)
+        tree = expand_synonyms(parse_bool(query), synonyms)
         if tree is None:
             return []
         if after is not None and offset:

@@ -848,6 +848,7 @@ def bool_search_blocks(
     filters: dict | None = None,
     filter_postings: DataFrame | None = None,
     after: tuple[float, int] | None = None,
+    synonyms: dict | None = None,
 ) -> DataFrame:
     """Top-k BM25 over a BOOLEAN query (functions/boolquery.py syntax:
     nested AND/OR/NOT/parens, ``-term``, implicit AND) served from
@@ -865,9 +866,13 @@ def bool_search_blocks(
 
     ``filters``/``filter_postings``/``after`` compose exactly as in
     ``bm25_blocks_from_terms`` (non-scoring attribute restriction;
-    O(k) cursor pagination)."""
+    O(k) cursor pagination). ``synonyms`` ({lemma: synonym lemmas},
+    boolquery.compile_synonyms) expands positive term atoms to OR
+    groups before the cutoff gate — the synonym lemmas' blocks simply
+    join the pruned scan."""
     from search_engine_spark.functions.boolquery import (
         all_lemmas,
+        expand_synonyms,
         parse_bool,
         positive_lemmas,
         prune_over_cutoff,
@@ -876,7 +881,7 @@ def bool_search_blocks(
     from search_engine_spark.operators.filters import filter_groups
 
     spark = postings.sparkSession
-    tree = parse_bool(query)
+    tree = expand_synonyms(parse_bool(query), synonyms)
     if tree is None:
         return _empty(spark)
     if after is not None and offset:

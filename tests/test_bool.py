@@ -219,6 +219,84 @@ def test_query_server_bool(spark, base_index_dir, oracle_idx):
     q = _fmt("({r} OR {r2}) AND NOT {r3}")
     exp = orc.bool_search(oracle_idx, q, k=10, filters={"role": "user"})
     assert srv.bool_search(q, k=10, filters={"role": "user"}) == exp
+    from search_engine_spark.functions.boolquery import compile_synonyms
+
+    syn = compile_synonyms([[RARE, R2]])
+    assert srv.bool_search(f"{RARE} {R3}", k=10, synonyms=syn) == (
+        orc.bool_search(oracle_idx, f"{RARE} {R3}", k=10, synonyms=syn)
+    )
+
+
+# -- synonyms ------------------------------------------------------------------
+
+
+def test_compile_and_expand_synonyms():
+    from search_engine_spark.functions.boolquery import (
+        compile_synonyms,
+        expand_synonyms,
+    )
+
+    r, r2, r3 = _lem(RARE), _lem(R2), _lem(R3)
+    syn = compile_synonyms([[RARE, R2], [R2, R3]])
+    assert syn[r] == (r2,)
+    assert set(syn[r2]) == {r, r3}  # union over shared-member groups
+    t = expand_synonyms(parse_bool(f"{RARE} -{R3}"), syn)
+    # positive atom expands to a sorted OR group; the negation does not
+    assert t == (
+        "and",
+        (("or", tuple(("term", l) for l in sorted([r, r2]))),),
+        (("term", r3),),
+    )
+    # stopword-only groups compile away; unknown lemmas expand to nothing
+    assert compile_synonyms([["the", "a"]]) == {}
+    assert expand_synonyms(parse_bool(RARE), {}) == ("term", r)
+
+
+def test_oracle_synonyms_equal_handwritten_or(oracle_idx):
+    from search_engine_spark.functions.boolquery import compile_synonyms
+
+    syn = compile_synonyms([[RARE, R2]])
+    got = orc.bool_search(oracle_idx, f"{RARE} {R3}", k=50, synonyms=syn)
+    hand = orc.bool_search(oracle_idx, f"({RARE} OR {R2}) {R3}", k=50)
+    assert got == hand and got
+    # expansion precedes the cutoff gate: a HOT synonym drops per-term,
+    # leaving the original query untouched
+    syn_hot = compile_synonyms([[RARE, HOT_TERM]])
+    assert orc.bool_search(oracle_idx, RARE, k=50, synonyms=syn_hot) == (
+        orc.bool_search(oracle_idx, RARE, k=50)
+    )
+
+
+def test_blocks_synonyms_rank_identity(blocks, engine_tables, oracle_idx):
+    from search_engine_spark.functions.boolquery import compile_synonyms
+
+    t = engine_tables
+    syn = compile_synonyms([[RARE, R2], [R3, R4]])
+    for q in [f"{RARE} {R3}", f"{RARE} OR {R3}", f"{RARE} -{R4}"]:
+        exp = orc.bool_search(oracle_idx, q, k=10, synonyms=syn)
+        got = _collect(
+            bool_search_blocks(
+                blocks, t["lemma_stats"], t["doc_stats"], q, k=10,
+                synonyms=syn,
+            )
+        )
+        assert got == exp, q
+        assert exp
+
+
+def test_api_synonyms(spark, base_index_dir, oracle_idx):
+    from search_engine_spark.api import SearchEngine
+    from search_engine_spark.functions.boolquery import compile_synonyms
+
+    eng = SearchEngine(spark, base_index_dir["index"])
+    syn = compile_synonyms([[RARE, R2]])
+    exp = orc.bool_search(oracle_idx, f"{RARE} {R3}", k=10, synonyms=syn)
+    out = eng.search(f"{RARE} {R3}", match="bool", limit=10, synonyms=syn)
+    assert [round(d["relevance"], 9) for d in out["data"]] == [
+        round(s, 9) for _, s in exp
+    ]
+    with pytest.raises(ValueError, match="synonyms"):
+        eng.search(RARE, synonyms=syn)
 
 
 def test_api_bool_match(spark, base_index_dir, oracle_idx):
