@@ -339,17 +339,23 @@ def bool_search(
     lemma order. ``filters``/``after`` compose exactly as in ``search``
     (non-scoring restriction after the gates; cursor replaces offset).
     ``synonyms`` ({lemma: synonym lemmas}, see compile_synonyms) expands
-    positive term atoms to OR groups BEFORE the cutoff gate.
+    positive term atoms to OR groups BEFORE the cutoff gate. Boost
+    syntax (``a^2``, ``(...)^3`` — parse_bool_boosted) weights each
+    lemma's partial as ``boosted_idf = weight * idf``, one pinned
+    multiply; synonym lemmas inherit their source's boost.
     Twin: operators/wand.py ``bool_search_blocks``."""
     from search_engine_spark.functions.boolquery import (
         all_lemmas,
         expand_synonyms,
-        parse_bool,
+        expand_weights,
+        parse_bool_boosted,
         positive_lemmas,
         prune_over_cutoff,
     )
 
-    tree = expand_synonyms(parse_bool(query), synonyms)
+    tree, weights = parse_bool_boosted(query)
+    tree = expand_synonyms(tree, synonyms)
+    weights = expand_weights(weights, synonyms)
     if tree is None:
         return []
     scope_ids = _scope_doc_ids(idx, scope)
@@ -402,6 +408,8 @@ def bool_search(
     scores: dict[int, float] = {}
     for t in positive_lemmas(tree):  # lexicographic order (pinned)
         idf = bm25_idf(_df_of(idx, t, scope), n_docs)
+        if t in weights:
+            idf = weights[t] * idf  # pinned single multiply
         plist = idx.postings.get(t, {})
         for d in matched:
             tf = plist.get(d)
@@ -541,6 +549,40 @@ def more_like_this(
                 )
     ranked_docs = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
     return ranked_docs[:k]
+
+
+def significant_terms(
+    idx: OracleIndex,
+    fg_ids: list[int],
+    scope: str | None = None,
+    k: int = 10,
+    min_fg_df: int = 2,
+) -> list[tuple[str, int, int, float]]:
+    """Significant-terms twin (operators/significant.py): JLH-scored
+    lemmas of a foreground doc-id sample vs the (scoped) corpus.
+    (lemma, fg_df, bg_df, jlh) with the pinned float shape
+    ``(fg/nf - bg/nd) * ((fg/nf) / (bg/nd))`` rounded to 6dp; only
+    fgPct > bgPct and fg_df ≥ min_fg_df; order (jlh desc, lemma asc)."""
+    scope_ids = _scope_doc_ids(idx, scope)
+    n_docs = len(scope_ids)
+    n_fg = len(fg_ids)
+    if n_fg == 0 or n_docs == 0:
+        return []
+    fg_set = set(fg_ids)
+    out = []
+    for t in sorted(idx.postings):
+        fg_df = sum(1 for d in idx.postings[t] if d in fg_set)
+        if fg_df < min_fg_df:
+            continue
+        bg_df = _df_of(idx, t, scope)
+        fg_pct = fg_df / float(n_fg)
+        bg_pct = bg_df / float(n_docs)
+        if not fg_pct > bg_pct:
+            continue
+        jlh = round((fg_pct - bg_pct) * ((fg_pct) / (bg_pct)), 6)
+        out.append((t, fg_df, bg_df, jlh))
+    out.sort(key=lambda r: (-r[3], r[0]))
+    return out[:k]
 
 
 def expand_prefix(

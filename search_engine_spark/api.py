@@ -20,6 +20,7 @@ SearchServiceImpl.java:26-28, 45-51.
 from __future__ import annotations
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 from search_engine_spark.functions.analyze import query_lemmas
 from search_engine_spark.operators.build import statistics as stats_op
@@ -104,7 +105,22 @@ class SearchEngine:
         #   (boolquery.compile_synonyms) — query-time OR-group
         #   expansion; needs match="bool" (any query string parses)
     ) -> dict:
-        from search_engine_spark.operators.filters import filter_groups
+        from search_engine_spark.operators.filters import (
+            filter_groups,
+            split_field_quals,
+        )
+
+        # in-query field qualifiers (role:assistant, date:A..B) become
+        # filters — same pinned non-scoring semantics, every match mode
+        query, quals = split_field_quals(query)
+        if quals:
+            overlap = sorted(set(quals) & set(filters or {}))
+            if overlap:
+                raise ValueError(
+                    f"filter column(s) {overlap} given both as field "
+                    "qualifiers and in filters="
+                )
+            filters = {**(filters or {}), **quals}
 
         if synonyms and match != "bool":
             raise ValueError(
@@ -437,6 +453,163 @@ class SearchEngine:
                 for r in sorted(
                     rows, key=lambda r: tuple(str(r[c]) for c in facet_cols)
                 )
+            ],
+        }
+
+    def explain(
+        self,
+        query: str,
+        doc_id: int,
+        scope: str | None = None,
+        combine: str = "and",
+    ) -> dict:
+        """Scoring explanation for one (query, doc) pair — the Lucene
+        ``explain`` analog: per-term df/idf/tf/partial plus the total,
+        computed with the SAME pinned functions and lexicographic
+        accumulation order as the search kernels, so for any doc in a
+        search's results ``explain(...)["score"]`` equals its returned
+        relevance BIT-IDENTICALLY. Gates are reported, not hidden: in
+        AND mode an over-cutoff term kills the whole query
+        (``killed_by_cutoff``); in OR mode it drops per-term
+        (``dropped``). ``matches`` says whether the search would return
+        this doc at unbounded k. One pushed point-lookup on docs
+        (doc_id filter) + the broadcast-stats collects — no corpus scan."""
+        from search_engine_spark.functions.scoring import (
+            BM25_B,
+            BM25_K1,
+            bm25_idf,
+            bm25_term_score,
+            df_cutoff,
+            query_killed_by_cutoff,
+        )
+        from search_engine_spark.operators.query import (
+            _scope_stats,
+            _term_dfs,
+        )
+
+        terms = sorted(set(query_lemmas(query)))
+        rows = (
+            self._docs.filter(F.col("doc_id") == int(doc_id))
+            .select("doc_len", "scope", "lemma_counts")
+            .collect()
+        )
+        if not rows:
+            raise ValueError(f"unknown doc_id {doc_id}")
+        doc = rows[0]
+        in_scope = scope is None or doc["scope"] == scope
+        n_docs, avg_len = _scope_stats(self._doc_stats, scope)
+        dfs = _term_dfs(self._lemma_stats, terms, scope)
+        cutoff = df_cutoff(n_docs) if n_docs else 0
+        killed = combine == "and" and query_killed_by_cutoff(
+            list(dfs.values()), n_docs
+        )
+        tf_of = {x["lemma"]: int(x["tf"]) for x in (doc["lemma_counts"] or [])}
+        out_terms, score, all_present = [], 0.0, True
+        for t in terms:  # lexicographic accumulation (pinned)
+            df = dfs[t]
+            dropped = killed or (combine == "or" and df > cutoff)
+            idf = bm25_idf(df, n_docs) if n_docs else 0.0
+            tf = tf_of.get(t, 0)
+            present = tf > 0 and in_scope
+            partial = 0.0
+            if present and not dropped:
+                partial = bm25_term_score(
+                    float(tf), float(doc["doc_len"]), avg_len, idf,
+                    BM25_K1, BM25_B,
+                )
+                score += partial
+            if not present and not dropped:
+                all_present = False
+            out_terms.append(
+                {
+                    "lemma": t, "df": df, "idf": idf, "tf": tf,
+                    "present": present, "dropped": bool(dropped),
+                    "partial": partial,
+                }
+            )
+        usable = [x for x in out_terms if not x["dropped"]]
+        matches = (
+            in_scope
+            and bool(usable)
+            and not killed
+            and (combine == "or" or all_present)
+            and any(x["present"] for x in usable)
+        )
+        return {
+            "result": True,
+            "doc_id": int(doc_id),
+            "matches": matches,
+            "killed_by_cutoff": bool(killed),
+            "in_scope": in_scope,
+            "score": score,
+            "doc_len": int(doc["doc_len"]),
+            "n_docs": n_docs,
+            "avg_doc_len": avg_len,
+            "df_cutoff": cutoff,
+            "terms": out_terms,
+        }
+
+    def significant_terms(
+        self,
+        query: str,
+        k: int = 10,
+        scope: str | None = None,
+        combine: str = "and",
+        depth: int = 100,
+        min_fg_df: int = 2,
+        filters: dict | None = None,
+    ) -> dict:
+        """Terms disproportionately frequent in the query's matched docs
+        vs the corpus (operators/significant.py — ES significant_terms /
+        JLH as public prior art). The foreground is the top-``depth``
+        result sample (the ES sampler-agg shape): its ids broadcast into
+        a docs lemma_counts explode, background df comes from the
+        dictionary — the corpus is never re-aggregated. Query terms
+        themselves usually top the list (they are in ~100% of the
+        foreground); callers can drop them from the panel if unwanted."""
+        from search_engine_spark.operators.significant import (
+            significant_terms,
+        )
+
+        if filters and self._filter_blocks is None:
+            raise ValueError(
+                "this index has no filters family (built with "
+                "filter_cols=()); rebuild with IndexBuildJob defaults"
+            )
+        results = bm25_search_blocks(
+            self._blocks, self._lemma_stats, self._doc_stats, query,
+            scope=scope, k=depth, offset=0, mode="wand", combine=combine,
+            filters=filters, filter_postings=self._filter_blocks,
+        )
+        ids = [r["doc_id"] for r in results.collect()]  # ≤ depth rows
+        if not ids:
+            return {"result": True, "terms": []}
+        fg_tf = (
+            self._docs.filter(F.col("doc_id").isin(ids))
+            .select(F.explode("lemma_counts").alias("lc"))
+            .select(F.col("lc.lemma").alias("lemma"))
+        )
+        stats = self._lemma_stats
+        if scope is not None:
+            stats = stats.filter(F.col("scope") == scope)
+        from search_engine_spark.operators.query import _scope_stats
+
+        bg = stats.groupBy("lemma").agg(F.sum("df").alias("df"))
+        n_docs, _ = _scope_stats(self._doc_stats, scope)
+        rows = significant_terms(
+            fg_tf, bg, n_fg=len(ids), n_docs=n_docs, k=k,
+            min_fg_df=min_fg_df,
+        ).collect()
+        return {
+            "result": True,
+            "terms": [
+                {
+                    "term": r["lemma"],
+                    "fg_df": int(r["fg_df"]),
+                    "bg_df": int(r["bg_df"]),
+                    "score": r["jlh"],
+                }
+                for r in rows
             ],
         }
 

@@ -238,9 +238,11 @@ def q_sumtf_topk(spark, sf_dir):
     return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
 
 
-def _bm25_per_term(spark, sf_dir, terms):
+def _bm25_per_term(spark, sf_dir, terms, weights=None):
     """(doc_id, _s) one row per (doc, query-term) BM25 partial score —
-    shared by the AND and OR top-k twins."""
+    shared by the AND and OR top-k twins. ``weights`` ({term: boost})
+    folds in as ``weight * idf`` — the same single pinned multiply as
+    the boolean-kernel boost path (boolquery.parse_bool_boosted)."""
     docs = _read(spark, sf_dir, "documents")
     lens = docs.select(
         "doc_id", F.size(F.expr(TOKS_SQL)).cast("double").alias("dl")
@@ -260,6 +262,18 @@ def _bm25_per_term(spark, sf_dir, terms):
                 F.lit(1.0)
                 + (F.lit(float(n)) - F.col("df") + F.lit(0.5))
                 / (F.col("df") + F.lit(0.5))
+            ),
+        )
+        .withColumn(
+            "_idf",
+            F.col("_idf") if not weights else (
+                F.coalesce(
+                    F.create_map(
+                        *[F.lit(x) for t, w in sorted(weights.items())
+                          for x in (t, float(w))]
+                    )[F.col("term")],
+                    F.lit(1.0),
+                ) * F.col("_idf")
             ),
         )
         .withColumn(
@@ -416,6 +430,22 @@ def q_bm25_synonym_topk(spark, sf_dir):
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(10)
     )
+
+
+def q_bm25_boost_topk(spark, sf_dir):
+    """Term-boost scoring in SQL form (boolquery ``dup^2.5 merge``):
+    the boosted term's partial uses ``2.5 * idf`` (one pinned multiply,
+    mirroring the boolean kernel's driver-side idf fold); conjunctive
+    top-10, so ranks shift toward docs where the boosted term's tf
+    saturation dominates."""
+    per = _bm25_per_term(spark, sf_dir, BM25_TERMS, weights={"dup": 2.5})
+    scored = (
+        per.groupBy("doc_id")
+        .agg(F.count("*").alias("_nm"), F.round(F.sum("_s"), 6).alias("score"))
+        .filter(F.col("_nm") == len(BM25_TERMS))
+        .select("doc_id", "score")
+    )
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
 
 
 FILTER_LANG = "en"  # ~44% of documents — the filter bites the top-10
@@ -721,6 +751,48 @@ def q_ann_cosine_topk(spark, sf_dir):
         _read(spark, sf_dir, "embeddings"), _query_vec(spark, sf_dir),
         k=10, exclude_id=0,
     )
+
+
+def q_significant_terms(spark, sf_dir):
+    """Significant-terms aggregation in SQL form (operators/
+    significant.py, ES JLH as prior art): foreground = docs containing
+    'dup'; which other terms are over-represented there vs the corpus.
+    Pinned float shape ``(fg/nf - bg/nd) * ((fg/nf) / (bg/nd))``,
+    fg_df ≥ 2, fgPct > bgPct, (jlh desc, term asc) top-15."""
+    from search_engine_spark.operators.significant import significant_terms
+
+    tf = _tf(spark, sf_dir)
+    fg_ids = tf.filter(F.col("term") == "dup").select("doc_id").distinct()
+    fg_tf = tf.join(F.broadcast(fg_ids), "doc_id").select("term")
+    bg = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_fg = fg_ids.count()
+    n_docs = _read(spark, sf_dir, "documents").count()
+    return significant_terms(
+        fg_tf, bg, n_fg=n_fg, n_docs=n_docs, k=15, term_col="term"
+    )
+
+
+def q_hybrid_rrf_topk(spark, sf_dir):
+    """Hybrid retrieval: reciprocal-rank fusion of the lexical OR-mode
+    BM25 top-50 ('dup merge') with the semantic cosine top-50 (vs vec 0,
+    self excluded) — operators/hybrid.py ``rrf_fuse`` (rrf_k=60). Both
+    lists rank by their ROUNDED scores so ranks can't flip on last-ulp
+    float differences between engines; doc_id ≡ vec_id (1:1 tables)."""
+    from search_engine_spark.operators.ann import cosine_topk
+    from search_engine_spark.operators.hybrid import rrf_fuse
+
+    per = _bm25_per_term(spark, sf_dir, BM25_TERMS)
+    lex = (
+        per.groupBy("doc_id")
+        .agg(F.round(F.sum("_s"), 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(50)
+    )
+    sem = cosine_topk(
+        _read(spark, sf_dir, "embeddings"), _query_vec(spark, sf_dir),
+        k=50, exclude_id=0,
+    ).select(F.col("vec_id").alias("doc_id"), F.col("sim").alias("score"))
+    return rrf_fuse([lex, sem], topk=10)
 
 
 def _plane_sign_sql(j: str, d: str) -> str:
@@ -1168,6 +1240,47 @@ def _oracle_sql_map() -> dict[str, str]:
                 SELECT tf.doc_id,
                        ln(1.0 + ((SELECT n FROM st) - dfs.df + 0.5)
                                  / (dfs.df + 0.5))
+                       * tf.tf * {BM25_K1 + 1.0}
+                       / (tf.tf + {BM25_K1} * ({1.0 - BM25_B} + {BM25_B}
+                          * lens.dl / (SELECT avgdl FROM st))) AS _s
+                FROM tf JOIN dfs USING (term) JOIN lens USING (doc_id)),
+            scored AS (
+                SELECT doc_id, round(sum(_s), 6) AS score
+                FROM per GROUP BY doc_id HAVING count(*) = 2)
+            SELECT doc_id, score FROM scored
+            ORDER BY score DESC, doc_id ASC LIMIT 10
+        """,
+        "significant_terms": f"""
+            WITH tf AS ({_TF_DUCK}),
+            fg AS (SELECT DISTINCT doc_id FROM tf WHERE term = 'dup'),
+            nf AS (SELECT count(*)::DOUBLE AS n FROM fg),
+            nd AS (SELECT count(*)::DOUBLE AS n FROM documents),
+            fgc AS (
+                SELECT term, count(*) AS fg_df
+                FROM tf JOIN fg USING (doc_id)
+                GROUP BY term HAVING count(*) >= 2),
+            bgc AS (SELECT term, count(*) AS bg_df FROM tf GROUP BY term),
+            j AS (
+                SELECT term, fg_df, bg_df,
+                       (fg_df::DOUBLE / (SELECT n FROM nf)) AS fg_pct,
+                       (bg_df::DOUBLE / (SELECT n FROM nd)) AS bg_pct
+                FROM fgc JOIN bgc USING (term))
+            SELECT term, fg_df, bg_df,
+                   round((fg_pct - bg_pct) * (fg_pct / bg_pct), 6) AS jlh
+            FROM j WHERE fg_pct > bg_pct
+            ORDER BY jlh DESC, term ASC LIMIT 15
+        """,
+        "bm25_boost_topk": f"""
+            WITH lens AS (
+                SELECT doc_id, len({TOKS_DUCK})::DOUBLE AS dl FROM documents),
+            st AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM lens),
+            tf AS (SELECT * FROM ({_TF_DUCK}) WHERE term IN ('dup', 'merge')),
+            dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            per AS (
+                SELECT tf.doc_id,
+                       (CASE tf.term WHEN 'dup' THEN 2.5 ELSE 1.0 END
+                        * ln(1.0 + ((SELECT n FROM st) - dfs.df + 0.5)
+                                    / (dfs.df + 0.5)))
                        * tf.tf * {BM25_K1 + 1.0}
                        / (tf.tf + {BM25_K1} * ({1.0 - BM25_B} + {BM25_B}
                           * lens.dl / (SELECT avgdl FROM st))) AS _s
@@ -1756,6 +1869,8 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_not_topk": q_bm25_not_topk,
         "bm25_bool_topk": q_bm25_bool_topk,
         "bm25_synonym_topk": q_bm25_synonym_topk,
+        "bm25_boost_topk": q_bm25_boost_topk,
+        "significant_terms": q_significant_terms,
         "bm25_or_topk": q_bm25_or_topk,
         "wildcard_or_topk": q_wildcard_or_topk,
         "bm25_filtered_topk": q_bm25_filtered_topk,
@@ -1772,6 +1887,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "hybrid_rrf_topk": q_hybrid_rrf_topk,
         "ann_lsh_buckets": q_ann_lsh_buckets,
         "ann_ivf_assign": q_ann_ivf_assign,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -1818,6 +1934,53 @@ def duckdb_oracles() -> dict[str, str]:
             FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0)
         SELECT vec_id, sim FROM scored
         ORDER BY sim DESC, vec_id ASC LIMIT 10
+    """
+    m["hybrid_rrf_topk"] = f"""
+        WITH lens AS (
+            SELECT doc_id, len({TOKS_DUCK})::DOUBLE AS dl FROM documents),
+        st AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM lens),
+        tf AS (SELECT * FROM ({_TF_DUCK}) WHERE term IN ('dup', 'merge')),
+        dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        per AS (
+            SELECT tf.doc_id,
+                   ln(1.0 + ((SELECT n FROM st) - dfs.df + 0.5)
+                             / (dfs.df + 0.5))
+                   * tf.tf * {BM25_K1 + 1.0}
+                   / (tf.tf + {BM25_K1} * ({1.0 - BM25_B} + {BM25_B}
+                      * lens.dl / (SELECT avgdl FROM st))) AS _s
+            FROM tf JOIN dfs USING (term) JOIN lens USING (doc_id)),
+        lex AS (
+            SELECT doc_id, round(sum(_s), 6) AS score
+            FROM per GROUP BY doc_id
+            ORDER BY score DESC, doc_id ASC LIMIT 50),
+        lexr AS (
+            SELECT doc_id, row_number() OVER (
+                ORDER BY score DESC, doc_id ASC) AS r FROM lex),
+        q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        sem AS (
+            SELECT e.vec_id AS doc_id,
+                   round(
+                     list_reduce(list_prepend(0.0,
+                         [e.embedding[i]::DOUBLE * q.qe[i]::DOUBLE
+                          for i in range(1, {EMB_DIM + 1})]), (a, b) -> a + b)
+                     / (sqrt(list_reduce(list_prepend(0.0,
+                         [e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE
+                          for i in range(1, {EMB_DIM + 1})]), (a, b) -> a + b))
+                        * sqrt(list_reduce(list_prepend(0.0,
+                         [q.qe[i]::DOUBLE * q.qe[i]::DOUBLE
+                          for i in range(1, {EMB_DIM + 1})]), (a, b) -> a + b)))
+                   , 6) AS score
+            FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0
+            ORDER BY score DESC, doc_id ASC LIMIT 50),
+        semr AS (
+            SELECT doc_id, row_number() OVER (
+                ORDER BY score DESC, doc_id ASC) AS r FROM sem),
+        fused AS (
+            SELECT doc_id,
+                   round(coalesce(1.0 / (60 + l.r), 0.0)
+                         + coalesce(1.0 / (60 + s.r), 0.0), 6) AS rrf
+            FROM lexr l FULL OUTER JOIN semr s USING (doc_id))
+        SELECT doc_id, rrf FROM fused ORDER BY rrf DESC, doc_id ASC LIMIT 10
     """
     m["ann_ivf_topk"] = f"""
         WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),

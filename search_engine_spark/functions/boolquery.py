@@ -13,6 +13,8 @@ art):
                      pure-negative behavior: there is no match-all
                      universe to subtract from at scale)
 - ``( ... )``        grouping; ``NOT ( ... )`` negates the whole group
+- ``a^2.5``/``(...)^2`` term/group boost (Lucene ``^`` syntax) — see
+                     ``parse_bool_boosted``
 - ``"``              reserved (phrase atoms), currently rejected
 
 Every word atom runs through the standard analyzer, so matching uses
@@ -61,10 +63,34 @@ def _lex(query: str) -> list[str]:
     return query.replace("(", " ( ").replace(")", " ) ").split()
 
 
+def _split_boost(word: str) -> tuple[str, float]:
+    """``a^2.5`` → ("a", 2.5); no ``^`` → (word, 1.0). The weight must
+    be a positive float (a zero/negative boost would break the WAND
+    upper-bound invariant and has no retrieval meaning)."""
+    if "^" not in word:
+        return word, 1.0
+    base, _, raw = word.rpartition("^")
+    if not base:
+        raise ValueError("boost '^' must attach to a term or group")
+    try:
+        w = float(raw)
+    except ValueError:
+        raise ValueError(f"malformed boost {word!r}: expected term^NUMBER")
+    if not w > 0:
+        raise ValueError(f"boost must be > 0, got {w} in {word!r}")
+    return base, w
+
+
 class _Parser:
     def __init__(self, toks: list[str]):
         self.toks = toks
         self.i = 0
+        # positive-occurrence boost records: [lemma, weight] appended as
+        # atoms parse; and_expr deletes the slice a negation contributed
+        # (negations never score, so they never weigh); group boosts
+        # scale the slice their group contributed (nested boosts
+        # therefore multiply)
+        self.occ: list[list] = []
 
     def peek(self) -> str | None:
         return self.toks[self.i] if self.i < len(self.toks) else None
@@ -108,7 +134,10 @@ class _Parser:
                 pending_and = True
                 continue
             pending_and = False
+            mark = len(self.occ)
             neg, node = self.factor()
+            if neg:
+                del self.occ[mark:]  # negations never score/weigh
             saw_atom = True
             if node is None:  # vacuous (stopword) atom — vanishes
                 continue
@@ -141,20 +170,29 @@ class _Parser:
             return (not neg, node)  # NOT NOT a = a (involution)
         if t == "(":
             self.take()
+            mark = len(self.occ)
             node = self.or_expr()
             if self.peek() != ")":
                 raise ValueError("unbalanced '(' in boolean query")
             self.take()
+            nxt = self.peek()
+            if nxt is not None and nxt.startswith("^"):  # (…)^2 group boost
+                _, w = _split_boost("g" + self.take())
+                for rec in self.occ[mark:]:
+                    rec[1] *= w
             return (False, node)
         if t == ")":
             raise ValueError("unbalanced ')' in boolean query")
         word = self.take()
         if word in _KEYWORDS:
             raise ValueError(f"dangling operator {word!r}")
-        if word.startswith("-") and len(word) > 1:
-            lemmas = analyze(word[1:])
-            return (True, _atom(lemmas))
-        return (False, _atom(analyze(word)))
+        if word.startswith("^"):
+            raise ValueError("boost '^' must attach to a term or group")
+        neg = word.startswith("-") and len(word) > 1
+        base, w = _split_boost(word[1:] if neg else word)
+        lemmas = analyze(base)
+        self.occ.extend([l, w] for l in lemmas)
+        return (neg, _atom(lemmas))
 
 
 def _atom(lemmas: list[str]) -> Node | None:
@@ -169,15 +207,41 @@ def _atom(lemmas: list[str]) -> Node | None:
 def parse_bool(query: str) -> Node | None:
     """Raw query string → AST (None = vacuous query, matches nothing).
     Raises ValueError on malformed syntax (unbalanced parens, dangling
-    operators, reserved quotes)."""
+    operators, reserved quotes). Boost syntax parses but its weights are
+    discarded — use ``parse_bool_boosted`` on scoring paths."""
+    return parse_bool_boosted(query)[0]
+
+
+def parse_bool_boosted(query: str) -> tuple[Node | None, dict[str, float]]:
+    """``parse_bool`` plus the query's boost weights: {lemma: weight}
+    for every positively-occurring lemma with an effective weight ≠ 1.
+    Pinned semantics (Lucene ``^`` as public prior art):
+
+    - ``a^2.5`` weights the atom's lemmas; ``( ... )^2`` weights every
+      positive lemma inside the group; nested boosts MULTIPLY
+      (``(a^2 b)^3`` → a:6, b:3);
+    - a lemma occurring positively more than once takes the MAX of its
+      occurrence weights (scoring sums DISTINCT lemmas once, so the
+      per-lemma weight must be a single pinned number);
+    - negated atoms/groups never score, so their boosts are inert
+      (``-a^2`` excludes exactly like ``-a``);
+    - scoring applies the weight as ``boosted_idf = weight * idf`` —
+      ONE multiply before the pinned evaluation shape, bit-identical
+      oracle vs kernels (weight 1.0 ≡ unboosted: the map omits it, so
+      the scoring loop's float path is untouched);
+    - the df cutoff ignores weights (a boosted hot term still drops).
+    """
     toks = _lex(query)
     if not toks:
-        return None
+        return None, {}
     p = _Parser(toks)
     node = p.or_expr()
     if p.peek() is not None:
         raise ValueError("unbalanced ')' in boolean query")
-    return node
+    weights: dict[str, float] = {}
+    for l, w in p.occ:
+        weights[l] = max(weights.get(l, 0.0), w)
+    return node, {l: w for l, w in weights.items() if w != 1.0}
 
 
 def positive_lemmas(node: Node | None) -> list[str]:
@@ -271,6 +335,21 @@ def expand_synonyms(
         tuple(expand_synonyms(c, synonyms) for c in node[1]),
         node[2],  # negations untouched
     )
+
+
+def expand_weights(
+    weights: dict[str, float], synonyms: dict[str, tuple[str, ...]] | None
+) -> dict[str, float]:
+    """Synonym lemmas inherit their source atom's boost (Lucene boosts
+    an expanded SynonymQuery as a unit): each synonym of a weighted
+    lemma gets that weight, max-combined with any weight of its own."""
+    if not weights or not synonyms:
+        return weights
+    out = dict(weights)
+    for l, w in weights.items():
+        for s in synonyms.get(l, ()):
+            out[s] = max(out.get(s, w), w)
+    return out
 
 
 def prune_over_cutoff(node: Node | None, over: set[str]) -> Node | None:

@@ -152,6 +152,67 @@ def _date_group(vals) -> tuple[str, ...]:
     return tuple(f"date{_SEP}d:{d}" for d in days)
 
 
+def split_field_quals(
+    query: str, available: tuple[str, ...] = FILTER_COLS
+) -> tuple[str, dict]:
+    """Lucene-style field qualifiers inside the query string:
+    ``merge role:assistant`` ≡ ``search("merge", filters={"role":
+    "assistant"})``. Pinned syntax (whole whitespace tokens only):
+
+    - ``col:value`` — col must be an indexed filter column; repeated
+      quals on one column OR together (the filter_groups semantics);
+    - ``date:YYYY-MM-DD..YYYY-MM-DD`` — inclusive day range (the
+      minimal-cover expansion); a range must be the column's only qual;
+    - ``col:`` (empty value), ``-col:value`` (negated qual — filters
+      are non-scoring INCLUDES; use ``-term`` for scoring exclusions)
+      and an unknown ``word:...`` field prefix all raise — a typo'd
+      field must not silently become a search term.
+
+    Returns (query without the qual tokens, {col: value-or-list-or-
+    range}) ready to merge into ``filters=``."""
+    import re
+
+    rest: list[str] = []
+    out: dict[str, object] = {}
+    for tok in query.split():
+        body, neg = (tok[1:], True) if tok.startswith("-") else (tok, False)
+        m = re.match(r"^([A-Za-z_][A-Za-z0-9_]*):(.*)$", body)
+        if not m:
+            rest.append(tok)
+            continue
+        col, val = m.group(1), m.group(2)
+        if col not in available:
+            raise ValueError(
+                f"unknown field qualifier {col!r} (available: "
+                f"{sorted(available)})"
+            )
+        if neg:
+            raise ValueError(
+                f"negated field qualifier {tok!r}: filters are "
+                "non-scoring includes — use -term for exclusions"
+            )
+        if not val:
+            raise ValueError(f"empty value in field qualifier {tok!r}")
+        if col == "date" and ".." in val:
+            frm, _, to = val.partition("..")
+            if col in out:
+                raise ValueError(
+                    "a date range qualifier must be the only date: qual"
+                )
+            out[col] = {"from": frm, "to": to}
+            continue
+        if col in out:
+            prev = out[col]
+            if isinstance(prev, dict):
+                raise ValueError(
+                    "a date range qualifier must be the only date: qual"
+                )
+            out[col] = prev + [val] if isinstance(prev, list) else [prev, val]
+        else:
+            out[col] = val
+    return " ".join(rest), out
+
+
 def build_filter_flat(
     docs: DataFrame, cols: tuple[str, ...] = FILTER_COLS
 ) -> DataFrame:

@@ -1,0 +1,78 @@
+"""Hybrid retrieval: reciprocal-rank fusion (RRF) of ranked lists.
+
+Fuses a lexical (BM25) ranking with a semantic (embedding-cosine)
+ranking — or any number of ranked lists — by rank position alone, so
+the lists' incomparable score scales never need calibration:
+
+    rrf(doc) = Σ_lists 1 / (rrf_k + rank_list(doc))
+
+with the standard rrf_k = 60 (Cormack, Clarke & Büttcher, "Reciprocal
+rank fusion outperforms Condorcet and individual rank learning
+methods", SIGIR 2009 — public literature; Lucene/Elasticsearch ship the
+same formula as their hybrid-search default).
+
+Pinned determinism (the contract twin hashes values):
+
+- rank = 1-based row_number under (score desc, id asc) per list — pass
+  scores ALREADY rounded if the upstream float path differs between
+  engines (rank flips change RRF materially, unlike last-ulp scores);
+- a doc missing from a list contributes exactly 0.0 for it;
+- the fusion sum folds in LIST ORDER, left to right (float addition is
+  not associative);
+- final order: (rrf desc, id asc).
+
+Scale note: the inputs are top-N RESULT LISTS (each already cut to N ≤
+a few hundred rows by TakeOrderedAndProject upstream), not
+corpus-scale relations — the per-list single-partition rank window and
+the full-outer-join chain are bounded by construction, the same
+"small collected side" argument as the broadcast stats in
+operators/query.py. The corpus-scale work (scoring/top-N) happens in
+the upstream operators (wand.py kernels, ann.cosine_topk), which are
+the distributed paths.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DEFAULT_RRF_K = 60
+
+
+def rrf_fuse(
+    lists: list[DataFrame],
+    rrf_k: int = DEFAULT_RRF_K,
+    topk: int = 10,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    out_col: str = "rrf",
+) -> DataFrame:
+    """Fuse ranked top-N lists (columns: id_col, score_col) into a
+    top-``topk`` (id_col, out_col) ranking by reciprocal-rank fusion.
+    See the module docstring for the pinned semantics."""
+    if not lists:
+        raise ValueError("rrf_fuse needs at least one ranked list")
+    parts = []
+    for i, df in enumerate(lists):
+        # bounded input (top-N list) — the unpartitioned window is ≤ N rows
+        w = Window.orderBy(F.desc(score_col), F.asc(id_col))
+        parts.append(
+            df.select(
+                F.col(id_col),
+                (
+                    F.lit(1.0)
+                    / (F.lit(float(rrf_k)) + F.row_number().over(w))
+                ).alias(f"_c{i}"),
+            )
+        )
+    fused = parts[0]
+    for p in parts[1:]:
+        fused = fused.join(p, id_col, "full_outer")
+    total = F.coalesce(F.col("_c0"), F.lit(0.0))
+    for i in range(1, len(parts)):  # explicit left-to-right float fold
+        total = total + F.coalesce(F.col(f"_c{i}"), F.lit(0.0))
+    return (
+        fused.select(F.col(id_col), F.round(total, 6).alias(out_col))
+        .orderBy(F.desc(out_col), F.asc(id_col))
+        .limit(topk)
+    )

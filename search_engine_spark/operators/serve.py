@@ -323,11 +323,13 @@ class QueryServer:
         semantics as ``wand.bool_search_blocks`` (oracle.bool_search
         twin) but stats resolve from the cached dictionary, so a
         steady-state boolean query is ONE Spark job. ``synonyms``
-        expands positive term atoms to OR groups pre-cutoff."""
+        expands positive term atoms to OR groups pre-cutoff; ``a^2``
+        boosts fold into the idf (wand.bool_search_blocks twin)."""
         from search_engine_spark.functions.boolquery import (
             all_lemmas,
             expand_synonyms,
-            parse_bool,
+            expand_weights,
+            parse_bool_boosted,
             positive_lemmas,
             prune_over_cutoff,
         )
@@ -338,7 +340,9 @@ class QueryServer:
         )
         from search_engine_spark.schemas import SEARCH_RESULT
 
-        tree = expand_synonyms(parse_bool(query), synonyms)
+        tree, weights = parse_bool_boosted(query)
+        tree = expand_synonyms(tree, synonyms)
+        weights = expand_weights(weights, synonyms)
         if tree is None:
             return []
         if after is not None and offset:
@@ -359,7 +363,11 @@ class QueryServer:
         if tree is None:
             return []
         terms = positive_lemmas(tree)
-        idfs = [bm25_idf(dfs[t], n_docs) for t in terms]
+        idfs = [
+            weights[t] * bm25_idf(dfs[t], n_docs) if t in weights
+            else bm25_idf(dfs[t], n_docs)
+            for t in terms
+        ]
         blocks = prune_blocks(self.blocks, all_lemmas(tree), scope)
         if groups:
             flt = prune_blocks(

@@ -869,11 +869,15 @@ def bool_search_blocks(
     O(k) cursor pagination). ``synonyms`` ({lemma: synonym lemmas},
     boolquery.compile_synonyms) expands positive term atoms to OR
     groups before the cutoff gate — the synonym lemmas' blocks simply
-    join the pruned scan."""
+    join the pruned scan. Boost syntax (``a^2``, ``(...)^3`` —
+    parse_bool_boosted) folds into the idf driver-side
+    (``boosted_idf = weight * idf``, the same pinned multiply as
+    oracle.bool_search), so the kernel float path is untouched."""
     from search_engine_spark.functions.boolquery import (
         all_lemmas,
         expand_synonyms,
-        parse_bool,
+        expand_weights,
+        parse_bool_boosted,
         positive_lemmas,
         prune_over_cutoff,
     )
@@ -881,7 +885,9 @@ def bool_search_blocks(
     from search_engine_spark.operators.filters import filter_groups
 
     spark = postings.sparkSession
-    tree = expand_synonyms(parse_bool(query), synonyms)
+    tree, weights = parse_bool_boosted(query)
+    tree = expand_synonyms(tree, synonyms)
+    weights = expand_weights(weights, synonyms)
     if tree is None:
         return _empty(spark)
     if after is not None and offset:
@@ -905,7 +911,11 @@ def bool_search_blocks(
     if tree is None:
         return _empty(spark)
     terms = positive_lemmas(tree)
-    idfs = [bm25_idf(dfs[t], n_docs) for t in terms]
+    idfs = [
+        weights[t] * bm25_idf(dfs[t], n_docs) if t in weights
+        else bm25_idf(dfs[t], n_docs)
+        for t in terms
+    ]
     blocks = prune_blocks(postings, all_lemmas(tree), scope)
     if groups:
         flt = prune_blocks(

@@ -320,3 +320,101 @@ def test_api_bool_match(spark, base_index_dir, oracle_idx):
         == [round(s, 9) for _, s in full]
     with pytest.raises(ValueError, match="bool"):
         eng.search(q, match="bool", fuzzy=True)
+
+
+# -- boosts --------------------------------------------------------------------
+
+
+def test_parse_bool_boosted():
+    from search_engine_spark.functions.boolquery import parse_bool_boosted
+
+    r, r2, r3 = _lem(RARE), _lem(R2), _lem(R3)
+    t, w = parse_bool_boosted(f"{RARE}^2.5 {R2}")
+    assert t == parse_bool(f"{RARE} {R2}")  # tree unchanged by boosts
+    assert w == {r: 2.5}
+    # group boosts multiply through nesting
+    _, w = parse_bool_boosted(f"({RARE}^2 {R2})^3")
+    assert w == {r: 6.0, r2: 3.0}
+    # duplicate positive occurrences take the max weight
+    _, w = parse_bool_boosted(f"{RARE}^2 OR ({R2} {RARE}^5)")
+    assert w == {r: 5.0}
+    _, w = parse_bool_boosted(f"{RARE}^2 OR {RARE}")  # plain occ = 1.0 < 2
+    assert w == {r: 2.0}
+    # negations never weigh (boost inert) and ^1 compiles away
+    _, w = parse_bool_boosted(f"{RARE} -{R2}^4 AND NOT ({R3}^9)")
+    assert w == {}
+    assert parse_bool_boosted(f"{RARE}^1.0")[1] == {}
+    for bad in [f"{RARE}^", f"{RARE}^x", f"{RARE} ^2", "^2", f"{RARE}^-2",
+                f"{RARE}^0"]:
+        with pytest.raises(ValueError):
+            parse_bool_boosted(bad)
+
+
+def test_expand_weights_synonym_inheritance():
+    from search_engine_spark.functions.boolquery import (
+        compile_synonyms,
+        expand_weights,
+    )
+
+    r, r2, r3 = _lem(RARE), _lem(R2), _lem(R3)
+    syn = compile_synonyms([[RARE, R2], [RARE, R3]])
+    out = expand_weights({r: 2.0}, syn)
+    assert out == {r: 2.0, r2: 2.0, r3: 2.0}  # synonyms inherit
+    out = expand_weights({r: 0.5, r2: 3.0}, syn)
+    assert out[r2] == 3.0  # own explicit weight beats inherited (max)
+
+
+def test_oracle_boost_semantics(oracle_idx):
+    # power-of-two boost: (2*idf)*core == 2*(idf*core) bit-exactly, so a
+    # single-term boosted query doubles every score exactly
+    plain = orc.bool_search(oracle_idx, RARE, k=50)
+    boosted = orc.bool_search(oracle_idx, f"{RARE}^2", k=50)
+    assert boosted == [(d, 2.0 * s) for d, s in plain]
+    # ^1 is exactly the unboosted query; boost never changes the match set
+    assert orc.bool_search(oracle_idx, f"{RARE}^1 {R2}", k=50) == (
+        orc.bool_search(oracle_idx, f"{RARE} {R2}", k=50)
+    )
+    assert {d for d, _ in orc.bool_search(oracle_idx, f"{RARE}^7 {R2}", k=50)} == {
+        d for d, _ in orc.bool_search(oracle_idx, f"{RARE} {R2}", k=50)
+    }
+    # cutoff ignores weights: a boosted hot term still drops per-term
+    assert orc.bool_search(oracle_idx, f"{HOT_TERM}^9 OR {RARE}", k=50) == (
+        orc.bool_search(oracle_idx, RARE, k=50)
+    )
+
+
+def test_blocks_boost_rank_identity(blocks, engine_tables, oracle_idx):
+    from search_engine_spark.functions.boolquery import compile_synonyms
+
+    t = engine_tables
+    syn = compile_synonyms([[RARE, R2]])
+    cases = [
+        (f"{RARE}^2.5 {R3}", None),
+        (f"({RARE} OR {R2})^3 -{R4}", None),
+        (f"{RARE}^0.25 OR {R3}^4", None),
+        (f"{RARE}^2 {R3}", syn),  # synonym lemmas inherit the boost
+    ]
+    for q, s in cases:
+        exp = orc.bool_search(oracle_idx, q, k=10, synonyms=s)
+        got = _collect(
+            bool_search_blocks(
+                blocks, t["lemma_stats"], t["doc_stats"], q, k=10, synonyms=s
+            )
+        )
+        assert got == exp, q
+        assert exp, q
+
+
+def test_server_and_api_boost(spark, base_index_dir, oracle_idx):
+    from search_engine_spark.api import SearchEngine
+    from search_engine_spark.operators.serve import QueryServer
+
+    q = f"{RARE}^3 OR {R2}^0.5"
+    exp = orc.bool_search(oracle_idx, q, k=10)
+    srv = QueryServer(spark, base_index_dir["index"])
+    assert srv.bool_search(q, k=10) == exp
+    eng = SearchEngine(spark, base_index_dir["index"])
+    out = eng.search(q, match="bool", limit=10)
+    assert [round(d["relevance"], 9) for d in out["data"]] == [
+        round(s, 9) for _, s in exp
+    ]
