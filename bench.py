@@ -199,6 +199,14 @@ def _env_probe() -> dict:
     }
 
 
+# a (hi, lo) pair whose efficiency exceeds this is invalid: the pipeline
+# cannot scale super-linearly, so the lo (1-core) sample must have run in
+# a co-tenant-degraded window (measured: eff "2.38" from a lo run 3×
+# slower than its healthy twin). Such pairs are excluded from the
+# headline and from early-stop; see BASELINE.md §(d).
+_EFF_VALID_MAX = 1.05
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -260,9 +268,15 @@ def main() -> None:
             (h["turns"] / h["build_sec"]) / (l["turns"] / l["build_sec"])
             / (hi_cpus / lo_cpus)
         )
+        # a pair can be junk in BOTH directions: a degraded hi run reads
+        # as falsely LOW efficiency, a degraded lo run as falsely HIGH
+        # (super-linear — physically impossible for this pipeline, so
+        # anything over the cap means the 1-core sample was stolen from).
+        # Only sub-cap pairs are candidates for the headline / early-stop.
+        valid = [e for e in effs if e <= _EFF_VALID_MAX]
         done = i + 1
         if done >= pairs and (
-            max(effs) >= target
+            (valid and max(valid) >= target)
             or time.perf_counter() - t_pairs0 > budget
         ):
             break
@@ -271,7 +285,14 @@ def main() -> None:
     lo = min(lo_runs, key=lambda r: r["build_sec"])
     thr_hi = hi["turns"] / hi["build_sec"]
     thr_lo = lo["turns"] / lo["build_sec"]
-    eff = max(effs)
+    # best-vs-best across pairs: the fastest hi and fastest lo each come
+    # from their least-contended window — the cleanest cross-pair
+    # estimate when no single pair was clean end-to-end
+    eff_bb = (thr_hi / thr_lo) / (hi_cpus / lo_cpus)
+    cands = [e for e in effs if e <= _EFF_VALID_MAX]
+    if eff_bb <= _EFF_VALID_MAX:
+        cands.append(eff_bb)
+    eff = max(cands) if cands else eff_bb
     queries[f"index_build_local{hi_cpus}"] = round(hi["build_sec"], 3)
     queries[f"index_build_local{lo_cpus}"] = round(lo["build_sec"], 3)
 
@@ -350,6 +371,7 @@ def main() -> None:
                     f"throughput_local{hi_cpus}_turns_per_sec": round(thr_hi, 1),
                     f"throughput_local{lo_cpus}_turns_per_sec": round(thr_lo, 1),
                     "scaling_efficiency": round(eff, 3),
+                    "scaling_efficiency_best_vs_best": round(eff_bb, 3),
                     "scaling_efficiency_median": round(
                         statistics.median(effs), 3
                     ),

@@ -594,7 +594,16 @@ class SearchEngine:
             stats = stats.filter(F.col("scope") == scope)
         from search_engine_spark.operators.query import _scope_stats
 
-        bg = stats.groupBy("lemma").agg(F.sum("df").alias("df"))
+        # semi-join the dictionary down to the foreground's lemmas BEFORE
+        # aggregating scopes — the shuffle is over ≤ |fg lemmas| rows, not
+        # the whole dictionary
+        bg = (
+            stats.join(
+                F.broadcast(fg_tf.distinct()), "lemma", "left_semi"
+            )
+            .groupBy("lemma")
+            .agg(F.sum("df").alias("df"))
+        )
         n_docs, _ = _scope_stats(self._doc_stats, scope)
         rows = significant_terms(
             fg_tf, bg, n_fg=len(ids), n_docs=n_docs, k=k,

@@ -795,6 +795,18 @@ def q_hybrid_rrf_topk(spark, sf_dir):
     return rrf_fuse([lex, sem], topk=10)
 
 
+def q_kmeans_assign(spark, sf_dir):
+    """Lloyd's k-means (k=4, 2 update rounds + final assign) over the
+    embeddings — operators/ann.py ``kmeans``: per-iteration narrow
+    mapInPandas partial-aggregation, broadcast centroid matrix, pinned
+    6dp rounding of init/centroids/distances so the DuckDB replay of
+    the same iterations lands on identical assignments."""
+    from search_engine_spark.operators.ann import kmeans
+
+    out, _ = kmeans(_read(spark, sf_dir, "embeddings"), k=4, iters=2)
+    return out
+
+
 def _plane_sign_sql(j: str, d: str) -> str:
     """Deterministic ±1 hyperplane component for (plane j, dim d) — same
     integer arithmetic in both engines."""
@@ -945,6 +957,36 @@ def q_events_hourly(spark, sf_dir):
             F.count("*").alias("n_events"),
             F.round(F.sum("value"), 6).alias("value_sum"),
         )
+    )
+
+
+def q_events_quantiles(spark, sf_dir):
+    """Exact value quantiles (p50/p90/p99, linear interpolation) per
+    event_type — the latency-style analytics rollup. Spark ``percentile``
+    and DuckDB ``quantile_cont`` pin the same sorted-order interpolation
+    h = (n-1)p; a PARTITIONED aggregate, no global sort."""
+    ev = _read(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+    )
+
+
+def q_top_docs_per_lang(spark, sf_dir):
+    """Per-group top-k via a PARTITIONED window (the scale-correct
+    grouped-top-k shape — rank within lang, never a global sort): the 3
+    largest docs by n_chars per language."""
+    from pyspark.sql import Window
+
+    docs = _read(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    return (
+        docs.select("lang", "doc_id", "n_chars",
+                    F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= 3)
     )
 
 
@@ -1730,6 +1772,20 @@ def _oracle_sql_map() -> dict[str, str]:
                                        AND DATE '{DATE_TO}'
             GROUP BY event_type
         """,
+        "events_quantiles": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.5), 6) AS p50,
+                   round(quantile_cont(value, 0.9), 6) AS p90,
+                   round(quantile_cont(value, 0.99), 6) AS p99
+            FROM events GROUP BY event_type
+        """,
+        "top_docs_per_lang": """
+            SELECT lang, doc_id, n_chars,
+                   row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY n_chars DESC, doc_id ASC) AS rnk
+            FROM documents QUALIFY rnk <= 3
+        """,
         "events_sessions": """
             WITH g AS (
                 SELECT user_id,
@@ -1888,6 +1944,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "ann_cosine_topk": q_ann_cosine_topk,
         "hybrid_rrf_topk": q_hybrid_rrf_topk,
+        "kmeans_assign": q_kmeans_assign,
         "ann_lsh_buckets": q_ann_lsh_buckets,
         "ann_ivf_assign": q_ann_ivf_assign,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -1898,6 +1955,8 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "stats_rollup": q_stats_rollup,
         "events_hourly": q_events_hourly,
+        "events_quantiles": q_events_quantiles,
+        "top_docs_per_lang": q_top_docs_per_lang,
         "events_date_filter": q_events_date_filter,
         "events_sessions": q_events_sessions,
         "tpch_pricing": q_tpch_pricing,
@@ -1982,6 +2041,42 @@ def duckdb_oracles() -> dict[str, str]:
             FROM lexr l FULL OUTER JOIN semr s USING (doc_id))
         SELECT doc_id, rrf FROM fused ORDER BY rrf DESC, doc_id ASC LIMIT 10
     """
+    _KM_ASSIGN = """
+        SELECT vec_id, c FROM (
+            SELECT dims.vec_id, cc.c,
+                   round(sum((v - cv) * (v - cv)), 6) AS dist
+            FROM dims JOIN {cents} cc USING (d)
+            GROUP BY dims.vec_id, cc.c)
+        QUALIFY row_number() OVER (
+            PARTITION BY vec_id ORDER BY dist ASC, c ASC) = 1
+    """
+    _KM_UPDATE = """
+        {new} AS (
+            SELECT a.c, d, round(avg(v), 6) AS cv
+            FROM dims JOIN {assign} a USING (vec_id) GROUP BY a.c, d),
+        {out} AS (
+            SELECT p.c, p.d, coalesce(n.cv, p.cv) AS cv
+            FROM {prev} p LEFT JOIN {new} n ON p.c = n.c AND p.d = n.d)
+    """
+    m["kmeans_assign"] = (
+        f"""
+        WITH dims AS (
+            SELECT vec_id, d0::INT AS d, embedding[d0 + 1]::DOUBLE AS v
+            FROM embeddings, (SELECT unnest(range({EMB_DIM})) AS d0)),
+        c0 AS (SELECT vec_id::INT AS c, d, round(v, 6) AS cv
+               FROM dims WHERE vec_id < 4),
+        a0 AS ({_KM_ASSIGN.format(cents="c0")}),
+        """
+        + _KM_UPDATE.format(new="c1n", assign="a0", out="c1", prev="c0")
+        + f""",
+        a1 AS ({_KM_ASSIGN.format(cents="c1")}),
+        """
+        + _KM_UPDATE.format(new="c2n", assign="a1", out="c2", prev="c1")
+        + f""",
+        af AS ({_KM_ASSIGN.format(cents="c2")})
+        SELECT vec_id, c AS centroid FROM af
+        """
+    )
     m["ann_ivf_topk"] = f"""
         WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
         dims AS (

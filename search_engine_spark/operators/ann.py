@@ -308,3 +308,124 @@ def cosine_pairs_lsh(
     return scored.select(
         "a_id", "b_id", F.round(F.col("cos"), 6).alias("cos")
     ).filter(F.col("cos") >= threshold)
+
+
+# -- k-means clustering (Lloyd's algorithm, deterministic pins) ---------------
+
+
+def _assign_ids(X: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """Per-row nearest centroid: argmin_c round(Σ_d (x_d - c_d)², 6),
+    ties to the LOWER centroid id (np.argmin picks the first minimum).
+    The 6dp round is the cross-engine pin — the DuckDB twin computes the
+    same rounded distance, so last-ulp summation differences can't flip
+    an assignment."""
+    d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    return np.argmin(np.round(d2, 6), axis=1)
+
+
+def kmeans(
+    emb: DataFrame,
+    k: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, np.ndarray]:
+    """Lloyd's k-means over an embedding column — the corpus-clustering
+    primitive of a curation pipeline (topic bucketing, per-cluster
+    sampling quotas). Returns (assignments (id_col, centroid), final
+    centroid matrix).
+
+    Pinned determinism (the contract twin ``kmeans_assign`` replays the
+    same pins in SQL):
+    - init: the k lowest-id vectors, rounded to 6dp;
+    - assignment: argmin of the 6dp-ROUNDED squared L2 distance, ties to
+      the lower centroid id;
+    - update: per-dimension mean over members, rounded to 6dp (an empty
+      cluster keeps its previous centroid);
+    - ``iters`` update rounds, then one final assignment pass.
+
+    Scale shape: each iteration is ONE narrow mapInPandas pass over the
+    embeddings scan (centroids broadcast as a closure constant, a k×d
+    NumPy matrix) emitting ≤ k partial (count, sum-vector) rows per
+    task — the classic partial-aggregation k-means; the driver reduces
+    ≤ tasks×k tiny rows (sorted by (cluster, partition) for a pinned
+    fold order). No corpus shuffle at any step."""
+    dim_row = emb.select(F.size(vec_col).alias("_d")).limit(1).collect()
+    if not dim_row:
+        raise ValueError("kmeans on an empty embeddings table")
+    C = np.round(
+        np.array(
+            [
+                r["_v"]
+                for r in emb.orderBy(id_col)
+                .select(F.col(vec_col).cast("array<double>").alias("_v"))
+                .limit(k)
+                .collect()
+            ],
+            dtype=np.float64,
+        ),
+        6,
+    )
+    if C.shape[0] < k:
+        raise ValueError(f"k={k} but only {C.shape[0]} vectors")
+    src = emb.select(id_col, F.col(vec_col).cast("array<double>").alias("_v"))
+
+    for _ in range(iters):
+        Cb = C  # broadcast closure constant (k×d floats)
+
+        def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from pyspark import TaskContext
+
+            pid = TaskContext.get().partitionId()
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                X = np.array(pdf["_v"].to_list(), dtype=np.float64)
+                a = _assign_ids(X, Cb)
+                rows = []
+                for c in range(Cb.shape[0]):
+                    m = a == c
+                    if not m.any():
+                        continue
+                    rows.append(
+                        {
+                            "c": c,
+                            "pid": pid,
+                            "n": int(m.sum()),
+                            "s": X[m].sum(axis=0).tobytes(),
+                        }
+                    )
+                if rows:
+                    yield pd.DataFrame(rows)
+
+        got = src.select("_v").mapInPandas(
+            partials, schema="c int, pid int, n long, s binary"
+        ).collect()
+        sums = {c: np.zeros(C.shape[1]) for c in range(k)}
+        counts = {c: 0 for c in range(k)}
+        for r in sorted(got, key=lambda r: (r["c"], r["pid"])):  # pinned fold
+            sums[r["c"]] = sums[r["c"]] + np.frombuffer(r["s"], dtype=np.float64)
+            counts[r["c"]] += r["n"]
+        C = np.vstack(
+            [
+                np.round(sums[c] / counts[c], 6) if counts[c] else C[c]
+                for c in range(k)
+            ]
+        )
+
+    Cf = C
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.array(pdf["_v"].to_list(), dtype=np.float64)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "centroid": _assign_ids(X, Cf).astype(np.int32),
+                }
+            )
+
+    out = src.mapInPandas(assign, schema=f"{id_col} long, centroid int")
+    return out, C

@@ -112,3 +112,43 @@ def test_ivf_topk_plan_no_shuffle(spark, emb, qvec):
     # data movement is the k-row merge, no Exchange anywhere
     assert "TakeOrderedAndProject" in plan
     assert "Exchange" not in plan
+
+
+def _kmeans_reference(X, k, iters):
+    """Single-process Lloyd's replica with the operator's exact pins
+    (6dp init/centroid/distance rounding, lower-id ties, empty cluster
+    keeps its centroid)."""
+    import numpy as np
+
+    C = np.round(X[:k].astype(np.float64), 6)
+    for _ in range(iters):
+        d2 = np.round(((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2), 6)
+        a = np.argmin(d2, axis=1)
+        C = np.vstack([
+            np.round(X[a == c].mean(axis=0), 6) if (a == c).any() else C[c]
+            for c in range(k)
+        ])
+    d2 = np.round(((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2), 6)
+    return np.argmin(d2, axis=1), C
+
+
+def test_kmeans_matches_reference_and_plan(spark, emb):
+    import numpy as np
+
+    from search_engine_spark.operators.ann import kmeans
+
+    rows = emb.orderBy("vec_id").collect()
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    ids = np.array([r["vec_id"] for r in rows])
+    want_a, want_C = _kmeans_reference(X, k=4, iters=2)
+
+    out, C = kmeans(emb, k=4, iters=2)
+    got = {r["vec_id"]: r["centroid"] for r in out.collect()}
+    assert np.allclose(C, want_C)  # 6dp-rounded centroids agree
+    assert got == {int(i): int(c) for i, c in zip(ids, want_a)}
+    # every cluster non-trivial on this data and ids partition the input
+    assert set(got) == set(int(i) for i in ids)
+    assert len(set(got.values())) > 1
+    # plan: narrow map over the scan — no shuffle (Exchange) anywhere
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
