@@ -351,6 +351,7 @@ def main() -> None:
     for name in [
         "tf", "df", "bm25_topk", "dedup_minhash_lsh", "ann_cosine_topk",
         "text_quality", "fingerprint", "events_sessions", "tpch_pricing",
+        "hybrid_rrf_topk", "kmeans_assign", "significant_terms",
     ]:
         t0 = time.perf_counter()
         _noop(contract[name](spark, sf_dir))

@@ -551,6 +551,31 @@ def more_like_this(
     return ranked_docs[:k]
 
 
+def rescore_search(
+    idx: OracleIndex,
+    query: str,
+    scope: str | None = None,
+    k: int = 10,
+    window: int = 50,
+    combine: str = "and",
+) -> list[tuple[int, float]]:
+    """Proximity-rescore twin (operators/rescore.py): first-stage
+    ``search`` top-``window``, then combined = score + prox over the
+    analyzed lemma stream (min-cover span), order (combined desc,
+    doc_id asc) top-k. Docs beyond the window are dropped."""
+    from search_engine_spark.functions.analyze import query_lemmas
+    from search_engine_spark.operators.rescore import proximity_of
+
+    terms = sorted(set(query_lemmas(query)))
+    first = search(idx, query, scope=scope, k=window, combine=combine)
+    rescored = [
+        (d, s + proximity_of(idx.docs.loc[d, "text"] or "", terms))
+        for d, s in first
+    ]
+    rescored.sort(key=lambda kv: (-kv[1], kv[0]))
+    return rescored[:k]
+
+
 def significant_terms(
     idx: OracleIndex,
     fg_ids: list[int],

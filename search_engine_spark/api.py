@@ -104,6 +104,10 @@ class SearchEngine:
         synonyms: dict | None = None,  # {lemma: synonym lemmas}
         #   (boolquery.compile_synonyms) — query-time OR-group
         #   expansion; needs match="bool" (any query string parses)
+        rescore_window: int = 0,  # >0: second-stage proximity rescore
+        #   of the top-N first-stage hits (operators/rescore.py —
+        #   combined = bm25 + min-cover-span prox); term match only,
+        #   replaces neither filters nor the gates; no cursor/collapse
     ) -> dict:
         from search_engine_spark.operators.filters import (
             filter_groups,
@@ -126,6 +130,15 @@ class SearchEngine:
             raise ValueError(
                 "synonyms= needs match='bool' (a plain term query is "
                 "valid boolean syntax — implicit AND)"
+            )
+        if rescore_window and (
+            match != "term" or scorer != "bm25"
+            or after is not None or collapse is not None
+        ):
+            raise ValueError(
+                "rescore_window needs match='term' + scorer='bm25' and "
+                "composes with neither after= cursors (rescoring changes "
+                "scores) nor collapse="
             )
 
         if filters and self._filter_blocks is None:
@@ -158,7 +171,7 @@ class SearchEngine:
         )
         key = (
             query, scope, scorer, combine, match, slop, fuzzy, fuzzy_dist,
-            collapse, collapse_limit, fkey, after, skey,
+            collapse, collapse_limit, fkey, after, skey, rescore_window,
         )
         if (
             self._cache_key == key
@@ -316,6 +329,15 @@ class SearchEngine:
                     self._flat_postings(), self._lemma_stats,
                     self._doc_stats, pos_q, scope=scope, k=deep, offset=0,
                 )
+        if rescore_window:
+            # second-stage proximity rescore of the top-`rescore_window`
+            # first-stage hits (operators/rescore.py; ≤window rows
+            # broadcast into the docs join — the corpus pays nothing)
+            from search_engine_spark.operators.rescore import rescore_window as _rescore
+
+            results = _rescore(
+                results, self._docs, terms, k=deep, window=rescore_window
+            )
         if collapse is not None:
             # field collapsing on the DEEP page (pinned depth policy):
             # ≤ collapse_limit hits per value of a docs column, global

@@ -807,6 +807,80 @@ def q_kmeans_assign(spark, sf_dir):
     return out
 
 
+def q_rescore_proximity(spark, sf_dir):
+    """Second-stage proximity rescoring in SQL form (operators/
+    rescore.py pins, ES rescore-window as prior art): first stage =
+    OR-mode BM25 top-50 over ('dup','merge'); prox = 1/(1 + span - 2)
+    where span = min |i-j| + 1 over the two terms' token positions (the
+    2-term minimal covering window); combined = round(score + prox, 6),
+    docs beyond the window dropped, top-10."""
+    per = _bm25_per_term(spark, sf_dir, BM25_TERMS)
+    first = (
+        per.groupBy("doc_id")
+        .agg(F.round(F.sum("_s"), 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(50)
+    )
+    toks = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(TOKS_SQL).alias("_t")
+    )
+    # positions only for the windowed docs — the corpus never pays
+    pos = (
+        toks.join(F.broadcast(first.select("doc_id")), "doc_id")
+        .select("doc_id", F.posexplode("_t").alias("i", "tok"))
+        .filter(F.col("tok").isin(BM25_TERMS))
+    )
+    pa = pos.filter(F.col("tok") == "dup").select(
+        "doc_id", F.col("i").alias("ia")
+    )
+    pb = pos.filter(F.col("tok") == "merge").select(
+        "doc_id", F.col("i").alias("ib")
+    )
+    span = (
+        pa.join(pb, "doc_id")
+        .groupBy("doc_id")
+        .agg(F.min(F.abs(F.col("ia") - F.col("ib")) + 1).alias("span"))
+    )
+    return (
+        first.join(span, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.round(
+                F.col("score")
+                + F.coalesce(
+                    F.lit(1.0) / (F.lit(1) + F.col("span") - F.lit(2)),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+CLUSTER_FRACS = {"0": 0.6, "1": 0.3, "2": 0.3, "3": 0.6}
+
+
+def q_cluster_sample(spark, sf_dir):
+    """Per-cluster quota sampling — the curation move of rebalancing a
+    corpus across SEMANTIC clusters (downsample dominant topics): kmeans
+    topic buckets (operators/ann.py) composed with the deterministic
+    md5-threshold Bernoulli sampler (operators/curate.py) keyed on
+    vec_id — same sample at any cluster size, predicate scan-pushable."""
+    from search_engine_spark.operators.ann import kmeans
+    from search_engine_spark.operators.curate import stratified_sample
+
+    assign, _ = kmeans(_read(spark, sf_dir, "embeddings"), k=4, iters=2)
+    a = assign.withColumn("centroid", F.col("centroid").cast("string"))
+    out = stratified_sample(
+        a, CLUSTER_FRACS, 0.0, strata_col="centroid", key_col="vec_id"
+    )
+    return out.select(
+        "vec_id", F.col("centroid").cast("int").alias("centroid")
+    )
+
+
 def _plane_sign_sql(j: str, d: str) -> str:
     """Deterministic ±1 hyperplane component for (plane j, dim d) — same
     integer arithmetic in both engines."""
@@ -1514,6 +1588,41 @@ def _oracle_sql_map() -> dict[str, str]:
             SELECT doc_id, score FROM scored
             ORDER BY score DESC, doc_id ASC LIMIT 10
         """,
+        "rescore_proximity": f"""
+            WITH lens AS (
+                SELECT doc_id, len({TOKS_DUCK})::DOUBLE AS dl FROM documents),
+            st AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM lens),
+            tf AS (SELECT * FROM ({_TF_DUCK}) WHERE term IN ('dup', 'merge')),
+            dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            per AS (
+                SELECT tf.doc_id,
+                       ln(1.0 + ((SELECT n FROM st) - dfs.df + 0.5)
+                                 / (dfs.df + 0.5))
+                       * tf.tf * {BM25_K1 + 1.0}
+                       / (tf.tf + {BM25_K1} * ({1.0 - BM25_B} + {BM25_B}
+                          * lens.dl / (SELECT avgdl FROM st))) AS _s
+                FROM tf JOIN dfs USING (term) JOIN lens USING (doc_id)),
+            lex AS (
+                SELECT doc_id, round(sum(_s), 6) AS score
+                FROM per GROUP BY doc_id
+                ORDER BY score DESC, doc_id ASC LIMIT 50),
+            t AS (SELECT doc_id, {TOKS_DUCK} AS _t FROM documents
+                  WHERE doc_id IN (SELECT doc_id FROM lex)),
+            pa AS (SELECT doc_id,
+                          unnest([i for i in range(len(_t))
+                                  if _t[i + 1] = 'dup']) AS ia FROM t),
+            pb AS (SELECT doc_id,
+                          unnest([i for i in range(len(_t))
+                                  if _t[i + 1] = 'merge']) AS ib FROM t),
+            sp AS (SELECT doc_id, min(abs(ia - ib) + 1) AS span
+                   FROM pa JOIN pb USING (doc_id) GROUP BY doc_id)
+            SELECT lex.doc_id,
+                   round(lex.score
+                         + coalesce(1.0 / (1 + sp.span - 2), 0.0), 6)
+                       AS score
+            FROM lex LEFT JOIN sp USING (doc_id)
+            ORDER BY score DESC, doc_id ASC LIMIT 10
+        """,
         "bm25_or_topk": f"""
             WITH lens AS (
                 SELECT doc_id, len({TOKS_DUCK})::DOUBLE AS dl FROM documents),
@@ -1928,6 +2037,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_boost_topk": q_bm25_boost_topk,
         "significant_terms": q_significant_terms,
         "bm25_or_topk": q_bm25_or_topk,
+        "rescore_proximity": q_rescore_proximity,
         "wildcard_or_topk": q_wildcard_or_topk,
         "bm25_filtered_topk": q_bm25_filtered_topk,
         "collapse_by_source": q_collapse_by_source,
@@ -1945,6 +2055,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "hybrid_rrf_topk": q_hybrid_rrf_topk,
         "kmeans_assign": q_kmeans_assign,
+        "cluster_sample": q_cluster_sample,
         "ann_lsh_buckets": q_ann_lsh_buckets,
         "ann_ivf_assign": q_ann_ivf_assign,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -2076,6 +2187,17 @@ def duckdb_oracles() -> dict[str, str]:
         af AS ({_KM_ASSIGN.format(cents="c2")})
         SELECT vec_id, c AS centroid FROM af
         """
+    )
+    from search_engine_spark.operators.curate import _hex_threshold
+
+    _h = "substring(md5(vec_id::VARCHAR), 1, 8)"
+    _arms = " OR ".join(
+        f"(centroid = {s} AND {_h} < '{_hex_threshold(f)}')"
+        for s, f in sorted(CLUSTER_FRACS.items())
+    )
+    m["cluster_sample"] = (
+        f"WITH km AS ({m['kmeans_assign']}) "
+        f"SELECT vec_id, centroid FROM km WHERE {_arms}"
     )
     m["ann_ivf_topk"] = f"""
         WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
