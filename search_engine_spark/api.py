@@ -496,14 +496,7 @@ class SearchEngine:
         (``dropped``). ``matches`` says whether the search would return
         this doc at unbounded k. One pushed point-lookup on docs
         (doc_id filter) + the broadcast-stats collects — no corpus scan."""
-        from search_engine_spark.functions.scoring import (
-            BM25_B,
-            BM25_K1,
-            bm25_idf,
-            bm25_term_score,
-            df_cutoff,
-            query_killed_by_cutoff,
-        )
+        from search_engine_spark.functions.scoring import explain_breakdown
         from search_engine_spark.operators.query import (
             _scope_stats,
             _term_dfs,
@@ -521,54 +514,14 @@ class SearchEngine:
         in_scope = scope is None or doc["scope"] == scope
         n_docs, avg_len = _scope_stats(self._doc_stats, scope)
         dfs = _term_dfs(self._lemma_stats, terms, scope)
-        cutoff = df_cutoff(n_docs) if n_docs else 0
-        killed = combine == "and" and query_killed_by_cutoff(
-            list(dfs.values()), n_docs
-        )
         tf_of = {x["lemma"]: int(x["tf"]) for x in (doc["lemma_counts"] or [])}
-        out_terms, score, all_present = [], 0.0, True
-        for t in terms:  # lexicographic accumulation (pinned)
-            df = dfs[t]
-            dropped = killed or (combine == "or" and df > cutoff)
-            idf = bm25_idf(df, n_docs) if n_docs else 0.0
-            tf = tf_of.get(t, 0)
-            present = tf > 0 and in_scope
-            partial = 0.0
-            if present and not dropped:
-                partial = bm25_term_score(
-                    float(tf), float(doc["doc_len"]), avg_len, idf,
-                    BM25_K1, BM25_B,
-                )
-                score += partial
-            if not present and not dropped:
-                all_present = False
-            out_terms.append(
-                {
-                    "lemma": t, "df": df, "idf": idf, "tf": tf,
-                    "present": present, "dropped": bool(dropped),
-                    "partial": partial,
-                }
-            )
-        usable = [x for x in out_terms if not x["dropped"]]
-        matches = (
-            in_scope
-            and bool(usable)
-            and not killed
-            and (combine == "or" or all_present)
-            and any(x["present"] for x in usable)
-        )
         return {
             "result": True,
             "doc_id": int(doc_id),
-            "matches": matches,
-            "killed_by_cutoff": bool(killed),
-            "in_scope": in_scope,
-            "score": score,
-            "doc_len": int(doc["doc_len"]),
-            "n_docs": n_docs,
-            "avg_doc_len": avg_len,
-            "df_cutoff": cutoff,
-            "terms": out_terms,
+            **explain_breakdown(
+                terms, dfs, n_docs, avg_len, doc["doc_len"], tf_of,
+                in_scope, combine,
+            ),
         }
 
     def significant_terms(
@@ -589,8 +542,9 @@ class SearchEngine:
         dictionary — the corpus is never re-aggregated. Query terms
         themselves usually top the list (they are in ~100% of the
         foreground); callers can drop them from the panel if unwanted."""
+        from search_engine_spark.operators.query import _scope_stats
         from search_engine_spark.operators.significant import (
-            significant_terms,
+            significant_for_ids,
         )
 
         if filters and self._filter_blocks is None:
@@ -606,29 +560,9 @@ class SearchEngine:
         ids = [r["doc_id"] for r in results.collect()]  # ≤ depth rows
         if not ids:
             return {"result": True, "terms": []}
-        fg_tf = (
-            self._docs.filter(F.col("doc_id").isin(ids))
-            .select(F.explode("lemma_counts").alias("lc"))
-            .select(F.col("lc.lemma").alias("lemma"))
-        )
-        stats = self._lemma_stats
-        if scope is not None:
-            stats = stats.filter(F.col("scope") == scope)
-        from search_engine_spark.operators.query import _scope_stats
-
-        # semi-join the dictionary down to the foreground's lemmas BEFORE
-        # aggregating scopes — the shuffle is over ≤ |fg lemmas| rows, not
-        # the whole dictionary
-        bg = (
-            stats.join(
-                F.broadcast(fg_tf.distinct()), "lemma", "left_semi"
-            )
-            .groupBy("lemma")
-            .agg(F.sum("df").alias("df"))
-        )
         n_docs, _ = _scope_stats(self._doc_stats, scope)
-        rows = significant_terms(
-            fg_tf, bg, n_fg=len(ids), n_docs=n_docs, k=k,
+        rows = significant_for_ids(
+            self._docs, self._lemma_stats, ids, scope, n_docs, k=k,
             min_fg_df=min_fg_df,
         ).collect()
         return {

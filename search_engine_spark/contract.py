@@ -997,6 +997,17 @@ def q_fingerprint(spark, sf_dir):
     )
 
 
+def q_collocations_pmi(spark, sf_dir):
+    """Adjacent-word collocations by pointwise mutual information
+    (operators/text.py collocations — Church & Hanks 1990): bigrams with
+    corpus count >= 5 over the lowercase [a-z]+ token stream, pmi
+    computed with the pinned float expression shape shared with the
+    DuckDB twin."""
+    from search_engine_spark.operators.text import collocations
+
+    return collocations(_read(spark, sf_dir, "documents"), min_count=5)
+
+
 # ---------------------------------------------------------------------------
 # 17-18: event-stream analytics (windows / sessionization)
 # ---------------------------------------------------------------------------
@@ -1031,6 +1042,21 @@ def q_events_hourly(spark, sf_dir):
             F.count("*").alias("n_events"),
             F.round(F.sum("value"), 6).alias("value_sum"),
         )
+    )
+
+
+def q_events_topic_shifts(spark, sf_dir):
+    """Window-over-window shift detection (streaming/trending.py
+    window_shifts_batch — the batch twin of the append-mode streaming
+    topic-shift detector): event types whose hourly count is >= 1.5x
+    the previous hour's (absent previous hour counts as 1). The Spark
+    plan is the streaming-safe single aggregation over tagged cur/prev
+    event copies; the oracle is the equivalent self-join SQL."""
+    from search_engine_spark.streaming.trending import window_shifts_batch
+
+    ev = _read(spark, sf_dir, "events")
+    return window_shifts_batch(
+        ev, "ts", "event_type", window="1 hour", min_df=2, min_ratio=1.5
     )
 
 
@@ -1192,6 +1218,24 @@ def q_stratified_sample(spark, sf_dir):
     return stratified_sample(
         _read(spark, sf_dir, "documents"), SAMPLE_FRACS, SAMPLE_DEFAULT
     ).select("doc_id", "lang")
+
+
+MIX_TARGET = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+MIX_BUDGET = 4000
+
+
+def q_mixture_rates(spark, sf_dir):
+    """Token-budget data mixing (operators/curate.py mixture_rates):
+    per-source Bernoulli keep-rates hitting a target token mixture —
+    rate = round(least(1, budget*prop/source_tokens), 6) over the
+    documents table's n_chars budget column. The rates feed
+    stratified_sample(strata_col='source') to materialize the mix."""
+    from search_engine_spark.operators.curate import mixture_rates
+
+    return mixture_rates(
+        _read(spark, sf_dir, "documents"), MIX_TARGET, MIX_BUDGET,
+        tokens_col="n_chars",
+    )
 
 
 def q_quality_funnel(spark, sf_dir):
@@ -1862,6 +1906,30 @@ def _oracle_sql_map() -> dict[str, str]:
                        (acc, x) -> (acc * 31 + x) % {HASH_MOD}) AS fingerprint
             FROM t
         """,
+        "collocations_pmi": """
+            WITH toks AS (
+                SELECT regexp_extract_all(lower(text), '[a-z]+') AS t
+                FROM documents),
+            uni AS (
+                SELECT u.w, count(*) AS n
+                FROM toks, unnest(t) AS u(w) GROUP BY 1),
+            bi AS (
+                SELECT t[i] AS a, t[i + 1] AS b, count(*) AS n_ab
+                FROM toks, unnest(range(1, len(t))) AS r(i)
+                GROUP BY 1, 2),
+            tot AS (
+                SELECT (SELECT sum(n)::DOUBLE FROM uni) AS tot_uni,
+                       (SELECT sum(n_ab)::DOUBLE FROM bi) AS tot_bi)
+            SELECT a, b, n_ab,
+                   round(ln((n_ab::DOUBLE / tot_bi)
+                         / ((ua.n::DOUBLE / tot_uni)
+                            * (ub.n::DOUBLE / tot_uni))), 6) AS pmi
+            FROM bi
+            JOIN uni ua ON ua.w = a
+            JOIN uni ub ON ub.w = b
+            CROSS JOIN tot
+            WHERE n_ab >= 5
+        """,
         "stats_rollup": f"""
             SELECT coalesce(source, '<total>') AS source,
                    count(*) AS n_docs,
@@ -1880,6 +1948,20 @@ def _oracle_sql_map() -> dict[str, str]:
               AND CAST(ts AS DATE) BETWEEN DATE '{DATE_FROM}'
                                        AND DATE '{DATE_TO}'
             GROUP BY event_type
+        """,
+        "events_topic_shifts": """
+            WITH counts AS (
+                SELECT date_trunc('hour', ts) AS h, event_type,
+                       count(*) AS df
+                FROM events GROUP BY 1, 2)
+            SELECT c.h AS window_start, c.event_type, c.df,
+                   coalesce(p.df, 0) AS prev_df,
+                   round(c.df / greatest(coalesce(p.df, 0), 1), 6) AS ratio
+            FROM counts c LEFT JOIN counts p
+              ON p.event_type = c.event_type
+             AND p.h = c.h - INTERVAL 1 HOUR
+            WHERE c.df >= 2
+              AND round(c.df / greatest(coalesce(p.df, 0), 1), 6) >= 1.5
         """,
         "events_quantiles": """
             SELECT event_type,
@@ -1943,6 +2025,7 @@ def _oracle_sql_map() -> dict[str, str]:
             FROM c GROUP BY bin
         """,
         "stratified_sample": _stratified_sample_duck(),
+        "mixture_rates": _mixture_rates_duck(),
         "quality_funnel": f"""
             SELECT CASE
                 WHEN length(text) < 200 THEN 'too_short'
@@ -2021,6 +2104,14 @@ def _stratified_sample_duck() -> str:
     return f"SELECT doc_id, lang FROM ({inner})"
 
 
+def _mixture_rates_duck() -> str:
+    from search_engine_spark.operators.curate import (
+        mixture_rates_oracle_sql,
+    )
+
+    return mixture_rates_oracle_sql(MIX_TARGET, MIX_BUDGET)
+
+
 def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tf": q_tf,
@@ -2064,8 +2155,10 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
+        "collocations_pmi": q_collocations_pmi,
         "stats_rollup": q_stats_rollup,
         "events_hourly": q_events_hourly,
+        "events_topic_shifts": q_events_topic_shifts,
         "events_quantiles": q_events_quantiles,
         "top_docs_per_lang": q_top_docs_per_lang,
         "events_date_filter": q_events_date_filter,
@@ -2075,6 +2168,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "pack_bins": q_pack_bins,
         "stratified_sample": q_stratified_sample,
+        "mixture_rates": q_mixture_rates,
         "quality_funnel": q_quality_funnel,
         "redact_pii": q_redact_pii,
         "repetition_signals": q_repetition_signals,

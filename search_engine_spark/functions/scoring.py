@@ -49,3 +49,67 @@ def query_killed_by_cutoff(dfs: list[int], n_docs: int) -> bool:
     if not dfs:
         return True
     return min(dfs) > df_cutoff(n_docs)
+
+
+def explain_breakdown(
+    terms: list[str],
+    dfs: dict[str, int],
+    n_docs: int,
+    avg_len: float,
+    doc_len: int,
+    lemma_tfs: dict[str, int],
+    in_scope: bool,
+    combine: str = "and",
+) -> dict:
+    """Pure per-term scoring breakdown for ONE (query, doc) pair — the
+    single source of the explain pins (lexicographic accumulation, the
+    pinned evaluation shape, the AND-kill vs OR per-term-drop gates),
+    shared by ``SearchEngine.explain`` and ``QueryServer.explain`` so
+    the two serving paths cannot drift. ``terms`` must be sorted;
+    ``lemma_tfs`` is the doc's {lemma: tf}. The total is bit-identical
+    to the search kernels' relevance for any matched doc."""
+    cutoff = df_cutoff(n_docs) if n_docs else 0
+    killed = combine == "and" and query_killed_by_cutoff(
+        list(dfs.values()), n_docs
+    )
+    out_terms, score, all_present = [], 0.0, True
+    for t in terms:  # lexicographic accumulation (pinned)
+        df = dfs[t]
+        dropped = killed or (combine == "or" and df > cutoff)
+        idf = bm25_idf(df, n_docs) if n_docs else 0.0
+        tf = lemma_tfs.get(t, 0)
+        present = tf > 0 and in_scope
+        partial = 0.0
+        if present and not dropped:
+            partial = bm25_term_score(
+                float(tf), float(doc_len), avg_len, idf, BM25_K1, BM25_B
+            )
+            score += partial
+        if not present and not dropped:
+            all_present = False
+        out_terms.append(
+            {
+                "lemma": t, "df": df, "idf": idf, "tf": tf,
+                "present": present, "dropped": bool(dropped),
+                "partial": partial,
+            }
+        )
+    usable = [x for x in out_terms if not x["dropped"]]
+    matches = (
+        in_scope
+        and bool(usable)
+        and not killed
+        and (combine == "or" or all_present)
+        and any(x["present"] for x in usable)
+    )
+    return {
+        "matches": matches,
+        "killed_by_cutoff": bool(killed),
+        "in_scope": in_scope,
+        "score": score,
+        "doc_len": int(doc_len),
+        "n_docs": n_docs,
+        "avg_doc_len": avg_len,
+        "df_cutoff": cutoff,
+        "terms": out_terms,
+    }

@@ -276,6 +276,82 @@ def stratified_sample_oracle_sql(
 
 
 # ---------------------------------------------------------------------------
+# mixture rates (token-budget data mixing)
+# ---------------------------------------------------------------------------
+
+
+def mixture_rates(
+    docs: DataFrame,
+    target: dict[str, float],
+    token_budget: int,
+    source_col: str = "source",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Per-source Bernoulli keep-rates that hit a token-mixture target
+    under a global budget — the data-mixing step of a training pipeline
+    (choose how much of each domain/source goes into the run):
+    ``rate = round(least(1, budget * prop / source_tokens), 6)``
+    (pinned; the DuckDB contract twin computes the same expression).
+    Returns (source, n_docs, n_tokens, target_prop, rate); only sources
+    named in ``target`` appear. A source whose corpus holds fewer
+    tokens than its budget share caps at rate 1 (the shortfall is
+    reported, not silently redistributed).
+
+    Composition: the ≤|sources| result rows collect into a dict and
+    feed ``stratified_sample(docs, rates, strata_col=source_col)`` —
+    the deterministic md5-threshold sample then materializes the mix
+    with a scan-pushable predicate (nothing shuffles at any scale).
+    The rollup itself is one map-side-combined hash agg keyed by
+    source, joined to the broadcast target table."""
+    spark = docs.sparkSession
+    tgt = spark.createDataFrame(
+        [(s, float(p)) for s, p in sorted(target.items())],
+        f"{source_col} string, target_prop double",
+    )
+    per = docs.groupBy(source_col).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(tokens_col).cast("long").alias("n_tokens"),
+    )
+    rate = F.round(
+        F.least(
+            F.lit(1.0),
+            F.lit(float(token_budget)) * F.col("target_prop")
+            / F.col("n_tokens").cast("double"),
+        ),
+        6,
+    )
+    return per.join(F.broadcast(tgt), source_col).select(
+        source_col, "n_docs", "n_tokens", "target_prop",
+        rate.alias("rate"),
+    )
+
+
+def mixture_rates_oracle_sql(
+    target: dict[str, float],
+    token_budget: int,
+    source_col: str = "source",
+    tokens_col: str = "n_chars",
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of ``mixture_rates`` (same pinned rate expression)."""
+    vals = ", ".join(
+        f"('{s}', {float(p)!r})" for s, p in sorted(target.items())
+    )
+    return f"""
+        WITH tgt({source_col}, target_prop) AS (VALUES {vals}),
+        per AS (
+            SELECT {source_col}, count(*) AS n_docs,
+                   sum({tokens_col}) AS n_tokens
+            FROM {table} GROUP BY 1)
+        SELECT per.{source_col}, n_docs::BIGINT AS n_docs,
+               n_tokens::BIGINT AS n_tokens, target_prop,
+               round(least(1.0, {float(token_budget)!r} * target_prop
+                     / n_tokens::DOUBLE), 6) AS rate
+        FROM per JOIN tgt ON tgt.{source_col} = per.{source_col}
+    """
+
+
+# ---------------------------------------------------------------------------
 # quality-filter funnel
 # ---------------------------------------------------------------------------
 

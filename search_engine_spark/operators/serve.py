@@ -68,6 +68,16 @@ class QueryServer:
         # query (persisted like blocks — same binary-column layout)
         self._filter_blocks = None
         self._cache_blocks = cache_blocks
+        # docs family: loaded lazily on the first explain / significant /
+        # rescored query (point lookups push doc_id filters to the scan —
+        # NOT persisted: its array<struct> lemma_counts column is exactly
+        # the layout the CLAUDE.md persist() warning is about)
+        self._docs = None
+
+    def _docs_table(self):
+        if self._docs is None:
+            self._docs = self.spark.read.parquet(f"{self.index_dir}/docs")
+        return self._docs
 
     def _filters_table(self):
         import os
@@ -169,33 +179,25 @@ class QueryServer:
         rows = suggest_op(self._lemma_stats, prefix, k=k, scope=scope).collect()
         return [(r["lemma"], int(r["cf"])) for r in rows]
 
-    def search(
+    def _prepare(
         self,
         query: str,
-        scope: str | None = None,
-        k: int = 10,
-        offset: int = 0,
-        mode: str = "wand",
-        combine: str = "and",
-        fuzzy: bool = False,
-        fuzzy_dist: int = 1,
-        filters: dict | None = None,
-        after: tuple[float, int] | None = None,
-    ) -> list[tuple[int, float]]:
+        scope: str | None,
+        combine: str,
+        fuzzy: bool,
+        fuzzy_dist: int,
+    ):
+        """Shared term-query first stage: analysis, wildcard/negation
+        splitting, fuzzy correction, cached-stats resolution, cutoff
+        gates, pruned block scan. Returns ``None`` when the query
+        provably matches nothing, else
+        ``(blocks, terms, rescore_terms, idfs, avg_len, excl)`` ready
+        for a kernel (``search``/``facets`` both build on it)."""
         from search_engine_spark.functions.analyze import (
             split_negations,
             split_wildcards,
         )
-        from search_engine_spark.operators.filters import filter_groups
 
-        groups = filter_groups(filters)
-        if groups:
-            self._filters_table()  # errors early on a filterless index
-        if after is not None and offset:
-            raise ValueError(
-                "after=(score, doc_id) replaces offset pagination — pass "
-                "offset=0 with a cursor"
-            )
         pos_q, neg_q = split_negations(query)
         excl = query_lemmas(neg_q) if neg_q else []
         pos_q, prefixes = split_wildcards(pos_q)
@@ -211,39 +213,168 @@ class QueryServer:
                 )
         terms = sorted(set(query_lemmas(pos_q)) | set(expansions))
         if not terms:
-            return []
+            return None
         if excl and set(excl) & set(terms):
-            return []  # exclusion wins (oracle.search pin)
+            return None  # exclusion wins (oracle.search pin)
         if fuzzy:
             # exclusions pass through UNcorrected (api.py pin)
             terms = self._fuzzy_correct(terms, scope, fuzzy_dist)
             if not terms:
-                return []
+                return None
             if excl and set(excl) & set(terms):
-                return []  # a correction may land on an excluded lemma
+                return None  # a correction may land on an excluded lemma
         n_docs, avg_len = self._scope_stats(scope)
         if n_docs == 0:
-            return []
+            return None
         dfs = self._term_dfs(terms, scope)
+        # proximity rescoring spans the UNpruned scored-term set — an
+        # OR-cutoff-dropped term still narrows the covering window
+        # (oracle.rescore_search pin: terms = query_lemmas(query))
+        rescore_terms = sorted(set(terms))
         if combine == "or":
             cutoff = df_cutoff(n_docs)
             terms = [t for t in terms if dfs[t] <= cutoff]
             if not terms:
-                return []
+                return None
         elif query_killed_by_cutoff(list(dfs.values()), n_docs):
-            return []
+            return None
         idfs = [bm25_idf(dfs[t], n_docs) for t in terms]
         blocks = prune_blocks(self.blocks, terms + excl, scope)
+        return blocks, terms, rescore_terms, idfs, avg_len, excl
+
+    def search(
+        self,
+        query: str,
+        scope: str | None = None,
+        k: int = 10,
+        offset: int = 0,
+        mode: str = "wand",
+        combine: str = "and",
+        fuzzy: bool = False,
+        fuzzy_dist: int = 1,
+        filters: dict | None = None,
+        after: tuple[float, int] | None = None,
+        rescore_window: int = 0,
+        collapse: str | None = None,
+        collapse_limit: int = 1,
+    ) -> list[tuple[int, float]]:
+        from search_engine_spark.operators.filters import filter_groups
+
+        groups = filter_groups(filters)
+        if groups:
+            self._filters_table()  # errors early on a filterless index
+        if after is not None and offset:
+            raise ValueError(
+                "after=(score, doc_id) replaces offset pagination — pass "
+                "offset=0 with a cursor"
+            )
+        if rescore_window and (after is not None or collapse is not None):
+            raise ValueError(
+                "rescore_window composes with neither after= cursors "
+                "(rescoring changes scores) nor collapse="
+            )
+        if collapse is not None and after is not None:
+            raise ValueError(
+                "after does not compose with collapse (a collapse keeper "
+                "depends on rows before the cursor) — page collapsed "
+                "results with offset"
+            )
+        prep = self._prepare(query, scope, combine, fuzzy, fuzzy_dist)
+        if prep is None:
+            return []
+        blocks, terms, rescore_terms, idfs, avg_len, excl = prep
         if groups:
             flt = prune_blocks(
                 self._filters_table(), [l for g in groups for l in g], scope
             )
             blocks = blocks.unionByName(flt)
+        if rescore_window:
+            # second-stage proximity rescore (operators/rescore.py —
+            # same pins as SearchEngine.search(rescore_window=);
+            # oracle.rescore_search is the twin): first stage fetches the
+            # top-`window` rows, the ≤window rescored side broadcasts
+            # into the docs join, final TakeOrderedAndProject at k
+            from search_engine_spark.operators.rescore import (
+                rescore_window as _rescore,
+            )
+
+            first = _blocks_core(
+                blocks, terms, idfs, avg_len, rescore_window, 0, mode,
+                combine, excl, groups, None,
+            )
+            rows = _rescore(
+                first, self._docs_table(), rescore_terms, k=offset + k,
+                window=rescore_window,
+            ).collect()
+            return [(r["doc_id"], r["score"]) for r in rows][offset:]
+        if collapse is not None:
+            # field collapsing on the deep page — the SearchEngine's
+            # pinned depth policy (deep = 10*(offset+k), collapse, slice;
+            # operators/query.py collapse_results)
+            from search_engine_spark.operators.query import collapse_results
+
+            deep = 10 * (offset + k)
+            first = _blocks_core(
+                blocks, terms, idfs, avg_len, deep, 0, mode, combine,
+                excl, groups, None,
+            )
+            rows = (
+                collapse_results(
+                    first, self._docs_table(), collapse, collapse_limit
+                )
+                .limit(offset + k)
+                .collect()
+            )
+            return [(r["doc_id"], r["score"]) for r in rows][offset:]
         rows = _blocks_core(
             blocks, terms, idfs, avg_len, k, offset, mode, combine, excl,
             groups, after,
         ).collect()
         return [(r["doc_id"], r["score"]) for r in rows]
+
+    def facets(
+        self,
+        query: str,
+        facet_cols: tuple[str, ...] = ("scope", "role"),
+        scope: str | None = None,
+        combine: str = "and",
+        depth: int = 1000,
+        filters: dict | None = None,
+    ) -> list[dict]:
+        """Facet panel from the serving session — the same pinned
+        semantics as ``SearchEngine.facets`` (per-value doc counts over
+        the top-``depth`` sample via operators/query.py facet_counts,
+        incl. the derived ``day``/``month``/``year`` calendar facets)
+        with stats from the cached dictionary. Returns
+        [{**facet values, "n_docs"}] sorted by the facet value tuple."""
+        from search_engine_spark.operators.filters import filter_groups
+        from search_engine_spark.operators.query import facet_counts
+
+        groups = filter_groups(filters)
+        if groups:
+            self._filters_table()
+        prep = self._prepare(query, scope, combine, False, 1)
+        if prep is None:
+            return []
+        blocks, terms, _, idfs, avg_len, excl = prep
+        if groups:
+            flt = prune_blocks(
+                self._filters_table(), [l for g in groups for l in g], scope
+            )
+            blocks = blocks.unionByName(flt)
+        results = _blocks_core(
+            blocks, terms, idfs, avg_len, depth, 0, "wand", combine, excl,
+            groups, None,
+        )
+        rows = facet_counts(
+            results, self._docs_table(), list(facet_cols)
+        ).collect()
+        return [
+            {**{c: r[c] for c in facet_cols}, "n_docs": r["n_docs"]}
+            for r in sorted(
+                rows, key=lambda r: tuple(str(r[c]) for c in facet_cols)
+            )
+        ]
 
     def phrase(
         self,
@@ -382,3 +513,132 @@ class QueryServer:
         )
         rows = _paginate(per_shard, k, offset).collect()
         return [(r["doc_id"], r["score"]) for r in rows]
+
+    def more_like_this(
+        self,
+        doc_id: int,
+        scope: str | None = None,
+        k: int = 10,
+        max_terms: int | None = None,
+    ) -> list[tuple[int, float]]:
+        """Related documents from the serving session — the same pinned
+        semantics as ``operators/query.py more_like_this`` (oracle
+        ``more_like_this`` twin: the source doc's ``max_terms`` rarest
+        lemmas as an OR query, source excluded) but dfs resolve from the
+        cached dictionary and the OR query runs on the blocks kernels.
+        Source exclusion fetches k+1 rows and drops the source
+        driver-side: the top-k excluding one doc is always contained in
+        the top-(k+1) including it."""
+        from search_engine_spark.operators.query import MLT_MAX_TERMS
+
+        if max_terms is None:
+            max_terms = MLT_MAX_TERMS
+        row = (
+            self._docs_table().filter(F.col("doc_id") == int(doc_id))
+            .select("lemma_counts")
+            .head()
+        )
+        if row is None or not row["lemma_counts"]:
+            return []
+        lemmas = sorted({x["lemma"] for x in row["lemma_counts"]})
+        n_docs, avg_len = self._scope_stats(scope)
+        if n_docs == 0:
+            return []
+        dfs = self._term_dfs(lemmas, scope)
+        ranked = sorted((dfs[t], t) for t in lemmas if dfs[t] > 0)
+        cutoff = df_cutoff(n_docs)
+        terms = sorted(
+            t for _, t in ranked[:max_terms] if dfs[t] <= cutoff
+        )
+        if not terms:
+            return []
+        idfs = [bm25_idf(dfs[t], n_docs) for t in terms]
+        blocks = prune_blocks(self.blocks, terms, scope)
+        rows = _blocks_core(
+            blocks, terms, idfs, avg_len, k + 1, 0, "wand", "or", [], (),
+            None,
+        ).collect()
+        out = [
+            (r["doc_id"], r["score"]) for r in rows
+            if r["doc_id"] != int(doc_id)
+        ]
+        return out[:k]
+
+    def explain(
+        self,
+        query: str,
+        doc_id: int,
+        scope: str | None = None,
+        combine: str = "and",
+    ) -> dict:
+        """Per-term scoring breakdown for one (query, doc) pair — the
+        same pinned computation as ``SearchEngine.explain`` (shared
+        ``functions/scoring.py explain_breakdown``), but term dfs and
+        scope stats resolve from the server's cached dictionary: a
+        steady-state explain is ONE pushed doc_id point-lookup on the
+        docs family (zero Spark jobs for the stats)."""
+        from search_engine_spark.functions.scoring import explain_breakdown
+
+        terms = sorted(set(query_lemmas(query)))
+        rows = (
+            self._docs_table().filter(F.col("doc_id") == int(doc_id))
+            .select("doc_len", "scope", "lemma_counts")
+            .collect()
+        )
+        if not rows:
+            raise ValueError(f"unknown doc_id {doc_id}")
+        doc = rows[0]
+        in_scope = scope is None or doc["scope"] == scope
+        n_docs, avg_len = self._scope_stats(scope)
+        dfs = self._term_dfs(terms, scope)
+        tf_of = {x["lemma"]: int(x["tf"]) for x in (doc["lemma_counts"] or [])}
+        return {
+            "result": True,
+            "doc_id": int(doc_id),
+            **explain_breakdown(
+                terms, dfs, n_docs, avg_len, doc["doc_len"], tf_of,
+                in_scope, combine,
+            ),
+        }
+
+    def significant_terms(
+        self,
+        query: str,
+        k: int = 10,
+        scope: str | None = None,
+        combine: str = "and",
+        depth: int = 100,
+        min_fg_df: int = 2,
+        filters: dict | None = None,
+    ) -> list[dict]:
+        """Terms disproportionately frequent in the query's matched docs
+        vs the corpus — same pins as ``SearchEngine.significant_terms``
+        (shared ``operators/significant.py significant_for_ids``; JLH
+        scoring, foreground = the top-``depth`` result sample), with the
+        first stage served from the cached dictionary. Returns
+        [{"term", "fg_df", "bg_df", "score"}] ranked (jlh desc, term
+        asc)."""
+        from search_engine_spark.operators.significant import (
+            significant_for_ids,
+        )
+
+        first = self.search(
+            query, scope=scope, k=depth, combine=combine, filters=filters
+        )
+        ids = [d for d, _ in first]
+        if not ids:
+            return []
+        n_docs, _ = self._scope_stats(scope)
+        rows = significant_for_ids(
+            self._docs_table(), self._lemma_stats, ids, scope, n_docs,
+            k=k, min_fg_df=min_fg_df,
+        ).collect()
+        return [
+            {
+                "term": r["lemma"],
+                "fg_df": int(r["fg_df"]),
+                "bg_df": int(r["bg_df"]),
+                "score": r["jlh"],
+            }
+            for r in rows
+        ]

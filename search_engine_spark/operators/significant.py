@@ -69,3 +69,39 @@ def significant_terms(
         .orderBy(F.desc("jlh"), F.asc(term_col))
         .limit(k)
     )
+
+
+def significant_for_ids(
+    docs: DataFrame,
+    lemma_stats: DataFrame,
+    ids: list[int],
+    scope: str | None,
+    n_docs: int,
+    k: int = 10,
+    min_fg_df: int = 2,
+) -> DataFrame:
+    """Significant-terms panel for a foreground given as doc ids (a
+    search's top-N sample): fg (doc, lemma) pairs come from the docs
+    table's ``lemma_counts`` (pushed ``doc_id IN`` point reads — lemma
+    entries are unique per doc, so exploding them IS the distinct-lemma
+    stream), background df from the dictionary semi-joined down to the
+    foreground's lemmas BEFORE aggregating scopes — the shuffle is over
+    ≤ |fg lemmas| rows, never the whole dictionary. Shared by
+    ``SearchEngine.significant_terms`` and ``QueryServer`` so the pins
+    live once."""
+    fg_tf = (
+        docs.filter(F.col("doc_id").isin(ids))
+        .select(F.explode("lemma_counts").alias("lc"))
+        .select(F.col("lc.lemma").alias("lemma"))
+    )
+    stats = lemma_stats
+    if scope is not None:
+        stats = stats.filter(F.col("scope") == scope)
+    bg = (
+        stats.join(F.broadcast(fg_tf.distinct()), "lemma", "left_semi")
+        .groupBy("lemma")
+        .agg(F.sum("df").alias("df"))
+    )
+    return significant_terms(
+        fg_tf, bg, n_fg=len(ids), n_docs=n_docs, k=k, min_fg_df=min_fg_df
+    )

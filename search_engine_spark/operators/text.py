@@ -8,8 +8,9 @@ only row inflation and it is inherent to character-n-gram analysis.
 
 Language-ID: classic character-n-gram profile scoring (Cavnar & Trenkle
 "N-Gram-Based Text Categorization"), bigram+trigram mix over pinned
-profiles of publicly well-known frequent n-grams per language (7
-languages). On the synthetic corpus the
+profiles of publicly well-known frequent n-grams per language (10
+languages incl. Cyrillic — lower() handles the non-Latin scripts
+natively). On the synthetic corpus the
 ``lang`` column is an independent random label (the text itself is
 English-ish word soup for every label), so accuracy against it is not a
 meaningful target — the contract verifies ENGINE PARITY (Spark == DuckDB)
@@ -55,6 +56,18 @@ LANG_PROFILES: dict[str, list[str]] = {
            " qu", "que", "ue ", "da ", " da", "do ", " do", "ar ", "nte",
            "ra ", "as ",
            "de", "os", "ar", "es", "ra", "en", "co", "do", "da", "nt"],
+    "ru": [" пр", " на", " по", " не", "ого", "го ", "ени", "ние", "ие ",
+           "ост", "сти", "ств", "ать", "ть ", "ет ", "ия ", " ст", "ово",
+           "ой ", "льн",
+           "ст", "но", "то", "на", "ен", "ов", "ни", "ра", "ко", "ро"],
+    "pl": ["nie", " ni", "ie ", " po", "prz", "rze", "ych", "ch ", " pr",
+           "owa", "ego", "go ", "ani", "cze", " za", "ej ", "ia ", "sta",
+           " je", "dzi",
+           "ie", "ni", "po", "rz", "na", "cz", "st", "ow", "ej", "sz"],
+    "sv": [" de", "det", "et ", "en ", " oc", "och", "ch ", " at", "att",
+           "tt ", "för", " fö", "ar ", "ing", "ng ", "er ", "som", " so",
+           " ha", "de ",
+           "en", "er", "ar", "de", "tt", "an", "et", "st", "om", "ör"],
 }
 
 # NB: guard the short-text case explicitly — Spark's sequence(1, 0) is a
@@ -369,3 +382,80 @@ def repetition_signals_oracle_sql(
                    ELSE 0.0 END, 6) AS dup_trigram_ratio
         FROM g
     """
+
+
+# -- collocations (bigram PMI) -------------------------------------------------
+
+
+def collocations(
+    docs: DataFrame,
+    min_count: int = 5,
+    k: int | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """(a, b, n_ab, pmi): adjacent-word collocations ranked by pointwise
+    mutual information — the classic corpus-linguistics keyphrase signal
+    (Church & Hanks 1990): pmi = ln(p(ab) / (p(a) p(b))) with p from the
+    same lowercase ``[a-z]+`` token stream (p(ab) over adjacent bigram
+    occurrences, p(a)/p(b) over unigram occurrences).
+
+    Pinned float shape (the DuckDB contract twin computes the identical
+    expression): ``round(ln((n_ab/N_bi) / ((n_a/N_uni) * (n_b/N_uni))),
+    6)``; only bigrams with ``n_ab >= min_count`` qualify; optional
+    top-``k`` by (pmi desc, a asc, b asc).
+
+    Scale shape: two hash aggregations (unigrams, bigrams — both
+    map-side-combined, keys are vocabulary-sized, not corpus-sized), the
+    ``min_count`` filter cuts the bigram table BEFORE the two
+    vocabulary joins, and the two scalar totals ride a broadcast
+    crossJoin (the global-max-normalize pattern) — no collect, no
+    single-partition stage; native higher-order functions only, zero
+    Python in the row path."""
+    toks = docs.select(
+        F.expr(
+            f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)"
+        ).alias("t")
+    )
+    uni = (
+        toks.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
+    )
+    pairs = (
+        toks.filter(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(slice(t, 1, size(t) - 1), "
+                    "(x, i) -> struct(x AS a, t[i + 1] AS b))"
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
+    )
+    bi = pairs.groupBy("a", "b").agg(F.count("*").alias("n_ab"))
+    totals = uni.agg(F.sum("n").cast("double").alias("tot_uni")).crossJoin(
+        bi.agg(F.sum("n_ab").cast("double").alias("tot_bi"))
+    )
+    ua = uni.select(F.col("w").alias("a"), F.col("n").alias("n_a"))
+    ub = uni.select(F.col("w").alias("b"), F.col("n").alias("n_b"))
+    pmi = F.round(
+        F.log(
+            (F.col("n_ab").cast("double") / F.col("tot_bi"))
+            / (
+                (F.col("n_a").cast("double") / F.col("tot_uni"))
+                * (F.col("n_b").cast("double") / F.col("tot_uni"))
+            )
+        ),
+        6,
+    )
+    out = (
+        bi.filter(F.col("n_ab") >= min_count)
+        .join(ua, "a")
+        .join(ub, "b")
+        .crossJoin(F.broadcast(totals))
+        .select("a", "b", "n_ab", pmi.alias("pmi"))
+    )
+    if k is not None:
+        out = out.orderBy(F.desc("pmi"), F.asc("a"), F.asc("b")).limit(k)
+    return out

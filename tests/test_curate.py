@@ -150,6 +150,59 @@ def test_stratified_sample_no_shuffle(spark):
     assert "Exchange" not in plan
 
 
+def test_mixture_rates_and_sample_composition(spark):
+    """mixture_rates: pinned rate math incl. the rate-1 cap, only
+    targeted sources appear; the rates dict then feeds
+    stratified_sample(strata_col='source') and the realized sample's
+    per-source token mass tracks the target mixture."""
+    from search_engine_spark.operators.curate import (
+        mixture_rates,
+        stratified_sample,
+    )
+
+    rows = [
+        (i, ["web", "code", "tiny"][i % 3], 100 + (i * 37) % 50)
+        for i in range(3000)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+    totals = {}
+    for _, s, n in rows:
+        totals[s] = totals.get(s, 0) + n
+    target = {"web": 0.6, "code": 0.4, "tiny": 0.0}
+    budget = 60_000
+    got = {
+        r["source"]: r
+        for r in mixture_rates(df, target, budget).collect()
+    }
+    assert set(got) == set(target)
+    for s, r in got.items():
+        assert r["n_tokens"] == totals[s]
+        assert r["rate"] == round(
+            min(1.0, budget * target[s] / totals[s]), 6
+        )
+    # a source whose share exceeds its corpus caps at 1
+    capped = mixture_rates(df, {"tiny": 1.0}, 10**9).collect()
+    assert capped[0]["rate"] == 1.0
+    # untargeted sources are absent, not rate-0 rows
+    assert len(mixture_rates(df, {"web": 1.0}, budget).collect()) == 1
+
+    rates = {s: got[s]["rate"] for s in got}
+    sample = stratified_sample(
+        df, rates, default_fraction=0.0, strata_col="source",
+        key_col="doc_id",
+    )
+    mass = {
+        r["source"]: r["tok"]
+        for r in sample.groupBy("source")
+        .agg(F.sum("n_tokens").alias("tok"))
+        .collect()
+    }
+    assert "tiny" not in mass  # rate 0 → nothing sampled
+    # realized token mass within 25% of each source's budget share
+    for s in ("web", "code"):
+        assert abs(mass[s] - budget * target[s]) < 0.25 * budget * target[s]
+
+
 def test_quality_funnel_counts(spark):
     from search_engine_spark.operators.curate import quality_funnel
 
