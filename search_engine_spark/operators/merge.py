@@ -1,0 +1,228 @@
+"""Index merge: combine two built indexes WITHOUT re-tokenizing — the
+Lucene/Elasticsearch segment-merge analog (public prior art), re-expressed
+for this engine's physical format.
+
+Why it is cheap here: doc ids are dense 1-based per index, so merging B
+after A is a CONSTANT-OFFSET id remap (off = |A's turns|); and the block
+codec stores each block's first doc_id as an absolute varint at the head
+of the ``doc_ids`` buffer with every later value a gap
+(operators/compress.py ``_encode_frame``: ``gaps[block_starts] =
+ids[block_starts]``), so remapping a block is patching ONE varint plus
+two metadata columns — O(blocks) work, never O(postings), and the tf/dl
+payloads (hence the WAND bounds max_tf/min_dl) are byte-identical.
+
+Shard/bucket identity: B's shard ids shift by (max A shard + 1) and its
+buckets by A's bucket count, keeping both id spaces disjoint. Shards only
+ever need to be a consistent doc partition (every posting of a doc in one
+shard — kernels do per-shard top-k then merge), which a constant shift
+preserves; nothing requires shard ids to follow the ``(doc_id-1)//range``
+formula globally (a doc-range shard already straddles bucket files, see
+plans/job.py note).
+
+Guards (raise ValueError): overlapping conv_ids (the merged id space must
+stay a function of (conv_id, turn_idx)), mismatched ``positional`` /
+``filter_cols`` / ``range_size`` lineage (future upserts rebuild buckets
+with the recorded range_size, so it must be one number).
+
+Equivalence pin (tests/test_merge.py): when B's conv_ids all sort after
+A's, the merged index is IDENTICAL to a fresh build over the
+concatenated corpus — same docs rows, same lemma_stats/doc_stats, same
+search scores and doc ids — because the two-level id scheme assigns
+exactly ``A's ids ++ (B's ids + off)`` in that case.
+
+Scale shape: A's families move by directory copy (a manifest-level move
+on Iceberg — no data pass); B's docs are a narrow map (no shuffle, the
+array-typed lemma_counts column never crosses an exchange); B's blocks
+are a mapInPandas metadata patch; stats recompute from block metadata and
+the docs scan via the SAME stage functions the build job uses
+(build.py ``lemma_stats_from_blocks`` / ``build_doc_stats``) — the corpus
+text is never re-read, nothing is re-tokenized, no posting is re-encoded.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+import uuid
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from search_engine_spark.functions.codec import varbyte_decode, varbyte_encode
+
+
+def _patch_first_varint(buf: bytes, off: int) -> bytes:
+    """Add ``off`` to the leading absolute varint of a block's doc_ids
+    buffer (gaps after it are offset-invariant)."""
+    i = 0
+    while buf[i] & 0x80:
+        i += 1
+    first = int(varbyte_decode(buf[: i + 1])[0])
+    return (
+        varbyte_encode(np.array([first + off], dtype=np.uint64))
+        + buf[i + 1:]
+    )
+
+
+def _remap_blocks(
+    blocks: DataFrame, doc_off: int, shard_off: int, bucket_off: int
+) -> DataFrame:
+    """B's POSTINGS[_POS] rows (bucket partition column included) →
+    remapped rows; one Arrow pass, payloads untouched except the head
+    varint of ``doc_ids``."""
+    schema = blocks.schema
+    doc_off = int(doc_off)
+    shard_off = int(shard_off)
+    bucket_off = int(bucket_off)
+
+    def patch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if pdf.empty:
+                continue
+            pdf["first_doc_id"] = pdf["first_doc_id"] + doc_off
+            pdf["last_doc_id"] = pdf["last_doc_id"] + doc_off
+            pdf["shard"] = pdf["shard"] + shard_off
+            pdf["bucket"] = pdf["bucket"] + bucket_off
+            bufs = pdf["doc_ids"].to_numpy(object)
+            pdf["doc_ids"] = [_patch_first_varint(b, doc_off) for b in bufs]
+            yield pdf
+
+    return blocks.mapInPandas(patch, schema=schema)
+
+
+def _lineage_dict(spark: SparkSession, index_dir: str) -> dict[str, str]:
+    return {
+        r["key"]: r["value"]
+        for r in spark.read.parquet(f"{index_dir}/lineage").collect()
+    }
+
+
+def merge_indexes(
+    spark: SparkSession,
+    dir_a: str,
+    dir_b: str,
+    out_dir: str,
+    run_id: str | None = None,
+) -> dict:
+    """Merge index ``dir_b`` into/after ``dir_a``, writing a complete new
+    index at ``out_dir`` (left untouched inputs). Returns a summary dict.
+    See module docstring for semantics and guards."""
+    from search_engine_spark.operators.build import (
+        build_doc_stats,
+        lemma_stats_from_blocks,
+    )
+    from search_engine_spark.schemas import CHECKPOINTS, LINEAGE, METRICS
+
+    a, b = dir_a.rstrip("/"), dir_b.rstrip("/")
+    out = out_dir.rstrip("/")
+    if os.path.exists(out):
+        raise ValueError(f"out_dir exists: {out}")
+    lin_a, lin_b = _lineage_dict(spark, a), _lineage_dict(spark, b)
+    for key in ("positional", "filter_cols", "range_size"):
+        if lin_a.get(key) != lin_b.get(key):
+            raise ValueError(
+                f"lineage mismatch on {key!r}: "
+                f"{lin_a.get(key)!r} vs {lin_b.get(key)!r}"
+            )
+    off_a = spark.read.parquet(f"{a}/conv_offsets")
+    off_b = spark.read.parquet(f"{b}/conv_offsets")
+    n_overlap = off_a.join(off_b, "conv_id", "inner").count()
+    if n_overlap:
+        raise ValueError(
+            f"{n_overlap} conv_id(s) exist in both indexes — merge "
+            "requires disjoint conversations (route updates through "
+            "upsert_turns instead)"
+        )
+    doc_off = int(lin_a["n_turns"])
+    bucket_off = int(lin_a["n_buckets"])
+    shard_off = (
+        int(
+            spark.read.parquet(f"{a}/postings")
+            .agg(F.max("shard")).head()[0]
+        )
+        + 1
+    )
+    t0 = time.time()
+    run_id = run_id or f"merge-{uuid.uuid4().hex[:12]}"
+    os.makedirs(out)
+
+    # conv offsets: B shifts wholesale (id scheme: A's ids ++ B's + off)
+    merged_off = off_a.unionByName(
+        off_b.withColumn(
+            "_conv_offset", (F.col("_conv_offset") + doc_off).cast("long")
+        ).withColumn("bucket", F.col("bucket") + bucket_off)
+    )
+    merged_off.write.mode("overwrite").parquet(f"{out}/conv_offsets")
+
+    # A's data families: directory copy — no data pass
+    families = ["docs", "postings"]
+    has_filters = os.path.exists(f"{a}/filters")
+    if has_filters != os.path.exists(f"{b}/filters"):
+        raise ValueError("one index has a filters family, the other not")
+    if has_filters:
+        families.append("filters")
+    for fam in families:
+        shutil.copytree(f"{a}/{fam}", f"{out}/{fam}")
+
+    # B docs: narrow map (doc_id/bucket shift), appended per bucket
+    docs_b = spark.read.parquet(f"{b}/docs").withColumn(
+        "doc_id", (F.col("doc_id") + doc_off).cast("long")
+    ).withColumn("bucket", F.col("bucket") + bucket_off)
+    docs_b.write.mode("append").partitionBy("bucket").parquet(f"{out}/docs")
+
+    # B postings (+ filter postings): O(blocks) metadata patch
+    for fam in families[1:]:
+        _remap_blocks(
+            spark.read.parquet(f"{b}/{fam}"), doc_off, shard_off, bucket_off
+        ).write.mode("append").partitionBy("bucket").parquet(f"{out}/{fam}")
+
+    # stats: the job's own stage functions over the merged outputs —
+    # block metadata + a narrow docs scan, the corpus is never re-read
+    lemma_stats_from_blocks(
+        spark.read.parquet(f"{out}/postings")
+    ).write.mode("overwrite").parquet(f"{out}/lemma_stats")
+    build_doc_stats(spark.read.parquet(f"{out}/docs")).write.mode(
+        "overwrite"
+    ).parquet(f"{out}/doc_stats")
+
+    n_turns = doc_off + int(lin_b["n_turns"])
+    lineage_rows = [
+        (run_id, "input_path", f"merge({a}, {b})", None),
+        (run_id, "n_turns", str(n_turns), None),
+        (run_id, "n_buckets",
+         str(bucket_off + int(lin_b["n_buckets"])), None),
+        (run_id, "docs_per_shard", lin_a["docs_per_shard"], None),
+        (run_id, "positional", lin_a["positional"], None),
+        (run_id, "filter_cols", lin_a["filter_cols"], None),
+        (run_id, "range_size", lin_a["range_size"], None),
+    ]
+    spark.createDataFrame(lineage_rows, LINEAGE).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{out}/lineage")
+    from datetime import datetime, timezone
+
+    started = datetime.fromtimestamp(t0, tz=timezone.utc)
+    spark.createDataFrame(
+        [(run_id, 0, "merge", "done", n_turns, started,
+          datetime.now(timezone.utc), None)],
+        CHECKPOINTS,
+    ).coalesce(1).write.mode("overwrite").parquet(f"{out}/checkpoints")
+    now = datetime.now(timezone.utc)
+    spark.createDataFrame(
+        [(run_id, "merge", "wall_sec_p0", float(time.time() - t0), now),
+         (run_id, "merge", "rows_p0", float(n_turns), now)],
+        METRICS,
+    ).coalesce(1).write.mode("overwrite").parquet(f"{out}/metrics")
+    return {
+        "run_id": run_id,
+        "out": out,
+        "n_turns": n_turns,
+        "doc_offset": doc_off,
+        "shard_offset": shard_off,
+        "bucket_offset": bucket_off,
+        "wall_sec": time.time() - t0,
+    }

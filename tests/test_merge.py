@@ -1,0 +1,149 @@
+"""Index merge (operators/merge.py): merging two builds equals a fresh
+build over the concatenated corpus (docs/stats identical, search
+rank-identical incl. doc ids — B's convs sort after A's so the two-level
+id scheme assigns the same ids either way); guards; upsert-after-merge."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from oracle import oracle as orc
+
+
+def _build(spark, pdf, out, tmp, name):
+    from search_engine_spark.plans.job import IndexBuildJob
+
+    corpus = f"{tmp}/{name}.parquet"
+    pdf.to_parquet(corpus, index=False, row_group_size=512)
+    IndexBuildJob(
+        spark, corpus, out, n_buckets=2, docs_per_shard=256, run_id=name
+    ).run()
+    return corpus
+
+
+@pytest.fixture(scope="module")
+def merged(spark, tmp_path_factory):
+    from search_engine_spark.operators.merge import merge_indexes
+    from search_engine_spark.sources.corpus import generate_transcripts
+
+    tmp = str(tmp_path_factory.mktemp("merge"))
+    a = generate_transcripts(120, seed=1)
+    b = generate_transcripts(80, seed=2)
+    b = b.assign(conv_id="zz" + b["conv_id"])  # sorts after every A conv
+    _build(spark, a, f"{tmp}/ia", tmp, "a")
+    _build(spark, b, f"{tmp}/ib", tmp, "b")
+    res = merge_indexes(spark, f"{tmp}/ia", f"{tmp}/ib", f"{tmp}/merged")
+    both = pd.concat([a, b], ignore_index=True)
+    _build(spark, both, f"{tmp}/fresh", tmp, "fresh")
+    return {
+        "tmp": tmp, "res": res, "both": both,
+        "merged": f"{tmp}/merged", "fresh": f"{tmp}/fresh",
+        "ia": f"{tmp}/ia",
+    }
+
+
+def _rows(spark, path, cols, order):
+    return [
+        tuple(r[c] for c in cols)
+        for r in spark.read.parquet(path).select(*cols).orderBy(*order).collect()
+    ]
+
+
+def test_merge_docs_and_stats_equal_fresh_build(spark, merged):
+    cols = ["doc_id", "conv_id", "turn_idx", "role", "scope", "doc_len"]
+    got = _rows(spark, f"{merged['merged']}/docs", cols, ["doc_id"])
+    want = _rows(spark, f"{merged['fresh']}/docs", cols, ["doc_id"])
+    assert got and got == want
+    for fam, cols, order in (
+        ("lemma_stats", ["scope", "lemma", "df", "cf"], ["scope", "lemma"]),
+        ("doc_stats",
+         ["scope", "n_docs", "avg_doc_len", "sum_doc_len"], ["scope"]),
+    ):
+        assert _rows(spark, f"{merged['merged']}/{fam}", cols, order) == \
+            _rows(spark, f"{merged['fresh']}/{fam}", cols, order), fam
+
+
+def test_merge_search_rank_identity(spark, merged):
+    """Searches on the merged index are bit-identical to the oracle over
+    the concatenated corpus — including doc ids — in AND and OR mode,
+    for terms living in A, in B, and in both."""
+    from search_engine_spark.operators.serve import QueryServer
+
+    idx = orc.build_index(merged["both"])
+    srv = QueryServer(spark, merged["merged"], cache_blocks=False)
+    boundary = merged["res"]["doc_offset"]
+    by_rarity = sorted(idx.postings, key=lambda t: len(idx.postings[t]))
+    picks = []
+    for t in by_rarity:
+        ids = idx.postings[t]
+        side = (
+            "a" if max(ids) <= boundary
+            else "b" if min(ids) > boundary
+            else "both"
+        )
+        if side not in [s for s, _ in picks] and 1 < len(ids):
+            picks.append((side, t))
+        if len(picks) == 3:
+            break
+    assert {s for s, _ in picks} == {"a", "b", "both"}
+    hit_b_side = False
+    for side, term in picks:
+        for combine in ("and", "or"):
+            want = orc.search(idx, term, k=10, combine=combine)
+            got = srv.search(term, k=10, combine=combine)
+            assert got == want, (side, term, combine)
+            assert want
+        if side in ("b", "both"):
+            hit_b_side = hit_b_side or any(
+                d > boundary for d, _ in orc.search(idx, term, k=10)
+            )
+    assert hit_b_side  # remapped B blocks actually served results
+
+
+def test_merge_guards(spark, merged, tmp_path):
+    from search_engine_spark.operators.merge import merge_indexes
+
+    with pytest.raises(ValueError, match="conv_id"):
+        merge_indexes(
+            spark, merged["ia"], merged["ia"], str(tmp_path / "dup")
+        )
+    with pytest.raises(ValueError, match="out_dir exists"):
+        merge_indexes(
+            spark, merged["ia"], merged["merged"], merged["merged"]
+        )
+
+
+def test_upsert_after_merge(spark, merged):
+    """The merged index is a first-class index: an insert upsert lands
+    (new turn in a B conversation, id appended past the merged max) and
+    is findable."""
+    import shutil
+
+    from search_engine_spark.api import SearchEngine
+    from search_engine_spark.operators.upsert import upsert_turns
+    from search_engine_spark.plans.job import IndexBuildJob
+    from search_engine_spark.schemas import TRANSCRIPTS
+
+    dst = f"{merged['tmp']}/merged_upsert"
+    shutil.copytree(merged["merged"], dst)
+    conv = "zz" + merged["both"]["conv_id"].iloc[-1][2:]
+    delta = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "conv_id": [conv],
+                "turn_idx": [99],
+                "role": ["user"],
+                "text": ["xenomorphic quasar"],
+                "tool": [None],
+                "ts": merged["both"]["ts"].iloc[-1:].reset_index(drop=True),
+            }
+        ),
+        TRANSCRIPTS,
+    )
+    job = IndexBuildJob(spark, "unused", dst, run_id="merge-upsert")
+    upsert_turns(job, delta)
+    eng = SearchEngine(spark, dst)
+    res = eng.search("xenomorphic")
+    assert res["count"] == 1
+    assert res["data"][0]["uri"] == f"{conv}#99"
