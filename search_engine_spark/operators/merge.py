@@ -226,3 +226,131 @@ def merge_indexes(
         "bucket_offset": bucket_off,
         "wall_sec": time.time() - t0,
     }
+
+
+def merge_many(
+    spark: SparkSession,
+    dirs: list[str],
+    out_dir: str,
+    run_id: str | None = None,
+) -> dict:
+    """k-way index merge: each input is remapped ONCE with its cumulative
+    offsets (doc/shard/bucket), so total work is O(Σ inputs) — a fold of
+    pairwise ``merge_indexes`` would re-copy the growing accumulator k
+    times (O(k·Σ)). Same guards and equivalence pin as the pairwise op:
+    pairwise-disjoint conv_ids, identical positional/filter_cols/
+    range_size lineage; when the inputs' conv ranges are sorted
+    ascending, the result is table-identical to one fresh build."""
+    from search_engine_spark.operators.build import (
+        build_doc_stats,
+        lemma_stats_from_blocks,
+    )
+    from search_engine_spark.schemas import CHECKPOINTS, LINEAGE, METRICS
+
+    if len(dirs) < 2:
+        raise ValueError("merge_many needs at least 2 indexes")
+    dirs = [d.rstrip("/") for d in dirs]
+    out = out_dir.rstrip("/")
+    if os.path.exists(out):
+        raise ValueError(f"out_dir exists: {out}")
+    lins = [_lineage_dict(spark, d) for d in dirs]
+    for key in ("positional", "filter_cols", "range_size"):
+        vals = {lin.get(key) for lin in lins}
+        if len(vals) > 1:
+            raise ValueError(f"lineage mismatch on {key!r}: {sorted(map(str, vals))}")
+    offs = [spark.read.parquet(f"{d}/conv_offsets") for d in dirs]
+    # pairwise disjointness in one pass: any conv_id in >1 index fails
+    from functools import reduce
+
+    all_convs = reduce(
+        DataFrame.unionByName, (o.select("conv_id") for o in offs)
+    )
+    n_dup = (
+        all_convs.groupBy("conv_id").count().filter(F.col("count") > 1).count()
+    )
+    if n_dup:
+        raise ValueError(
+            f"{n_dup} conv_id(s) appear in more than one index — merge "
+            "requires pairwise-disjoint conversations"
+        )
+    t0 = time.time()
+    run_id = run_id or f"merge-{uuid.uuid4().hex[:12]}"
+    os.makedirs(out)
+    has_filters = os.path.exists(f"{dirs[0]}/filters")
+    if any(os.path.exists(f"{d}/filters") != has_filters for d in dirs):
+        raise ValueError("filters family present in some inputs, not all")
+    families = ["postings"] + (["filters"] if has_filters else [])
+    # per-input shard widths (one tiny agg each) → cumulative offsets
+    shard_maxes = [
+        int(spark.read.parquet(f"{d}/postings").agg(F.max("shard")).head()[0])
+        for d in dirs
+    ]
+    doc_off = shard_off = bucket_off = 0
+    merged_off = None
+    for i, (d, lin, off) in enumerate(zip(dirs, lins, offs)):
+        if i == 0:
+            for fam in ["docs", *families]:
+                shutil.copytree(f"{d}/{fam}", f"{out}/{fam}")
+            merged_off = off
+        else:
+            docs_i = spark.read.parquet(f"{d}/docs").withColumn(
+                "doc_id", (F.col("doc_id") + doc_off).cast("long")
+            ).withColumn("bucket", F.col("bucket") + bucket_off)
+            docs_i.write.mode("append").partitionBy("bucket").parquet(
+                f"{out}/docs"
+            )
+            for fam in families:
+                _remap_blocks(
+                    spark.read.parquet(f"{d}/{fam}"),
+                    doc_off, shard_off, bucket_off,
+                ).write.mode("append").partitionBy("bucket").parquet(
+                    f"{out}/{fam}"
+                )
+            merged_off = merged_off.unionByName(
+                off.withColumn(
+                    "_conv_offset",
+                    (F.col("_conv_offset") + doc_off).cast("long"),
+                ).withColumn("bucket", F.col("bucket") + bucket_off)
+            )
+        doc_off += int(lin["n_turns"])
+        bucket_off += int(lin["n_buckets"])
+        shard_off += shard_maxes[i] + 1
+    merged_off.write.mode("overwrite").parquet(f"{out}/conv_offsets")
+    lemma_stats_from_blocks(
+        spark.read.parquet(f"{out}/postings")
+    ).write.mode("overwrite").parquet(f"{out}/lemma_stats")
+    build_doc_stats(spark.read.parquet(f"{out}/docs")).write.mode(
+        "overwrite"
+    ).parquet(f"{out}/doc_stats")
+    lineage_rows = [
+        (run_id, "input_path", f"merge({', '.join(dirs)})", None),
+        (run_id, "n_turns", str(doc_off), None),
+        (run_id, "n_buckets", str(bucket_off), None),
+        (run_id, "docs_per_shard", lins[0]["docs_per_shard"], None),
+        (run_id, "positional", lins[0]["positional"], None),
+        (run_id, "filter_cols", lins[0]["filter_cols"], None),
+        (run_id, "range_size", lins[0]["range_size"], None),
+    ]
+    spark.createDataFrame(lineage_rows, LINEAGE).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{out}/lineage")
+    from datetime import datetime, timezone
+
+    started = datetime.fromtimestamp(t0, tz=timezone.utc)
+    now = datetime.now(timezone.utc)
+    spark.createDataFrame(
+        [(run_id, 0, "merge", "done", doc_off, started, now, None)],
+        CHECKPOINTS,
+    ).coalesce(1).write.mode("overwrite").parquet(f"{out}/checkpoints")
+    spark.createDataFrame(
+        [(run_id, "merge", "wall_sec_p0", float(time.time() - t0), now),
+         (run_id, "merge", "rows_p0", float(doc_off), now)],
+        METRICS,
+    ).coalesce(1).write.mode("overwrite").parquet(f"{out}/metrics")
+    return {
+        "run_id": run_id,
+        "out": out,
+        "n_turns": doc_off,
+        "n_indexes": len(dirs),
+        "wall_sec": time.time() - t0,
+    }

@@ -18,6 +18,15 @@ Each query then runs exactly ONE Spark job: pruned block scan → per-shard
 kernel → TakeOrderedAndProject. Reference analog: the always-resident
 MySQL indexes + in-process caches of the Spring service
 (services/SearchServiceImpl.java:26-28).
+
+Full API parity from cached stats (each parity-tested against the
+SearchEngine or oracle twin in tests/test_serve.py): ``search`` (term
+queries incl. fuzzy, wildcards, ``-term``, filters, cursors,
+``rescore_window=``, ``collapse=``), ``phrase``, ``bool_search``
+(+synonyms/boosts), ``explain``, ``significant_terms``,
+``more_like_this``, ``facets``, ``suggest``. The docs family loads
+lazily (point lookups / broadcast joins only — never persisted, its
+array<struct> column is the known persist() trap).
 """
 
 from __future__ import annotations

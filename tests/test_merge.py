@@ -114,6 +114,61 @@ def test_merge_guards(spark, merged, tmp_path):
         )
 
 
+def test_merge_many_matches_pairwise_and_fresh(spark, merged):
+    """3-way merge_many: (a) a 2-way call is table-identical to the
+    pairwise merge_indexes; (b) with a third index whose convs sort last,
+    the 3-way result equals a fresh build over all three corpora."""
+    from search_engine_spark.operators.merge import merge_many
+    from search_engine_spark.sources.corpus import generate_transcripts
+
+    tmp = merged["tmp"]
+    res2 = merge_many(spark, [f"{tmp}/ia", f"{tmp}/ib"], f"{tmp}/m2")
+    assert res2["n_indexes"] == 2
+    for fam, cols, order in (
+        ("docs", ["doc_id", "conv_id", "turn_idx", "doc_len"], ["doc_id"]),
+        ("lemma_stats", ["scope", "lemma", "df", "cf"], ["scope", "lemma"]),
+        ("conv_offsets", ["conv_id", "_n", "_conv_offset"], ["conv_id"]),
+    ):
+        assert _rows(spark, f"{tmp}/m2/{fam}", cols, order) == \
+            _rows(spark, f"{merged['merged']}/{fam}", cols, order), fam
+
+    c = generate_transcripts(40, seed=3)
+    c = c.assign(conv_id="zzzz" + c["conv_id"])  # sorts after a AND b
+    _build(spark, c, f"{tmp}/ic", tmp, "c")
+    merge_many(
+        spark, [f"{tmp}/ia", f"{tmp}/ib", f"{tmp}/ic"], f"{tmp}/m3"
+    )
+    both3 = pd.concat([merged["both"], c], ignore_index=True)
+    _build(spark, both3, f"{tmp}/fresh3", tmp, "fresh3")
+    cols = ["doc_id", "conv_id", "turn_idx", "scope", "doc_len"]
+    assert _rows(spark, f"{tmp}/m3/docs", cols, ["doc_id"]) == \
+        _rows(spark, f"{tmp}/fresh3/docs", cols, ["doc_id"])
+    assert _rows(
+        spark, f"{tmp}/m3/lemma_stats",
+        ["scope", "lemma", "df", "cf"], ["scope", "lemma"],
+    ) == _rows(
+        spark, f"{tmp}/fresh3/lemma_stats",
+        ["scope", "lemma", "df", "cf"], ["scope", "lemma"],
+    )
+    # a C-range doc is findable with the fresh build's exact score
+    idx = orc.build_index(both3)
+    from search_engine_spark.operators.serve import QueryServer
+
+    srv = QueryServer(spark, f"{tmp}/m3", cache_blocks=False)
+    c_lemma = sorted(
+        idx.postings, key=lambda t: -min(idx.postings[t])
+    )[0]
+    want = orc.search(idx, c_lemma, k=5)
+    assert want and srv.search(c_lemma, k=5) == want
+
+    import pytest
+
+    with pytest.raises(ValueError, match="more than one index"):
+        merge_many(
+            spark, [f"{tmp}/ia", f"{tmp}/ia"], f"{tmp}/mdup"
+        )
+
+
 def test_upsert_after_merge(spark, merged):
     """The merged index is a first-class index: an insert upsert lands
     (new turn in a B conversation, id appended past the merged max) and
