@@ -1222,6 +1222,19 @@ def q_stratified_sample(spark, sf_dir):
 
 MIX_TARGET = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
 MIX_BUDGET = 4000
+CHUNK_W, CHUNK_OV = 40, 10
+
+
+def q_chunk_windows(spark, sf_dir):
+    """Sliding-window chunking (operators/curate.py chunk_windows):
+    40-token windows advancing 30, whitespace tokens of the raw text —
+    the fixed-context training-sample preparation step. Map-only
+    higher-order-function pass, no shuffle."""
+    from search_engine_spark.operators.curate import chunk_windows
+
+    return chunk_windows(
+        _read(spark, sf_dir, "documents"), CHUNK_W, CHUNK_OV
+    )
 
 
 def q_mixture_rates(spark, sf_dir):
@@ -2026,6 +2039,7 @@ def _oracle_sql_map() -> dict[str, str]:
         """,
         "stratified_sample": _stratified_sample_duck(),
         "mixture_rates": _mixture_rates_duck(),
+        "chunk_windows": _chunk_windows_duck(),
         "quality_funnel": f"""
             SELECT CASE
                 WHEN length(text) < 200 THEN 'too_short'
@@ -2112,6 +2126,14 @@ def _mixture_rates_duck() -> str:
     return mixture_rates_oracle_sql(MIX_TARGET, MIX_BUDGET)
 
 
+def _chunk_windows_duck() -> str:
+    from search_engine_spark.operators.curate import (
+        chunk_windows_oracle_sql,
+    )
+
+    return chunk_windows_oracle_sql(CHUNK_W, CHUNK_OV)
+
+
 def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tf": q_tf,
@@ -2169,6 +2191,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_bins": q_pack_bins,
         "stratified_sample": q_stratified_sample,
         "mixture_rates": q_mixture_rates,
+        "chunk_windows": q_chunk_windows,
         "quality_funnel": q_quality_funnel,
         "redact_pii": q_redact_pii,
         "repetition_signals": q_repetition_signals,

@@ -276,6 +276,81 @@ def stratified_sample_oracle_sql(
 
 
 # ---------------------------------------------------------------------------
+# sliding-window chunking (training-sample preparation)
+# ---------------------------------------------------------------------------
+
+
+def chunk_windows(
+    docs: DataFrame,
+    window: int,
+    overlap: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split each document's whitespace-token stream into sliding windows
+    of ``window`` tokens advancing by ``window - overlap`` — the
+    fixed-context-chunk preparation step of a training pipeline (long
+    docs become multiple samples, ``overlap`` preserves cross-boundary
+    context). Returns (id, chunk_idx, n_tokens, chunk).
+
+    Pinned semantics (the DuckDB contract twin computes the same):
+    tokens = ``[^\\s]+`` runs of the RAW text (case/punctuation kept —
+    chunking must not destroy the training text; same token rule as
+    ``text.token_counts`` n_ws_tokens); starts = 0, step, 2·step, ...
+    while start < n_tokens (so a doc with ≤ ``window`` tokens emits
+    exactly one chunk, an empty doc none; the trailing chunk may be
+    short — ``n_tokens`` lets consumers drop tails); chunk text =
+    tokens joined by a single space.
+
+    Scale shape: one map-only pass of native higher-order functions
+    (regexp → sequence → transform/slice → explode) — whole-stage
+    codegen, zero shuffle, zero Python; row inflation is exactly the
+    chunk count, which is the point of the operator."""
+    if window <= 0 or overlap < 0 or overlap >= window:
+        raise ValueError("need window > 0 and 0 <= overlap < window")
+    step = window - overlap
+    toks = docs.select(
+        id_col,
+        F.expr(f"regexp_extract_all({text_col}, '[^\\\\s]+', 0)").alias("_t"),
+    ).filter(F.size("_t") > 0)
+    chunks = F.expr(
+        f"transform(sequence(0, size(_t) - 1, {step}), s -> struct("
+        f"cast(s / {step} as long) AS chunk_idx, "
+        f"cast(least({window}, size(_t) - s) as long) AS n_tokens, "
+        f"array_join(slice(_t, s + 1, {window}), ' ') AS chunk))"
+    )
+    return (
+        toks.select(id_col, F.explode(chunks).alias("_c"))
+        .select(id_col, "_c.chunk_idx", "_c.n_tokens", "_c.chunk")
+    )
+
+
+def chunk_windows_oracle_sql(
+    window: int,
+    overlap: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of ``chunk_windows`` (same pinned token/start rules)."""
+    step = window - overlap
+    return f"""
+        WITH t AS (
+            SELECT {id_col},
+                   regexp_extract_all({text_col}, '[^\\s]+') AS tk
+            FROM {table}),
+        s AS (
+            SELECT {id_col}, tk, unnest(range(0, len(tk), {step})) AS st
+            FROM t WHERE len(tk) > 0)
+        SELECT {id_col},
+               (st / {step})::BIGINT AS chunk_idx,
+               least({window}, len(tk) - st)::BIGINT AS n_tokens,
+               array_to_string(tk[st + 1 : st + {window}], ' ') AS chunk
+        FROM s
+    """
+
+
+# ---------------------------------------------------------------------------
 # mixture rates (token-budget data mixing)
 # ---------------------------------------------------------------------------
 

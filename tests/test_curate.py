@@ -150,6 +150,44 @@ def test_stratified_sample_no_shuffle(spark):
     assert "Exchange" not in plan
 
 
+def test_chunk_windows_pins(spark):
+    """Sliding-window chunking: start/step rule, short-tail chunk,
+    single-chunk doc, empty doc, raw-text preservation, guards."""
+    import pytest
+
+    from search_engine_spark.operators.curate import chunk_windows
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j"),       # 10 tokens
+            (2, "One, TWO;  three"),          # 3 tokens, punct/case kept
+            (3, ""),                          # empty → no chunks
+            (4, "x " * 4),                    # exactly window → 1 chunk
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r["doc_id"], r["chunk_idx"]): (r["n_tokens"], r["chunk"])
+        for r in chunk_windows(docs, window=4, overlap=1).collect()
+    }
+    # doc 1: starts 0,3,6,9 (step 3) → sizes 4,4,4,1
+    assert rows[(1, 0)] == (4, "a b c d")
+    assert rows[(1, 1)] == (4, "d e f g")
+    assert rows[(1, 2)] == (4, "g h i j")
+    assert rows[(1, 3)] == (1, "j")
+    assert rows[(2, 0)] == (3, "One, TWO; three")  # raw tokens, single space
+    assert rows[(4, 0)] == (4, "x x x x")
+    assert {d for d, _ in rows} == {1, 2, 4}  # empty doc 3 absent
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_windows(docs, window=4, overlap=4)
+    # map-only: no exchange in the physical plan
+    plan = (
+        chunk_windows(docs, window=4, overlap=1)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+
+
 def test_mixture_rates_and_sample_composition(spark):
     """mixture_rates: pinned rate math incl. the rate-1 cap, only
     targeted sources appear; the rates dict then feeds
