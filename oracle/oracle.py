@@ -428,21 +428,29 @@ def phrase_match_doc(
     """True iff the analyzed-position lists admit an ordered chain where
     each next term sits within [prev+1, prev+1+slop] (slop=0 = exact
     adjacency in the post-stopword lemma stream — the pinned phrase
-    semantics). Greedy smallest-next is complete for this window shape."""
-    import bisect
+    semantics).
 
-    for p0 in pos_lists[0]:
-        prev = p0
-        ok = True
-        for nxt in pos_lists[1:]:
-            i = bisect.bisect_left(nxt, prev + 1)
-            if i == len(nxt) or nxt[i] > prev + 1 + slop:
-                ok = False
-                break
-            prev = nxt[i]
-        if ok:
-            return True
-    return False
+    Forward REACHABILITY sweep, not greedy smallest-next: greedy is
+    incomplete for slop >= 1 — [[0], [1, 2], [4]] with slop=1 admits the
+    chain 0→2→4, but greedy commits to 1 and finds no continuation in
+    [2, 3]. Each level keeps every position reachable from the previous
+    level; both lists are ascending, so one two-pointer pass per level
+    (O(total positions) overall)."""
+    if not pos_lists or not pos_lists[0]:
+        return False
+    reach = pos_lists[0]
+    for nxt in pos_lists[1:]:
+        new = []
+        i = 0
+        for p in nxt:  # need some q in reach with p-1-slop <= q <= p-1
+            while i < len(reach) and reach[i] < p - 1 - slop:
+                i += 1  # p ascending → dropped entries never match later
+            if i < len(reach) and reach[i] <= p - 1:
+                new.append(p)
+        if not new:
+            return False
+        reach = new
+    return True
 
 
 def phrase_search(

@@ -275,8 +275,12 @@ class SearchEngine:
                     after=after,
                 )
             elif scorer == "bm25":
-                # fetch a deep page once (cacheable), slice driver-side
-                deep = 10 * (offset + limit)
+                # fetch a deep page once (cacheable), slice driver-side;
+                # a rescore window wider than the page must be fetched in
+                # full — oracle.rescore_search / QueryServer pin the first
+                # stage at k=window, and silently rescoring only the page
+                # depth would rank differently from both
+                deep = max(10 * (offset + limit), rescore_window)
                 if fuzzy:
                     # typo tolerance (operators/fuzzy.py): unknown analyzed
                     # lemmas are replaced by their best edit-distance-
@@ -373,7 +377,14 @@ class SearchEngine:
         ids = [r["doc_id"] for r in rows]
         self._cache_key, self._cache_rows = key, data
         self._cache_ids = ids
-        self._cache_exhausted = len(data) < deep
+        # a short page proves exhaustion only when nothing truncated it
+        # AFTER the first stage: collapse compresses the deep page (80
+        # collapsed rows from a full 200-row fetch says nothing about
+        # deeper matches), so collapsed caches are never marked
+        # exhausted — deeper offsets refetch at a deeper first stage.
+        # (rescore is fine: beyond-window docs are dropped by contract,
+        # so its ≤window result set really is the whole result set.)
+        self._cache_exhausted = collapse is None and len(data) < deep
         # count is the fetched depth (a lower bound when the deep page
         # filled up), matching the reference's capped-result behavior
         page, page_ids = data[offset:offset + limit], ids[offset:offset + limit]

@@ -222,10 +222,17 @@ def pack_bins(
 
 
 def _hex_threshold(fraction: float) -> str:
-    """fraction ∈ [0,1] → 8-hex-digit threshold; keep iff
+    """fraction ∈ [0,1] → threshold; keep iff
     substring(md5(key),1,8) < threshold (string compare on lowercase hex —
-    identical in Spark and DuckDB)."""
-    return format(min(int(fraction * 16**8), 16**8 - 1), "08x")
+    identical in Spark and DuckDB). fraction >= 1.0 returns "g", which
+    sorts above every 8-hex-digit string on both engines, so a
+    keep-everything stratum really keeps the ~2^-32 rows whose hash
+    prefix is exactly "ffffffff" too (a strict < against "ffffffff"
+    silently dropped them)."""
+    n = int(fraction * 16**8)
+    if n >= 16**8:
+        return "g"
+    return format(n, "08x")
 
 
 def stratified_sample(

@@ -137,7 +137,17 @@ def merge_indexes(
             "requires disjoint conversations (route updates through "
             "upsert_turns instead)"
         )
-    doc_off = int(lin_a["n_turns"])
+    # doc offsets come from the docs family itself (a max over parquet
+    # column stats — no data pass), NOT lineage n_turns: upsert_turns
+    # keeps lineage refreshed now, but indexes upserted by older code
+    # have inserted ids past the recorded n_turns, and trusting the stale
+    # number would assign duplicate doc_ids
+    doc_off = int(
+        spark.read.parquet(f"{a}/docs").agg(F.max("doc_id")).head()[0]
+    )
+    max_b = int(
+        spark.read.parquet(f"{b}/docs").agg(F.max("doc_id")).head()[0]
+    )
     bucket_off = int(lin_a["n_buckets"])
     shard_off = (
         int(
@@ -189,7 +199,7 @@ def merge_indexes(
         "overwrite"
     ).parquet(f"{out}/doc_stats")
 
-    n_turns = doc_off + int(lin_b["n_turns"])
+    n_turns = doc_off + max_b
     lineage_rows = [
         (run_id, "input_path", f"merge({a}, {b})", None),
         (run_id, "n_turns", str(n_turns), None),
@@ -280,9 +290,15 @@ def merge_many(
     if any(os.path.exists(f"{d}/filters") != has_filters for d in dirs):
         raise ValueError("filters family present in some inputs, not all")
     families = ["postings"] + (["filters"] if has_filters else [])
-    # per-input shard widths (one tiny agg each) → cumulative offsets
+    # per-input shard widths and doc-id maxes (tiny aggs over parquet
+    # column stats) → cumulative offsets. Doc offsets use the ACTUAL max
+    # doc_id, not lineage n_turns — see merge_indexes
     shard_maxes = [
         int(spark.read.parquet(f"{d}/postings").agg(F.max("shard")).head()[0])
+        for d in dirs
+    ]
+    doc_maxes = [
+        int(spark.read.parquet(f"{d}/docs").agg(F.max("doc_id")).head()[0])
         for d in dirs
     ]
     doc_off = shard_off = bucket_off = 0
@@ -312,7 +328,7 @@ def merge_many(
                     (F.col("_conv_offset") + doc_off).cast("long"),
                 ).withColumn("bucket", F.col("bucket") + bucket_off)
             )
-        doc_off += int(lin["n_turns"])
+        doc_off += doc_maxes[i]
         bucket_off += int(lin["n_buckets"])
         shard_off += shard_maxes[i] + 1
     merged_off.write.mode("overwrite").parquet(f"{out}/conv_offsets")

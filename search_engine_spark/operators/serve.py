@@ -64,13 +64,16 @@ class QueryServer:
         self._scope_rows = spark.read.parquet(
             f"{self.index_dir}/doc_stats"
         ).collect()
-        # dictionary: (scope, lemma) -> df; full preload behind a row guard
+        # dictionary: (scope, lemma) -> df; full preload behind a row guard.
+        # _df_totals memoizes the cross-scope per-lemma sum so an unscoped
+        # query is an O(1) lookup, not an O(|dict|) Python scan per term
         self._dfs: dict[tuple[str, str], int] = {}
+        self._df_totals: dict[str, int] = {}
         self._all_loaded = False
         n_dict = self._lemma_stats.count()
         if n_dict <= preload_dict_max_rows:
             for r in self._lemma_stats.select("scope", "lemma", "df").collect():
-                self._dfs[(r["scope"], r["lemma"])] = int(r["df"])
+                self._add_df(r["scope"], r["lemma"], int(r["df"]))
             self._all_loaded = True
         self._known_terms: set[str] = set()
         # attribute filter postings: loaded lazily on the first filtered
@@ -114,6 +117,13 @@ class QueryServer:
             return 0, 0.0
         return n, sum(r["sum_doc_len"] for r in rows) / n
 
+    def _add_df(self, scope: str, lemma: str, df: int) -> None:
+        """Record one dictionary row in both caches. Callers never load
+        the same (scope, lemma) twice (preload is all-or-nothing; lazy
+        fills are gated by _known_terms), so += never double-counts."""
+        self._dfs[(scope, lemma)] = df
+        self._df_totals[lemma] = self._df_totals.get(lemma, 0) + df
+
     def _term_dfs(self, terms: list[str], scope: str | None) -> dict[str, int]:
         missing = [
             t for t in terms if t not in self._known_terms
@@ -125,16 +135,11 @@ class QueryServer:
                 .collect()
             )
             for r in rows:
-                self._dfs[(r["scope"], r["lemma"])] = int(r["df"])
+                self._add_df(r["scope"], r["lemma"], int(r["df"]))
             self._known_terms.update(missing)
         if scope is not None:
             return {t: self._dfs.get((scope, t), 0) for t in terms}
-        out = {}
-        for t in terms:
-            out[t] = sum(
-                v for (s, lem), v in self._dfs.items() if lem == t
-            ) if self._all_loaded or t in self._known_terms else 0
-        return out
+        return {t: self._df_totals.get(t, 0) for t in terms}
 
     # -- query ---------------------------------------------------------------
 

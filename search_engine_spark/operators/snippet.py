@@ -82,37 +82,48 @@ def _analyzed_spans(text: str) -> list[tuple[int, int, str]]:
 def phrase_hit_spans(
     text: str, seq: list[str], slop: int = 0
 ) -> list[tuple[int, int]]:
-    """Char spans of every token participating in a phrase chain: ordered
-    occurrences of ``seq`` where each next term sits within
-    [prev+1, prev+1+slop] analyzed positions (the same greedy
-    smallest-next chain as oracle.phrase_match_doc — greedy is complete
-    for this window shape). Chains may share tokens; spans are deduped
-    and sorted."""
+    """Char spans of every token participating in SOME complete phrase
+    chain: ordered occurrences of ``seq`` where each next term sits
+    within [prev+1, prev+1+slop] analyzed positions — the same
+    reachability semantics as oracle.phrase_match_doc (greedy
+    smallest-next is incomplete for slop >= 1). Forward sweep keeps the
+    positions reachable from the chain start; the backward sweep then
+    keeps only those that also reach a chain end, so exactly the tokens
+    on full chains are bolded. Spans are deduped and sorted."""
     spans = _analyzed_spans(text)
     if not seq or not spans:
         return []
-    out: set[tuple[int, int]] = set()
-    n = len(spans)
-    for i in range(n):
-        if spans[i][2] != seq[0]:
-            continue
-        chain = [i]
-        prev = i
-        ok = True
-        for term in seq[1:]:
-            j = prev + 1
-            limit = min(n, prev + 2 + slop)
-            while j < limit and spans[j][2] != term:
-                j += 1
-            if j >= limit:
-                ok = False
-                break
-            chain.append(j)
-            prev = j
-        if ok:
-            for p in chain:
-                out.add((spans[p][0], spans[p][1]))
-    return sorted(out)
+    occ = [[j for j, s in enumerate(spans) if s[2] == t] for t in seq]
+    if any(not o for o in occ):
+        return []
+    # forward: reach[k] = occurrences of seq[k] reachable from a start
+    reach: list[list[int]] = [occ[0]]
+    for nxt in occ[1:]:
+        prev = reach[-1]
+        new = []
+        i = 0
+        for p in nxt:  # some q in prev with p-1-slop <= q <= p-1
+            while i < len(prev) and prev[i] < p - 1 - slop:
+                i += 1
+            if i < len(prev) and prev[i] <= p - 1:
+                new.append(p)
+        if not new:
+            return []
+        reach.append(new)
+    # backward: keep positions that also reach the chain's last term
+    keep = reach[-1]
+    chained: set[int] = set(keep)
+    for level in range(len(reach) - 2, -1, -1):
+        cur = []
+        i = 0
+        for q in reach[level]:  # some p in keep with q+1 <= p <= q+1+slop
+            while i < len(keep) and keep[i] < q + 1:
+                i += 1
+            if i < len(keep) and keep[i] <= q + 1 + slop:
+                cur.append(q)
+        keep = cur
+        chained.update(cur)
+    return sorted({(spans[j][0], spans[j][1]) for j in chained})
 
 
 def make_snippet_phrase(

@@ -144,7 +144,10 @@ def recover_swaps(out: str) -> list[str]:
     for old in glob.glob(f"{out}/.old_*_*"):
         name = os.path.basename(old)[len(".old_"):]
         kind, _, bucket = name.rpartition("_")
-        final = f"{out}/{kinds.get(kind, 'postings')}/bucket={bucket}"
+        if kind == "off":  # the (unbucketed) conv_offsets registry swap
+            final = f"{out}/conv_offsets"
+        else:
+            final = f"{out}/{kinds.get(kind, 'postings')}/bucket={bucket}"
         if os.path.exists(final):
             shutil.rmtree(old, ignore_errors=True)
         else:
@@ -250,6 +253,49 @@ def upsert_turns(
     )
     docs2 = spark.read.parquet(f"{out}/docs")
     build_doc_stats(docs2).write.mode("overwrite").parquet(f"{out}/doc_stats")
+
+    # metadata invariants for merge (operators/merge.py): inserts extend
+    # the dense id range past lineage's recorded n_turns and may add
+    # never-seen conv_ids, which merge's doc offsets and conv-overlap
+    # guard read. Refresh both from the POST-upsert tables (not this
+    # run's insert count) so a rerun after a crash that died before this
+    # step heals the metadata too.
+    new_max = int(docs2.agg(F.max("doc_id")).head()[0] or 0)
+    if new_max != int(lineage["n_turns"]):
+        from search_engine_spark.schemas import LINEAGE
+
+        lin_rows = spark.read.parquet(f"{out}/lineage").collect()
+        patched = [
+            (r["run_id"], r["key"],
+             str(new_max) if r["key"] == "n_turns" else r["value"], r["ts"])
+            for r in lin_rows
+        ]
+        spark.createDataFrame(patched, LINEAGE).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{out}/lineage")
+    # register fully-inserted conversations: a conv absent from the
+    # registry was never seen before this delta, so the delta carried ALL
+    # its turns and its appended ids follow the dense per-conv formula
+    # (offset = min(doc_id) - 1). Convs gaining extra turns later keep
+    # their historical row — the registry's contract for merge is the
+    # conv_id SET plus per-conv offsets valid at registration time.
+    off_tbl = spark.read.parquet(f"{out}/conv_offsets")
+    new_off = (
+        updated.groupBy("conv_id")
+        .agg(
+            F.count("*").alias("_n"),
+            (F.min("doc_id") - 1).cast("long").alias("_conv_offset"),
+        )
+        .join(off_tbl.select("conv_id"), "conv_id", "left_anti")
+        .withColumn("bucket", F.lit(int(last_bucket)).cast("int"))
+        .select(*off_tbl.columns)
+    )
+    if new_off.limit(1).count():
+        _swap_in(
+            off_tbl.unionByName(new_off),
+            f"{out}/conv_offsets", f"{out}/.staging_off",
+            _old_dir(out, "off", 0),
+        )
 
     shutil.rmtree(staged, ignore_errors=True)
     # derived views (flat postings, fuzzy variant tables) are now stale

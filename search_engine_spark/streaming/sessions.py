@@ -88,11 +88,39 @@ def _session_fn(gap_sec: int):
         else:
             start, last, n = ts[0], ts[0] - 1, 0  # sentinel: first event opens
         closed: list[pd.DataFrame] = []
+        if n > 0:
+            # late (in-watermark) events OLDER than the open session must
+            # not fold forward into it (t - last is negative, never > gap
+            # — the batch twin would count them as their own earlier
+            # session). Sessionize them separately; if the newest of them
+            # lands within gap of `start`, the open session extends
+            # BACKWARDS (bridge), else the pre-sessions close immediately.
+            # Remaining corner vs the batch twin: a closed pre-session
+            # cannot absorb a yet-later event (state holds one open
+            # session) — reachable only when out-of-order skew exceeds
+            # (start - p_last) - gap, inside the watermark's own
+            # out-of-order allowance.
+            pre = [t for t in ts if t < start]
+            ts = [t for t in ts if t >= start]
+            if pre:
+                p_start = p_last = pre[0]
+                p_n = 1
+                for t in pre[1:]:
+                    if t - p_last > gap_us:
+                        closed.append(_emit(user, p_start, p_last, p_n))
+                        p_start, p_n = t, 0
+                    p_last = t
+                    p_n += 1
+                if start - p_last <= gap_us:
+                    start = p_start  # bridge: rewind the open session
+                    n += p_n
+                else:
+                    closed.append(_emit(user, p_start, p_last, p_n))
         for t in ts:
             if n > 0 and t - last > gap_us:
                 closed.append(_emit(user, start, last, n))
                 start, n = t, 0
-            last = max(last, t)  # a late (in-watermark) event can't rewind
+            last = max(last, t)  # interior late events never rewind `last`
             n += 1
         state.update((start, last, n))
         # event-time timeout: fire when the watermark passes last+gap

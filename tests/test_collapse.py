@@ -49,6 +49,58 @@ def test_collapse_api(spark, base_index_dir, oracle_idx):
     assert len(uris) == len(set(uris))
 
 
+def test_collapse_cache_never_fakes_exhaustion(spark, base_index_dir,
+                                               oracle_idx):
+    """A collapsed deep page shorter than the fetch depth says nothing
+    about deeper matches (collapse truncated it AFTER the first stage),
+    so the result cache must refetch for deeper offsets instead of
+    serving a fake empty tail. Pin: cached pagination == fresh-engine
+    pagination for every offset."""
+    from search_engine_spark.api import SearchEngine
+
+    q = f"{RARE} {VOCAB[40]}"
+    # pick the fetch depth from the oracle ranking so the deep page is
+    # GUARANTEED to compress (contains a repeated conv) while more
+    # matches exist beyond it — the exact shape the old exhaustion rule
+    # got wrong
+    full = orc.search(oracle_idx, q, combine="or", k=100_000)
+    conv = _conv_of(oracle_idx)
+    seen: set = set()
+    p = None
+    for i, (d, _) in enumerate(full):
+        if conv[d] in seen:
+            p = i
+            break
+        seen.add(conv[d])
+    assert p is not None, "corpus lost its collapsible dups"
+    limit = p // 10 + 1  # deep = 10*limit > p → page contains the dup
+    assert len(full) > 10 * limit, "need matches beyond the deep page"
+
+    eng = SearchEngine(spark, base_index_dir["index"])
+    first = eng.search(q, combine="or", limit=limit, collapse="conv_id")
+    assert first["data"]
+    n_cached = first["count"]
+    # collapse compressed the deep page below the fetch depth → the old
+    # exhaustion rule would have frozen the cache at n_cached rows
+    assert n_cached < 10 * limit
+    deeper = eng.search(
+        q, combine="or", offset=n_cached, limit=limit, collapse="conv_id"
+    )
+    fresh = SearchEngine(spark, base_index_dir["index"]).search(
+        q, combine="or", offset=n_cached, limit=limit, collapse="conv_id"
+    )
+    assert deeper["data"] == fresh["data"]
+    assert deeper["count"] == fresh["count"]
+    # oracle-exact: the refetch collapses the DEEPER first stage
+    exp = orc.collapse_ranked(
+        full[: 10 * (n_cached + limit)], lambda d: conv[d], 1
+    )
+    assert deeper["count"] == len(exp)
+    assert [x["relevance"] for x in deeper["data"]] == [
+        s for _, s in exp[n_cached:n_cached + limit]
+    ]
+
+
 def test_collapse_semantics_synthetic(spark):
     """Unique keys → identity; duplicate keys keep the per-key best by
     the pinned (score desc, doc_id asc) order, incl. tie handling."""

@@ -137,6 +137,25 @@ def test_stratified_sample_deterministic_and_exact(spark):
     assert got2 == got
 
 
+def test_hex_threshold_keep_all(spark):
+    """fraction >= 1.0 must keep EVERY row — including the ~2^-32 whose
+    md5 prefix is exactly 'ffffffff' (a strict < 'ffffffff' dropped
+    them). The sentinel 'g' sorts above all 8-hex-digit strings."""
+    from search_engine_spark.operators.curate import (
+        _hex_threshold,
+        stratified_sample,
+    )
+
+    assert _hex_threshold(1.0) == "g"
+    assert "ffffffff" < "g"  # the previously-dropped edge keeps
+    assert _hex_threshold(0.0) == "00000000"
+    assert _hex_threshold(0.5) == "80000000"
+    df = spark.createDataFrame(
+        [(i, "en") for i in range(100)], "doc_id long, lang string"
+    )
+    assert stratified_sample(df, {"en": 1.0}).count() == 100
+
+
 def test_stratified_sample_no_shuffle(spark):
     from search_engine_spark.operators.curate import stratified_sample
 

@@ -202,3 +202,108 @@ def test_upsert_after_merge(spark, merged):
     res = eng.search("xenomorphic")
     assert res["count"] == 1
     assert res["data"][0]["uri"] == f"{conv}#99"
+
+
+def test_merge_after_upsert_insert(spark, merged):
+    """Merging an index that received INSERT upserts: upsert_turns
+    refreshes lineage n_turns and registers never-seen convs in
+    conv_offsets, and merge derives doc offsets from the docs family
+    itself — so merged ids stay unique and dense, the inserted docs
+    survive the remap, and the disjointness guard sees inserted
+    conversations."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.api import SearchEngine
+    from search_engine_spark.operators.merge import merge_indexes
+    from search_engine_spark.operators.upsert import upsert_turns
+    from search_engine_spark.plans.job import IndexBuildJob
+    from search_engine_spark.schemas import TRANSCRIPTS
+
+    tmp = merged["tmp"]
+    a_up = f"{tmp}/ia_up"
+    shutil.copytree(merged["ia"], a_up)
+    a_pdf = merged["both"][~merged["both"]["conv_id"].str.startswith("zz")]
+    exist_conv = a_pdf["conv_id"].iloc[0]
+    ts = merged["both"]["ts"].iloc[0]
+    delta = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "conv_id": ["gg-inserted", "gg-inserted", exist_conv],
+                "turn_idx": [0, 1, 999],
+                "role": ["user"] * 3,
+                "text": [
+                    "quixotic zephyr", "quixotic again", "glottal probe"
+                ],
+                "tool": [None] * 3,
+                "ts": [ts] * 3,
+            }
+        ),
+        TRANSCRIPTS,
+    )
+    job = IndexBuildJob(spark, "unused", a_up, run_id="up-a")
+    summary = upsert_turns(job, delta)
+    assert summary["inserted_turns"] == 3
+
+    # upsert refreshed the metadata merge depends on
+    lin = {
+        r["key"]: r["value"]
+        for r in spark.read.parquet(f"{a_up}/lineage").collect()
+    }
+    max_a = int(
+        spark.read.parquet(f"{a_up}/docs").agg(F.max("doc_id")).head()[0]
+    )
+    assert int(lin["n_turns"]) == max_a
+    reg = (
+        spark.read.parquet(f"{a_up}/conv_offsets")
+        .filter(F.col("conv_id") == "gg-inserted")
+        .collect()
+    )
+    assert len(reg) == 1 and reg[0]["_n"] == 2
+
+    # merge after inserts: ids unique AND dense, inserted docs searchable
+    out = f"{tmp}/merged_up"
+    merge_indexes(spark, a_up, f"{tmp}/ib", out)
+    docs = spark.read.parquet(f"{out}/docs")
+    n = docs.count()
+    assert docs.select("doc_id").distinct().count() == n
+    assert int(docs.agg(F.max("doc_id")).head()[0]) == n
+    # B's ids shifted past A's TRUE max (lineage n_turns pre-fix was 120)
+    zz_min = int(
+        docs.filter(F.col("conv_id").startswith("zz"))
+        .agg(F.min("doc_id")).head()[0]
+    )
+    assert zz_min == max_a + 1
+    res = SearchEngine(spark, out).search("quixotic")
+    assert res["count"] == 2
+
+    # the disjointness guard sees the INSERTED conversation. Pad the
+    # probe corpus with fresh convs so its range_size lineage matches
+    # a_up's (shard_spec saturates at docs_per_shard only for >=256
+    # turns; a 1-row probe would trip the range_size guard first)
+    from search_engine_spark.sources.corpus import generate_transcripts
+
+    pad = generate_transcripts(120, seed=9)
+    pad = pad.assign(conv_id="qq" + pad["conv_id"])
+    over = pd.concat(
+        [
+            pad,
+            pd.DataFrame(
+                {
+                    "conv_id": ["gg-inserted"],
+                    "turn_idx": [5],
+                    "role": ["user"],
+                    "text": ["overlap probe"],
+                    "tool": [None],
+                    "ts": [ts],
+                }
+            ),
+        ],
+        ignore_index=True,
+    )
+    # µs precision: Spark cannot read parquet TIMESTAMP(NANOS)
+    over["ts"] = over["ts"].astype("datetime64[us]")
+    _build(spark, over, f"{tmp}/iover", tmp, "iover")
+    with pytest.raises(ValueError, match="conv_id"):
+        merge_indexes(spark, a_up, f"{tmp}/iover", f"{tmp}/mover")

@@ -59,6 +59,29 @@ def test_phrase_match_doc_semantics():
     assert not f([[2], [1]])           # wrong order never matches
     assert f([[0, 5], [6], [7]])       # chain via later start
     assert not f([[0], [1], [1]])      # position cannot repeat backwards
+    # completeness for slop >= 1 (greedy smallest-next missed these: it
+    # commits to the earliest middle position and never backtracks)
+    assert f([[0], [1, 2], [4]], slop=1)        # only 0→2→4 works
+    assert not f([[0], [1, 2], [5]], slop=1)
+    assert f([[0], [1, 3], [2, 6], [4]], slop=1)  # 0→3→? no; 0→1→2→4
+    assert f([[10], [11, 12], [14]], slop=1)    # same shape, shifted
+    assert not f([[], [1]])                     # empty first list
+    assert not f([])
+
+
+def test_phrase_hit_spans_non_greedy_chain():
+    """Spans bold exactly the tokens on COMPLETE chains: the greedy dead
+    end (first middle occurrence) is excluded, the viable one included."""
+    from search_engine_spark.functions.analyze import analyze
+    from search_engine_spark.operators.snippet import phrase_hit_spans
+
+    txt = "krontak velmor velmor plixun drazet"
+    seq = analyze("krontak velmor drazet")
+    assert seq == ["krontak", "velmor", "drazet"]
+    # chain = krontak@0 → velmor@2 (second) → drazet@4; velmor@1 has no
+    # continuation within slop=1 and must NOT be bolded
+    assert phrase_hit_spans(txt, seq, slop=1) == [(0, 7), (15, 21), (29, 35)]
+    assert phrase_hit_spans(txt, seq, slop=0) == []
 
 
 # -- engine vs oracle --------------------------------------------------------

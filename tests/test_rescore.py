@@ -59,6 +59,17 @@ def test_api_rescore_matches_oracle(spark, base_index_dir, oracle_idx):
             )
         ] == [(d, round(s, 9)) for d, s in want]
         assert want
+    # a window WIDER than the deep page (10*(offset+limit)) must widen
+    # the first-stage fetch — oracle/QueryServer pin stage 1 at
+    # k=window, so rescoring only the page depth ranks differently
+    want_wide = orc.rescore_search(oracle_idx, q, k=50, window=50)[:2]
+    got_wide = eng.search(q, limit=2, rescore_window=50)
+    assert [
+        (d, round(s, 9)) for d, s in zip(
+            eng._cache_ids[:2],
+            [x["relevance"] for x in got_wide["data"]],
+        )
+    ] == [(d, round(s, 9)) for d, s in want_wide]
     # guards: rescore composes with neither cursors nor collapse
     with pytest.raises(ValueError, match="rescore"):
         eng.search(q, rescore_window=50, after=(1.0, 1))

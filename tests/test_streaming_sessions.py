@@ -116,6 +116,62 @@ def test_stream_sessions_match_batch(spark, events_pdf, tmp_path):
     assert stream_counts == batch
 
 
+def test_stream_sessions_late_event_split_and_bridge(spark, tmp_path):
+    """A late in-watermark event OLDER than the open session must NOT
+    fold forward into it: beyond-gap → its own earlier session (split);
+    within-gap → the open session rewinds its start (bridge). Batch-twin
+    semantics either way (the old kernel folded both into the open
+    session because t - last is negative)."""
+    import os
+
+    from search_engine_spark.schemas import EVENTS as EVENTS_SCHEMA
+    from search_engine_spark.streaming.sessions import sessionize_stream
+
+    base = pd.Timestamp("2026-01-01")
+
+    def ev(eid, uid, sec):
+        return {
+            "event_id": eid, "ts": base + pd.Timedelta(seconds=sec),
+            "user_id": uid, "event_type": "click", "value": 0.0,
+            "props": "{}",
+        }
+
+    # batch 1 opens sessions at t=1000s; batch 2 delivers older events:
+    # user 1 at t=100s (gap 300 exceeded → split), user 2 at t=900s
+    # (within gap → bridge); sentinel advances the watermark to close all
+    b1 = pd.DataFrame([ev(1, 1, 1000), ev(2, 2, 1000)])
+    b2 = pd.DataFrame([ev(3, 1, 100), ev(4, 2, 900)])
+    sentinel = pd.DataFrame([ev(5, SENTINEL_USER, 10**7)])
+    for df in (b1, b2, sentinel):
+        df["ts"] = df["ts"].astype("datetime64[us]")
+
+    os.makedirs(f"{tmp_path}/in", exist_ok=True)
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{tmp_path}/in")
+    )
+    got_df = _feed(
+        spark,
+        sessionize_stream(stream, gap_sec=300, watermark="1 hour"),
+        "late", tmp_path, [b1, b2, sentinel],
+    )
+    got = {
+        (r["user_id"], pd.Timestamp(r["session_start"]),
+         pd.Timestamp(r["session_end"]), r["n_events"])
+        for r in got_df.collect()
+        if r["user_id"] != SENTINEL_USER
+    }
+    s = lambda sec: base + pd.Timedelta(seconds=sec)  # noqa: E731
+    assert got == {
+        (1, s(100), s(100), 1),     # split: the late event alone
+        (1, s(1000), s(1000), 1),
+        (2, s(900), s(1000), 2),    # bridge: start rewound to 900
+    }
+    # and equals the batch twin over the same feed
+    assert got == _expected_sessions(pd.concat([b1, b2]), 300)
+
+
 def test_stream_hourly_counts_match_batch(spark, events_pdf, tmp_path):
     import os
 
