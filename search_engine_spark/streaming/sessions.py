@@ -6,11 +6,13 @@ way:
 
 - ``sessionize_stream`` — per-user session windows closed after
   ``gap_sec`` of event-time inactivity, as a CUSTOM STATEFUL OPERATOR via
-  ``applyInPandasWithState`` (Arrow-batched; one state row per open
-  session; event-time timeout driven by the watermark). This is the
-  streaming shape the batch lag()-gap sessionization cannot take: state
-  is bounded by |active users|, not |events|, and late events inside the
-  watermark still fold into their session.
+  ``applyInPandasWithState`` (Arrow-batched; event-time timeout driven by
+  the watermark). State holds EVERY session the watermark hasn't passed
+  (a session is emitted only once no admissible future event can touch
+  it), so the output is exactly the batch lag()-gap sessionization of the
+  non-dropped events under ARBITRARY in-watermark disorder — split,
+  backward-bridge, and extend-after-pre-session all included. State is
+  bounded by |active users| × (watermark/gap + 1), not |events|.
 - ``hourly_counts_stream`` — watermarked tumbling-window counts
   (append mode: a window emits exactly once, when the watermark passes
   its end).
@@ -48,8 +50,12 @@ SESSIONS_SCHEMA = StructType(
     ]
 )
 
-# open-session state: (start_epoch_us, last_epoch_us, n_events)
-_STATE_SCHEMA = "start long, last long, n long"
+# held sessions (arrays, ascending by start): a session stays in state
+# until the watermark passes last+gap, so ANY in-watermark event — however
+# old — can still merge/bridge; emitted sessions are final. State size is
+# bounded by the number of gap-separated sessions inside the watermark
+# window (~watermark/gap + 1 per user), not by |events|.
+_STATE_SCHEMA = "starts array<long>, lasts array<long>, ns array<long>"
 
 
 def _emit(user: int, start: int, last: int, n: int) -> pd.DataFrame:
@@ -72,59 +78,64 @@ def _session_fn(gap_sec: int):
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         user = int(key[0])
-        if state.hasTimedOut:
-            # watermark passed last+gap with no new events: close the
-            # open session and drop the state row
-            start, last, n = state.get
-            state.remove()
-            yield _emit(user, start, last, n)
-            return
-        ts: list[int] = []
-        for pdf in pdfs:
-            ts.extend(int(t.value // 1000) for t in pdf["ts"])
-        ts.sort()
         if state.exists:
-            start, last, n = state.get
+            starts, lasts, ns = (list(x) for x in state.get)
         else:
-            start, last, n = ts[0], ts[0] - 1, 0  # sentinel: first event opens
-        closed: list[pd.DataFrame] = []
-        if n > 0:
-            # late (in-watermark) events OLDER than the open session must
-            # not fold forward into it (t - last is negative, never > gap
-            # — the batch twin would count them as their own earlier
-            # session). Sessionize them separately; if the newest of them
-            # lands within gap of `start`, the open session extends
-            # BACKWARDS (bridge), else the pre-sessions close immediately.
-            # Remaining corner vs the batch twin: a closed pre-session
-            # cannot absorb a yet-later event (state holds one open
-            # session) — reachable only when out-of-order skew exceeds
-            # (start - p_last) - gap, inside the watermark's own
-            # out-of-order allowance.
-            pre = [t for t in ts if t < start]
-            ts = [t for t in ts if t >= start]
-            if pre:
-                p_start = p_last = pre[0]
-                p_n = 1
-                for t in pre[1:]:
-                    if t - p_last > gap_us:
-                        closed.append(_emit(user, p_start, p_last, p_n))
-                        p_start, p_n = t, 0
-                    p_last = t
-                    p_n += 1
-                if start - p_last <= gap_us:
-                    start = p_start  # bridge: rewind the open session
-                    n += p_n
+            starts, lasts, ns = [], [], []
+
+        if not state.hasTimedOut:
+            import bisect
+
+            ts: list[int] = []
+            for pdf in pdfs:
+                ts.extend(int(t.value // 1000) for t in pdf["ts"])
+            ts.sort()
+            # merge each event into the held (disjoint, start-ascending)
+            # session set: join the predecessor if within gap of its end,
+            # else the successor if within gap of its start (then the
+            # event rewinds that session's start), else open a new
+            # session. A predecessor-join can bridge into the successor.
+            # Batch-twin exact for ANY in-watermark arrival order: an
+            # event and its session meet iff they're within gap, which is
+            # exactly the lag()-gap split rule on the sorted stream.
+            for t in ts:
+                i = bisect.bisect_right(starts, t)  # starts[i-1] <= t
+                if i > 0 and t <= lasts[i - 1] + gap_us:
+                    lasts[i - 1] = max(lasts[i - 1], t)
+                    ns[i - 1] += 1
+                    if (
+                        i < len(starts)
+                        and starts[i] - lasts[i - 1] <= gap_us
+                    ):  # bridge: the grown session reaches the next one
+                        lasts[i - 1] = lasts.pop(i)
+                        ns[i - 1] += ns.pop(i)
+                        starts.pop(i)
+                elif i < len(starts) and starts[i] - t <= gap_us:
+                    starts[i] = t  # rewind (no bridge: pred check failed)
+                    ns[i] += 1
                 else:
-                    closed.append(_emit(user, p_start, p_last, p_n))
-        for t in ts:
-            if n > 0 and t - last > gap_us:
-                closed.append(_emit(user, start, last, n))
-                start, n = t, 0
-            last = max(last, t)  # interior late events never rewind `last`
-            n += 1
-        state.update((start, last, n))
-        # event-time timeout: fire when the watermark passes last+gap
-        state.setTimeoutTimestamp((last + gap_us) // 1000)
+                    starts.insert(i, t)
+                    lasts.insert(i, t)
+                    ns.insert(i, 1)
+
+        # close every session the watermark has passed: any future
+        # admissible event has ts >= watermark, and can merge with a held
+        # session iff ts <= last+gap — so last+gap < watermark makes the
+        # session immutable. This one rule serves both the data path and
+        # the timeout path; emitted sessions are FINAL (append mode).
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        closed: list[pd.DataFrame] = []
+        while starts and lasts[0] + gap_us < wm_us:
+            closed.append(_emit(user, starts.pop(0), lasts.pop(0), ns.pop(0)))
+        if starts:
+            state.update((starts, lasts, ns))
+            # re-arm: fire when the watermark passes the oldest open end
+            # (must be strictly ahead of the current watermark)
+            state.setTimeoutTimestamp(
+                max((lasts[0] + gap_us) // 1000, state.getCurrentWatermarkMs() + 1)
+            )
+        elif state.exists:
+            state.remove()
         yield from closed
 
     return fn

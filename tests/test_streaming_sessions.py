@@ -172,6 +172,68 @@ def test_stream_sessions_late_event_split_and_bridge(spark, tmp_path):
     assert got == _expected_sessions(pd.concat([b1, b2]), 300)
 
 
+def test_stream_sessions_arbitrary_disorder(spark, tmp_path):
+    """Exactness under ANY in-watermark disorder: a pre-session must stay
+    OPEN (held in state) until the watermark passes it, so a yet-later
+    event can still extend it (the one corner the single-open-session
+    kernel got wrong), two pre-sessions can arrive interleaved, and an
+    event can bridge two held sessions into one. Pin: streaming output ==
+    batch lag()-gap sessionization of the full feed."""
+    import os
+
+    from search_engine_spark.schemas import EVENTS as EVENTS_SCHEMA
+    from search_engine_spark.streaming.sessions import sessionize_stream
+
+    base = pd.Timestamp("2026-01-01")
+
+    def ev(eid, uid, sec):
+        return {
+            "event_id": eid, "ts": base + pd.Timedelta(seconds=sec),
+            "user_id": uid, "event_type": "click", "value": 0.0,
+            "props": "{}",
+        }
+
+    # user 1: open at 1000 → pre-session at 100 → 250 extends the
+    #   pre-session AFTER it arrived (old kernel had already emitted it)
+    # user 2: 2000 → 100 → 900 → 1500: the 1500 event bridges the held
+    #   (100..900) session (if 900+gap>=1500... gap=700 → 900+700=1600>=1500)
+    #   into the 2000 session? 2000-1500=500<=700 → ALL ONE session 100..2000
+    #   (batch gaps: 800>700? 900-100=800 > 700 → split! sorted [100,900,
+    #   1500,2000]: gaps 800,600,500 → sessions {100}, {900,1500,2000})
+    chunks = [
+        pd.DataFrame([ev(1, 1, 1000), ev(2, 2, 2000)]),
+        pd.DataFrame([ev(3, 1, 100), ev(4, 2, 100)]),
+        pd.DataFrame([ev(5, 1, 250), ev(6, 2, 900)]),
+        pd.DataFrame([ev(7, 2, 1500)]),
+        pd.DataFrame([ev(8, SENTINEL_USER, 10**7)]),
+    ]
+    for df in chunks:
+        df["ts"] = df["ts"].astype("datetime64[us]")
+
+    os.makedirs(f"{tmp_path}/in", exist_ok=True)
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{tmp_path}/in")
+    )
+    got_df = _feed(
+        spark,
+        sessionize_stream(stream, gap_sec=700, watermark="2 hours"),
+        "disorder", tmp_path, chunks,
+    )
+    got = {
+        (r["user_id"], pd.Timestamp(r["session_start"]),
+         pd.Timestamp(r["session_end"]), r["n_events"])
+        for r in got_df.collect()
+        if r["user_id"] != SENTINEL_USER
+    }
+    all_events = pd.concat(chunks[:-1])
+    assert got == _expected_sessions(all_events, 700)
+    s = lambda sec: base + pd.Timedelta(seconds=sec)  # noqa: E731
+    assert (1, s(100), s(250), 2) in got     # pre-session grew after emit-point
+    assert (2, s(900), s(2000), 3) in got    # late 1500 bridged two held sessions
+
+
 def test_stream_hourly_counts_match_batch(spark, events_pdf, tmp_path):
     import os
 
