@@ -958,6 +958,54 @@ def q_ann_ivf_topk(spark, sf_dir):
     )
 
 
+PQ_M_SUB, PQ_KSUB, PQ_ITERS = 4, 4, 2
+
+
+def _pq_codebooks(spark, sf_dir):
+    from search_engine_spark.operators.ann import pq_train
+
+    return pq_train(
+        _read(spark, sf_dir, "embeddings"),
+        m_sub=PQ_M_SUB, ksub=PQ_KSUB, iters=PQ_ITERS,
+    )
+
+
+def q_ann_pq_codes(spark, sf_dir):
+    """Product-quantization codes: train per-subspace codebooks (pinned
+    Lloyd's — the kmeans family pins) and encode every embedding as
+    m_sub small ints (operators/ann.py pq_train/pq_encode). PQ is the
+    storage layer of billion-vector ANN: search scans the ~dim·4/m_sub×
+    smaller codes table, never the raw vectors. Output one row per
+    (vector, subspace) so the hash compare sees scalar columns."""
+    from search_engine_spark.operators.ann import pq_encode
+
+    codes = pq_encode(
+        _read(spark, sf_dir, "embeddings"), _pq_codebooks(spark, sf_dir)
+    )
+    return codes.select(
+        "vec_id",
+        F.posexplode("codes").alias("subspace", "code"),
+    ).select(
+        "vec_id",
+        F.col("subspace").cast("int").alias("subspace"),
+        F.col("code").cast("int").alias("code"),
+    )
+
+
+def q_ann_pq_adc_topk(spark, sf_dir):
+    """PQ ANN search by asymmetric distance (ADC): top-10 nearest vec 0
+    by the LUT-fold approximate squared L2 over the CODES table
+    (operators/ann.py pq_topk — driver-side m_sub×ksub lookup table,
+    left-to-right subspace fold, narrow scan + TakeOrderedAndProject)."""
+    from search_engine_spark.operators.ann import pq_encode, pq_topk
+
+    cb = _pq_codebooks(spark, sf_dir)
+    codes = pq_encode(_read(spark, sf_dir, "embeddings"), cb)
+    return pq_topk(
+        codes, cb, _query_vec(spark, sf_dir), k=10, exclude_id=0
+    )
+
+
 def q_dedup_embedding_cosine(spark, sf_dir):
     """Embedding-cosine near-dup pairs: candidates restricted to equal
     hyperplane-LSH buckets (the scale path — avoids the all-pairs
@@ -2172,6 +2220,8 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_buckets": q_ann_lsh_buckets,
         "ann_ivf_assign": q_ann_ivf_assign,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_pq_codes": q_ann_pq_codes,
+        "ann_pq_adc_topk": q_ann_pq_adc_topk,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "token_counts": q_token_counts,
         "text_quality": q_text_quality,
@@ -2303,6 +2353,74 @@ def duckdb_oracles() -> dict[str, str]:
         + f""",
         af AS ({_KM_ASSIGN.format(cents="c2")})
         SELECT vec_id, c AS centroid FROM af
+        """
+    )
+    # -- product quantization twins: the same kmeans-family pins, one
+    # quantizer per subspace (s = d // dsub, dd = d % dsub) -------------
+    _DSUB = EMB_DIM // PQ_M_SUB
+    _PQ_ASSIGN = """
+        SELECT vec_id, s, j FROM (
+            SELECT sd.vec_id, sd.s, cb.j,
+                   round(sum((sd.v - cb.cv) * (sd.v - cb.cv)), 6) AS dist
+            FROM sdims sd JOIN {cb} cb ON cb.s = sd.s AND cb.dd = sd.dd
+            GROUP BY sd.vec_id, sd.s, cb.j)
+        QUALIFY row_number() OVER (
+            PARTITION BY vec_id, s ORDER BY dist ASC, j ASC) = 1
+    """
+    _PQ_UPDATE = """
+        {new} AS (
+            SELECT a.s, a.j, sd.dd, round(avg(sd.v), 6) AS cv
+            FROM sdims sd JOIN {assign} a
+              ON a.vec_id = sd.vec_id AND a.s = sd.s
+            GROUP BY a.s, a.j, sd.dd),
+        {out} AS (
+            SELECT p.s, p.j, p.dd, coalesce(n.cv, p.cv) AS cv
+            FROM {prev} p LEFT JOIN {new} n
+              ON p.s = n.s AND p.j = n.j AND p.dd = n.dd)
+    """
+    _PQ_PRELUDE = (
+        f"""
+        WITH dims AS (
+            SELECT vec_id, d0::INT AS d, embedding[d0 + 1]::DOUBLE AS v
+            FROM embeddings, (SELECT unnest(range({EMB_DIM})) AS d0)),
+        sdims AS (
+            SELECT vec_id, (d // {_DSUB})::INT AS s, (d % {_DSUB})::INT AS dd, v
+            FROM dims),
+        cb0 AS (SELECT (d // {_DSUB})::INT AS s, vec_id::INT AS j,
+                       (d % {_DSUB})::INT AS dd, round(v, 6) AS cv
+                FROM dims WHERE vec_id < {PQ_KSUB}),
+        a0 AS ({_PQ_ASSIGN.format(cb="cb0")}),
+        """
+        + _PQ_UPDATE.format(new="c1n", assign="a0", out="cb1", prev="cb0")
+        + f""",
+        a1 AS ({_PQ_ASSIGN.format(cb="cb1")}),
+        """
+        + _PQ_UPDATE.format(new="c2n", assign="a1", out="cb2", prev="cb1")
+        + f""",
+        af AS ({_PQ_ASSIGN.format(cb="cb2")})
+        """
+    )
+    m["ann_pq_codes"] = (
+        _PQ_PRELUDE
+        + "SELECT vec_id, s AS subspace, j AS code FROM af"
+    )
+    m["ann_pq_adc_topk"] = (
+        _PQ_PRELUDE
+        + """,
+        q AS (SELECT s, dd, v FROM sdims WHERE vec_id = 0),
+        lut AS (
+            SELECT cb.s, cb.j,
+                   round(sum((q.v - cb.cv) * (q.v - cb.cv)), 6) AS pd
+            FROM cb2 cb JOIN q ON q.s = cb.s AND q.dd = cb.dd
+            GROUP BY cb.s, cb.j),
+        adc AS (
+            SELECT c.vec_id,
+                   round(list_reduce(
+                       list_prepend(0.0, list(l.pd ORDER BY l.s)),
+                       (a, b) -> a + b), 6) AS dist
+            FROM af c JOIN lut l ON l.s = c.s AND l.j = c.j
+            WHERE c.vec_id <> 0 GROUP BY c.vec_id)
+        SELECT vec_id, dist FROM adc ORDER BY dist ASC, vec_id ASC LIMIT 10
         """
     )
     from search_engine_spark.operators.curate import _hex_threshold

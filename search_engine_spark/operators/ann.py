@@ -1,5 +1,6 @@
 """Embedding similarity operators: brute-force cosine top-k, hyperplane
-LSH bucketing, IVF coarse assignment, LSH-bucketed near-dup pairs.
+LSH bucketing, IVF coarse assignment, LSH-bucketed near-dup pairs,
+k-means clustering, and product quantization (train/encode/ADC top-k).
 
 Production kernels for the contract's embedding queries: one Arrow batch
 → one NumPy matmul against a broadcast plane/centroid matrix (shipped to
@@ -308,6 +309,205 @@ def cosine_pairs_lsh(
     return scored.select(
         "a_id", "b_id", F.round(F.col("cos"), 6).alias("cos")
     ).filter(F.col("cos") >= threshold)
+
+
+# -- product quantization (PQ): train / encode / ADC top-k --------------------
+
+
+def _pq_assign_codes(Xs: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """Per-row, per-subspace nearest codeword: Xs is [n, m_sub, dsub], C
+    is [m_sub, ksub, dsub]; returns codes [n, m_sub]. Same pin as
+    ``_assign_ids``: argmin of the 6dp-ROUNDED squared L2 distance, ties
+    to the LOWER code (np.argmin picks the first minimum)."""
+    n, m_sub, _ = Xs.shape
+    codes = np.empty((n, m_sub), dtype=np.int32)
+    for s in range(m_sub):
+        d2 = ((Xs[:, s, None, :] - C[s][None, :, :]) ** 2).sum(axis=2)
+        codes[:, s] = np.argmin(np.round(d2, 6), axis=1)
+    return codes
+
+
+def pq_train(
+    emb: DataFrame,
+    m_sub: int = 4,
+    ksub: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Product-quantization codebooks (Jégou, Douze & Schmid, "Product
+    Quantization for Nearest Neighbor Search", TPAMI 2011): the embedding
+    dimension splits into ``m_sub`` contiguous subspaces and each trains
+    its own ``ksub``-codeword Lloyd's quantizer. Returns codebooks
+    [m_sub, ksub, dsub]. A PQ code is m_sub small ints per vector
+    (~dim·4/m_sub× compression), the storage layer that makes
+    billion-vector ANN feasible — search scans CODES, not vectors.
+
+    Pinned determinism (the contract twin ``ann_pq_codes`` replays the
+    same pins in SQL — exactly the ``kmeans`` family pins):
+    - init: subspace slices of the ksub lowest-id vectors, rounded 6dp;
+    - assignment: argmin of the 6dp-rounded squared L2 per subspace,
+      ties to the lower code;
+    - update: per-dimension mean over members, rounded 6dp (an empty
+      cell keeps its previous codeword);
+    - ``iters`` update rounds (the final assignment is ``pq_encode``).
+
+    Scale shape: ALL subspaces train in the SAME mapInPandas pass per
+    iteration (one narrow scan emitting ≤ m_sub·ksub partial
+    (count, sum-vector) rows per task) — ``iters`` passes total, not
+    m_sub×iters; the driver reduces ≤ tasks·m_sub·ksub tiny rows in
+    pinned (subspace, code, partition) order. No corpus shuffle."""
+    rows = (
+        emb.orderBy(id_col)
+        .select(F.col(vec_col).cast("array<double>").alias("_v"))
+        .limit(ksub)
+        .collect()
+    )
+    if len(rows) < ksub:
+        raise ValueError(f"ksub={ksub} but only {len(rows)} vectors")
+    V0 = np.array([r["_v"] for r in rows], dtype=np.float64)
+    dim = V0.shape[1]
+    if dim % m_sub:
+        raise ValueError(f"dim={dim} not divisible by m_sub={m_sub}")
+    dsub = dim // m_sub
+    C = np.round(V0, 6).reshape(ksub, m_sub, dsub).transpose(1, 0, 2).copy()
+    src = emb.select(F.col(vec_col).cast("array<double>").alias("_v"))
+
+    for _ in range(iters):
+        Cb = C  # broadcast closure constant (m_sub×ksub×dsub floats)
+
+        def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from pyspark import TaskContext
+
+            pid = TaskContext.get().partitionId()
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                X = np.array(pdf["_v"].to_list(), dtype=np.float64)
+                Xs = X.reshape(X.shape[0], Cb.shape[0], -1)
+                codes = _pq_assign_codes(Xs, Cb)
+                recs = []
+                for s in range(Cb.shape[0]):
+                    for j in range(Cb.shape[1]):
+                        m = codes[:, s] == j
+                        if not m.any():
+                            continue
+                        recs.append(
+                            {
+                                "s": s,
+                                "j": j,
+                                "pid": pid,
+                                "n": int(m.sum()),
+                                "sm": Xs[m, s, :].sum(axis=0).tobytes(),
+                            }
+                        )
+                if recs:
+                    yield pd.DataFrame(recs)
+
+        got = src.mapInPandas(
+            partials, schema="s int, j int, pid int, n long, sm binary"
+        ).collect()
+        sums = np.zeros((m_sub, ksub, dsub))
+        counts = np.zeros((m_sub, ksub), dtype=np.int64)
+        for r in sorted(got, key=lambda r: (r["s"], r["j"], r["pid"])):
+            sums[r["s"], r["j"]] += np.frombuffer(r["sm"], dtype=np.float64)
+            counts[r["s"], r["j"]] += r["n"]
+        C = np.where(
+            (counts > 0)[:, :, None],
+            np.round(
+                sums / np.maximum(counts, 1)[:, :, None].astype(np.float64), 6
+            ),
+            C,
+        )
+    return C
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<int>): each vector's nearest codeword per
+    subspace — the materialization step of PQ (store codes, drop the raw
+    vectors from the search path). One narrow mapInPandas pass, codebooks
+    as a closure constant; same assignment pin as ``pq_train``."""
+    Cb = np.ascontiguousarray(codebooks, dtype=np.float64)
+
+    def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = _batch_matrix(pdf, vec_col)
+            Xs = X.reshape(X.shape[0], Cb.shape[0], -1)
+            codes = _pq_assign_codes(Xs, Cb)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy(), "codes": list(codes)}
+            )
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        kern, schema=f"{id_col} long, codes array<int>"
+    )
+
+
+def pq_adc_lut(codebooks: np.ndarray, query_vec: list[float]) -> np.ndarray:
+    """Asymmetric-distance lookup table [m_sub, ksub]: entry (s, j) is
+    the 6dp-rounded squared L2 distance between the query's subspace-s
+    slice and codeword j — a tiny driver-side computation (the PQ analog
+    of collecting broadcast stats)."""
+    Cb = np.ascontiguousarray(codebooks, dtype=np.float64)
+    m_sub, _, dsub = Cb.shape
+    q = np.asarray(query_vec, dtype=np.float64).reshape(m_sub, dsub)
+    return np.round(((q[:, None, :] - Cb) ** 2).sum(axis=2), 6)
+
+
+def pq_topk(
+    codes_df: DataFrame,
+    codebooks: np.ndarray,
+    query_vec: list[float],
+    k: int = 10,
+    exclude_id: int | None = None,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """PQ ANN search by asymmetric distance computation (ADC): the
+    approximate distance of a coded vector is a LEFT-TO-RIGHT fold over
+    its subspace codes of the query's lookup table — m_sub array gathers
+    and adds per vector, never a vector op against raw embeddings. The
+    scan reads ONLY the codes table (~dim·4/m_sub× smaller than the
+    vectors — the reason PQ scales to 100 TB); plan is a narrow
+    mapInPandas → TakeOrderedAndProject, no shuffle.
+
+    Determinism: per-subspace LUT entries are 6dp-rounded
+    (``pq_adc_lut``), the fold over subspaces is left-to-right in
+    subspace order, and the output distance rounds natively to 6dp —
+    the DuckDB twin replays the identical ordered fold
+    (``list_reduce`` over ``list(... ORDER BY s)``). Ties break
+    (dist asc, id asc)."""
+    lut = pq_adc_lut(codebooks, query_vec)
+
+    def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            codes = np.array(pdf["codes"].to_list(), dtype=np.int64)
+            dist = np.zeros(codes.shape[0], dtype=np.float64)
+            for s in range(lut.shape[0]):  # ordered fold, subspace order
+                dist = dist + lut[s, codes[:, s]]
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy(), "dist": dist}
+            )
+
+    src = codes_df
+    if exclude_id is not None:
+        src = src.filter(F.col(id_col) != exclude_id)
+    scored = src.select(id_col, "codes").mapInPandas(
+        kern, schema=f"{id_col} long, dist double"
+    )
+    return (
+        scored.select(id_col, F.round(F.col("dist"), 6).alias("dist"))
+        .orderBy(F.asc("dist"), F.asc(id_col))
+        .limit(k)
+    )
 
 
 # -- k-means clustering (Lloyd's algorithm, deterministic pins) ---------------

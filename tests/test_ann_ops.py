@@ -114,6 +114,94 @@ def test_ivf_topk_plan_no_shuffle(spark, emb, qvec):
     assert "Exchange" not in plan
 
 
+def _pq_reference(X, m_sub, ksub, iters):
+    """Single-process PQ replica with the operator's exact pins (6dp
+    init/codeword/distance rounding, lower-code ties, empty cell keeps
+    its codeword); X rows must be sorted by id."""
+    import numpy as np
+
+    dsub = X.shape[1] // m_sub
+    C = (
+        np.round(X[:ksub].astype(np.float64), 6)
+        .reshape(ksub, m_sub, dsub)
+        .transpose(1, 0, 2)
+        .copy()
+    )
+    Xs = X.astype(np.float64).reshape(X.shape[0], m_sub, dsub)
+
+    def assign():
+        codes = np.empty((X.shape[0], m_sub), dtype=np.int64)
+        for s in range(m_sub):
+            d2 = ((Xs[:, s, None, :] - C[s][None, :, :]) ** 2).sum(axis=2)
+            codes[:, s] = np.argmin(np.round(d2, 6), axis=1)
+        return codes
+
+    for _ in range(iters):
+        codes = assign()
+        for s in range(m_sub):
+            for j in range(ksub):
+                m = codes[:, s] == j
+                if m.any():
+                    C[s][j] = np.round(Xs[m, s, :].mean(axis=0), 6)
+    return C, assign()
+
+
+def test_pq_train_encode_match_reference(spark, emb):
+    import numpy as np
+
+    from search_engine_spark.operators.ann import pq_encode, pq_train
+
+    rows = emb.orderBy("vec_id").collect()
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    ids = [int(r["vec_id"]) for r in rows]
+    want_C, want_codes = _pq_reference(X, m_sub=4, ksub=4, iters=2)
+
+    C = pq_train(emb, m_sub=4, ksub=4, iters=2)
+    assert C.shape == (4, 4, 16)
+    assert np.allclose(C, want_C)
+
+    got = {r["vec_id"]: list(r["codes"]) for r in pq_encode(emb, C).collect()}
+    assert got == {
+        i: [int(c) for c in want_codes[r]] for r, i in enumerate(ids)
+    }
+    # codes use the whole range on this data (nontrivial quantizer)
+    flat = {c for cs in got.values() for c in cs}
+    assert flat == set(range(4))
+
+
+def test_pq_topk_adc_and_plan(spark, emb, qvec):
+    import numpy as np
+
+    from search_engine_spark.operators.ann import (
+        pq_adc_lut,
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+
+    C = pq_train(emb, m_sub=4, ksub=4, iters=2)
+    codes = pq_encode(emb, C)
+    got = pq_topk(codes, C, qvec, k=10, exclude_id=0)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    # codes scan → python kernel → k-row merge; no shuffle anywhere
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
+
+    rows = got.collect()
+    assert len(rows) == 10
+    dists = [r["dist"] for r in rows]
+    assert dists == sorted(dists) and all(d >= 0 for d in dists)
+    assert all(r["vec_id"] != 0 for r in rows)
+    # ADC distance is exactly the left-to-right LUT fold over the codes
+    lut = pq_adc_lut(C, qvec)
+    code_map = {r["vec_id"]: list(r["codes"]) for r in codes.collect()}
+    for r in rows:
+        acc = np.float64(0.0)
+        for s, c in enumerate(code_map[r["vec_id"]]):
+            acc = acc + lut[s, c]
+        assert r["dist"] == round(float(acc), 6)
+
+
 def _kmeans_reference(X, k, iters):
     """Single-process Lloyd's replica with the operator's exact pins
     (6dp init/centroid/distance rounding, lower-id ties, empty cluster
