@@ -1006,6 +1006,29 @@ def q_ann_pq_adc_topk(spark, sf_dir):
     )
 
 
+def q_ann_ivfpq_topk(spark, sf_dir):
+    """IVF+PQ composed search (the canonical billion-vector index —
+    FAISS IVFPQ shape): fused coarse-assign+encode kernel
+    (operators/ann.py ivfpq_encode), restrict to the query's 2 probed
+    cells, then ADC over the surviving codes. In the materialized layout
+    (ivfpq_write_partitioned) the cell restriction is a PARTITION filter;
+    here it computes inline so the twin is self-contained."""
+    from search_engine_spark.operators.ann import (
+        ivf_probe_cells,
+        ivfpq_encode,
+        pinned_sign_matrix,
+        pq_topk,
+    )
+
+    emb = _read(spark, sf_dir, "embeddings")
+    C = pinned_sign_matrix(8, EMB_DIM, row_offset=13)
+    cb = _pq_codebooks(spark, sf_dir)
+    qvec = _query_vec(spark, sf_dir)
+    cells = ivf_probe_cells(C, qvec, nprobe=2)
+    codes = ivfpq_encode(emb, C, cb).filter(F.col("centroid").isin(cells))
+    return pq_topk(codes, cb, qvec, k=10, exclude_id=0)
+
+
 def q_dedup_embedding_cosine(spark, sf_dir):
     """Embedding-cosine near-dup pairs: candidates restricted to equal
     hyperplane-LSH buckets (the scale path — avoids the all-pairs
@@ -2222,6 +2245,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_pq_codes": q_ann_pq_codes,
         "ann_pq_adc_topk": q_ann_pq_adc_topk,
+        "ann_ivfpq_topk": q_ann_ivfpq_topk,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "token_counts": q_token_counts,
         "text_quality": q_text_quality,
@@ -2420,6 +2444,45 @@ def duckdb_oracles() -> dict[str, str]:
                        (a, b) -> a + b), 6) AS dist
             FROM af c JOIN lut l ON l.s = c.s AND l.j = c.j
             WHERE c.vec_id <> 0 GROUP BY c.vec_id)
+        SELECT vec_id, dist FROM adc ORDER BY dist ASC, vec_id ASC LIMIT 10
+        """
+    )
+    m["ann_ivfpq_topk"] = (
+        _PQ_PRELUDE
+        + f""",
+        cents AS (
+            SELECT c::INT AS c, d::INT AS d,
+                   {_plane_sign_sql("(c + 13)", "d")} AS s
+            FROM (SELECT unnest(range(8)) AS c),
+                 (SELECT unnest(range({EMB_DIM})) AS d)),
+        dots AS (
+            SELECT vec_id, c, round(sum(v * s), 6) AS dot
+            FROM dims JOIN cents USING (d) GROUP BY vec_id, c),
+        assign AS (
+            SELECT vec_id, c AS centroid FROM dots
+            QUALIFY row_number() OVER (
+                PARTITION BY vec_id ORDER BY dot DESC, c ASC) = 1),
+        qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        qdots AS (
+            SELECT c, round(sum(qe[d + 1]::DOUBLE * s), 6) AS dot
+            FROM qv CROSS JOIN cents GROUP BY c),
+        probe AS (SELECT c FROM qdots ORDER BY dot DESC, c ASC LIMIT 2),
+        q AS (SELECT s, dd, v FROM sdims WHERE vec_id = 0),
+        lut AS (
+            SELECT cb.s, cb.j,
+                   round(sum((q.v - cb.cv) * (q.v - cb.cv)), 6) AS pd
+            FROM cb2 cb JOIN q ON q.s = cb.s AND q.dd = cb.dd
+            GROUP BY cb.s, cb.j),
+        adc AS (
+            SELECT c.vec_id,
+                   round(list_reduce(
+                       list_prepend(0.0, list(l.pd ORDER BY l.s)),
+                       (a, b) -> a + b), 6) AS dist
+            FROM af c JOIN lut l ON l.s = c.s AND l.j = c.j
+            WHERE c.vec_id <> 0 AND c.vec_id IN (
+                SELECT vec_id FROM assign
+                WHERE centroid IN (SELECT c FROM probe))
+            GROUP BY c.vec_id)
         SELECT vec_id, dist FROM adc ORDER BY dist ASC, vec_id ASC LIMIT 10
         """
     )

@@ -510,6 +510,84 @@ def pq_topk(
     )
 
 
+def ivfpq_encode(
+    emb: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, centroid, codes): IVF coarse assignment AND PQ codes in ONE
+    fused kernel pass (no join between the two maps — the vectors decode
+    from Arrow once). This is the row shape of the IVF+PQ layout, the
+    canonical billion-vector index (Jégou et al. 2011; FAISS IVFPQ):
+    coarse cell for partition pruning, codes for in-cell ADC."""
+    C = np.ascontiguousarray(centroids, dtype=np.float64)
+    Cb = np.ascontiguousarray(codebooks, dtype=np.float64)
+
+    def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            E = _batch_matrix(pdf, vec_col)
+            D = np.stack([_ordered_dot(E, C[c]) for c in range(C.shape[0])], axis=1)
+            D = np.copysign(np.floor(np.abs(D) * 1e6 + 0.5), D) / 1e6
+            cent = D.argmax(axis=1).astype(np.int32)
+            Xs = E.reshape(E.shape[0], Cb.shape[0], -1)
+            codes = _pq_assign_codes(Xs, Cb)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "centroid": cent,
+                    "codes": list(codes),
+                }
+            )
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        kern, schema=f"{id_col} long, centroid int, codes array<int>"
+    )
+
+
+def ivfpq_write_partitioned(
+    emb: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF+PQ layout: the CODES table written with the
+    coarse cell as a partition column (``centroid=<c>/``). The index is
+    ~dim·4/m_sub× smaller than the vectors AND a probed search reads
+    only nprobe/|centroids| of it — both compressions compound, which is
+    how a 100-TB embedding corpus becomes a few-TB scannable index."""
+    ivfpq_encode(emb, centroids, codebooks, id_col, vec_col).write.mode(
+        "overwrite"
+    ).partitionBy("centroid").parquet(path)
+
+
+def ivfpq_topk(
+    spark,
+    path: str,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 2,
+    exclude_id: int | None = None,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF+PQ ANN search over a layout from ``ivfpq_write_partitioned``:
+    ``centroid IN (probe cells)`` is a PARTITION filter (non-probed cells
+    are never read), then ADC over the surviving codes (``pq_topk``
+    semantics — identical pins, so results equal ``pq_topk`` restricted
+    to the probed cells' vectors). Plan: pruned codes scan → LUT-fold
+    kernel → TakeOrderedAndProject; no shuffle, no raw vectors."""
+    cells = ivf_probe_cells(centroids, query_vec, nprobe)
+    src = spark.read.parquet(path).filter(F.col("centroid").isin(cells))
+    return pq_topk(src, codebooks, query_vec, k, exclude_id, id_col)
+
+
 # -- k-means clustering (Lloyd's algorithm, deterministic pins) ---------------
 
 

@@ -202,6 +202,52 @@ def test_pq_topk_adc_and_plan(spark, emb, qvec):
         assert r["dist"] == round(float(acc), 6)
 
 
+def test_ivfpq_layout_prunes_and_matches_pq(spark, emb, qvec, tmp_path):
+    import os
+
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.operators.ann import (
+        ivf_assign,
+        ivf_probe_cells,
+        ivfpq_topk,
+        ivfpq_write_partitioned,
+        pinned_sign_matrix,
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+
+    C = pinned_sign_matrix(8, 64, row_offset=13)
+    cb = pq_train(emb, m_sub=4, ksub=4, iters=2)
+    path = str(tmp_path / "ivfpq")
+    ivfpq_write_partitioned(emb, C, cb, path)
+    assert any(d.startswith("centroid=") for d in os.listdir(path))
+
+    got = ivfpq_topk(spark, path, C, cb, qvec, k=10, nprobe=2, exclude_id=0)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "centroid" in plan.split(
+        "PartitionFilters:"
+    )[1].split("]")[0]
+    assert "Exchange" not in plan
+
+    # equals plain PQ ADC restricted to the probed cells' vectors
+    cells = ivf_probe_cells(C, qvec, nprobe=2)
+    probed = {
+        r["vec_id"]
+        for r in ivf_assign(emb, C).filter(
+            F.col("centroid").isin(cells)
+        ).collect()
+    }
+    sub_codes = pq_encode(
+        emb.filter(F.col("vec_id").isin(list(probed))), cb
+    )
+    exp = pq_topk(sub_codes, cb, qvec, k=10, exclude_id=0).collect()
+    assert [(r["vec_id"], r["dist"]) for r in got.collect()] == [
+        (r["vec_id"], r["dist"]) for r in exp
+    ]
+
+
 def _kmeans_reference(X, k, iters):
     """Single-process Lloyd's replica with the operator's exact pins
     (6dp init/centroid/distance rounding, lower-id ties, empty cluster
