@@ -325,9 +325,19 @@ def main() -> None:
         gdf[lem] = gdf.get(lem, 0) + v
     mids = sorted(lem for lem, v in gdf.items() if cut * 0.2 <= v <= cut * 0.8)
     m1, m2, m3 = (mids + [str(vocab[300])] * 3)[:3]
+    # two hot∧rare regimes: q_conj_mixed pairs the rare term with
+    # HOT_TERM (df ~60% of docs — survives the cutoff because the kill
+    # rule tests only the RAREST term, scoring.query_killed_by_cutoff),
+    # the extreme case; q_conj_hotrare pairs it with the heaviest term
+    # that is itself UNDER the cutoff — the worst case for a query whose
+    # every term could also stand alone
+    hot_mid = max(
+        (lem for lem, v in gdf.items() if v <= cut), key=lambda l: gdf[l]
+    )
     fixture_queries = [
         ("q_rare", str(vocab[300])),
         ("q_conj_mixed", f"{HOT_TERM} {vocab[300]}"),
+        ("q_conj_hotrare", f"{hot_mid} {vocab[300]}"),
         ("q_conj3", f"{m1} {m2} {m3}"),
         ("q_mid", m1),
         ("q_scoped", m2),

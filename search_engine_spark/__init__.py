@@ -38,6 +38,7 @@ _PUBLIC = {
     "suggest": "search_engine_spark.operators.fuzzy",
     "rebalance_buckets": "search_engine_spark.operators.maintenance",
     "bucket_sizes": "search_engine_spark.operators.maintenance",
+    "verify_index": "search_engine_spark.operators.maintenance",
     # training-data-pipeline suite
     "exact_dedup_summary": "search_engine_spark.operators.dedup",
     "jaccard_pairs": "search_engine_spark.operators.dedup",

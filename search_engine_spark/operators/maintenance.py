@@ -114,6 +114,261 @@ def _rebuild_bucket_postings(
         )
 
 
+_BLOCK_AUDIT_COLS = (
+    "scope lemma block_id first_doc_id last_doc_id count sum_tf "
+    "max_tf min_dl doc_ids tfs doc_lens"
+).split()
+
+_BLOCK_AUDIT_SCHEMA = (
+    "n_blocks long, bad_count long, bad_sum_tf long, bad_max_tf long, "
+    "bad_min_dl long, bad_first long, bad_last long, bad_sorted long, "
+    "bad_shard long, bad_positions long"
+)
+
+
+def _audit_blocks_kernel(range_size: int, positional: bool):
+    """mapInPandas kernel: decode every block and count invariant
+    violations. Byte columns are pulled out ONCE as object arrays —
+    never per-row pandas access (CLAUDE.md perf lesson)."""
+    import numpy as np
+    import pandas as pd
+
+    from search_engine_spark.functions.codec import (
+        delta_decode,
+        varbyte_decode,
+    )
+    from search_engine_spark.operators.compress import decode_positions
+
+    def kernel(batches):
+        for pdf in batches:
+            c = {
+                "n_blocks": len(pdf), "bad_count": 0, "bad_sum_tf": 0,
+                "bad_max_tf": 0, "bad_min_dl": 0, "bad_first": 0,
+                "bad_last": 0, "bad_sorted": 0, "bad_shard": 0,
+                "bad_positions": 0,
+            }
+            id_bufs = pdf["doc_ids"].to_numpy(object)
+            tf_bufs = pdf["tfs"].to_numpy(object)
+            dl_bufs = pdf["doc_lens"].to_numpy(object)
+            pos_bufs = (
+                pdf["positions"].to_numpy(object) if positional else None
+            )
+            firsts = pdf["first_doc_id"].to_numpy(np.int64)
+            lasts = pdf["last_doc_id"].to_numpy(np.int64)
+            counts = pdf["count"].to_numpy(np.int64)
+            sum_tfs = pdf["sum_tf"].to_numpy(np.int64)
+            max_tfs = pdf["max_tf"].to_numpy(np.int64)
+            min_dls = pdf["min_dl"].to_numpy(np.int64)
+            for i in range(len(pdf)):
+                ids = delta_decode(varbyte_decode(id_bufs[i])).astype(
+                    np.int64
+                )
+                tfs = varbyte_decode(tf_bufs[i]).astype(np.int64)
+                dls = varbyte_decode(dl_bufs[i]).astype(np.int64)
+                n = ids.size
+                c["bad_count"] += int(
+                    n != counts[i] or tfs.size != n or dls.size != n
+                )
+                if n == 0:
+                    continue
+                c["bad_sum_tf"] += int(tfs.sum() != sum_tfs[i])
+                c["bad_max_tf"] += int(tfs.max() != max_tfs[i])
+                c["bad_min_dl"] += int(dls.min() != min_dls[i])
+                c["bad_first"] += int(ids[0] != firsts[i])
+                c["bad_last"] += int(ids[-1] != lasts[i])
+                c["bad_sorted"] += int(bool((np.diff(ids) <= 0).any()))
+                # a block never spans more than one shard-range width.
+                # The ``(doc_id-1)//range_size`` formula holds only for
+                # fresh builds — merge shifts shard ids by a constant
+                # (merge.py:14-19) — so cross-block shard placement is
+                # audited structurally per bucket in verify_index.
+                c["bad_shard"] += int(ids[-1] - ids[0] >= range_size)
+                if positional:
+                    try:
+                        plists = decode_positions(pos_bufs[i], tfs)
+                        ok = len(plists) == n and all(
+                            p.size == t for p, t in zip(plists, tfs)
+                        )
+                    except Exception:
+                        ok = False
+                    c["bad_positions"] += int(not ok)
+            yield pd.DataFrame([c])
+
+    return kernel
+
+
+def verify_index(spark, index_dir: str, deep: bool = True) -> dict:
+    """Full-index integrity audit (the Lucene CheckIndex analog; the
+    reference's only recovery story is a full re-crawl —
+    IndexingServiceImpl.java:173-193 — this is the cheaper `fsck`).
+
+    Structural checks (metadata-only aggs):
+    - ``doc_ids``: doc_id unique AND dense 1..max (upserts append past
+      the max, so density survives inserts);
+    - ``doc_keys``: (conv_id, turn_idx) unique;
+    - ``conv_offsets``: every registered conversation's first doc_id is
+      exactly its pinned offset + 1 (the global-id anchor);
+    - ``lemma_stats`` / ``doc_stats``: stored stats equal re-derivation
+      from blocks / docs (exact row equality both directions);
+    - ``shards``: per (bucket, shard) doc-id hulls from block metadata
+      are ≤ range_size wide, disjoint, and monotone in shard id. This
+      is the invariant that survives every layout op — fresh builds use
+      ``(doc_id-1)//range_size``, merge shifts shard ids by a constant
+      (merge.py:14-19), upsert/rebalance re-shard single buckets — so
+      the audit is per bucket, never the global formula.
+
+    Deep checks (``deep=True`` — decodes EVERY block, a full-index scan
+    job, run like a compaction not a query):
+    - ``blocks``: per-block decode vs stored metadata — count, Σtf,
+      (max_tf, min_dl) WAND bounds, first/last ids, strictly-increasing
+      ids, ≤ shard-width span, positional tf==len(positions);
+    - ``alignment``: every posting's (doc_id, doc_len) pair exists in
+      the docs table (orphan postings / drifted lengths).
+
+    Returns {check: {"ok": bool, ...counts}}; raises nothing — the
+    caller decides whether a violation is fatal."""
+    out = index_dir.rstrip("/")
+    docs = spark.read.parquet(f"{out}/docs")
+    blocks = spark.read.parquet(f"{out}/postings")
+    lineage = {
+        r["key"]: r["value"]
+        for r in spark.read.parquet(f"{out}/lineage").collect()
+    }
+    range_size = int(lineage["range_size"])
+    positional = "positions" in blocks.columns
+    report: dict[str, dict] = {}
+
+    r = docs.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("doc_id").alias("n_ids"),
+        F.max("doc_id").alias("max_id"),
+        F.min("doc_id").alias("min_id"),
+        F.countDistinct("conv_id", "turn_idx").alias("n_keys"),
+    ).head()
+    report["doc_ids"] = {
+        "ok": r["n"] == r["n_ids"] == r["max_id"] and r["min_id"] == 1,
+        "n_docs": r["n"], "distinct_ids": r["n_ids"],
+        "max_id": r["max_id"],
+    }
+    report["doc_keys"] = {"ok": r["n_keys"] == r["n"], "distinct": r["n_keys"]}
+
+    conv_firsts = docs.groupBy("conv_id").agg(
+        F.min("doc_id").alias("_first")
+    )
+    n_off_bad = (
+        spark.read.parquet(f"{out}/conv_offsets")
+        .join(conv_firsts, "conv_id", "left")
+        .filter(
+            F.col("_first").isNull()
+            | (F.col("_first") != F.col("_conv_offset") + 1)
+        )
+        .count()
+    )
+    report["conv_offsets"] = {"ok": n_off_bad == 0, "bad_convs": n_off_bad}
+
+    stored_ls = spark.read.parquet(f"{out}/lemma_stats").select(
+        "scope", "lemma", "df", "cf"
+    )
+    derived_ls = lemma_stats_from_blocks(blocks)
+    ls_extra = stored_ls.exceptAll(derived_ls).count()
+    ls_missing = derived_ls.exceptAll(stored_ls).count()
+    report["lemma_stats"] = {
+        "ok": ls_extra == 0 and ls_missing == 0,
+        "extra": ls_extra, "missing": ls_missing,
+    }
+    from search_engine_spark.operators.build import build_doc_stats
+
+    stored_ds = spark.read.parquet(f"{out}/doc_stats").select(
+        "scope", "n_docs", F.round("avg_doc_len", 9).alias("avg_doc_len"),
+        "sum_doc_len",
+    )
+    derived_ds = build_doc_stats(docs).select(
+        "scope", "n_docs", F.round("avg_doc_len", 9).alias("avg_doc_len"),
+        "sum_doc_len",
+    )
+    ds_bad = stored_ds.exceptAll(derived_ds).count() + derived_ds.exceptAll(
+        stored_ds
+    ).count()
+    report["doc_stats"] = {"ok": ds_bad == 0, "bad_rows": ds_bad}
+
+    # per-bucket shard hulls from block METADATA (no decode): window is
+    # partitioned by bucket — each partition holds ~per_bucket/range_size
+    # rows, never the whole index
+    from pyspark.sql import Window
+
+    hulls = blocks.groupBy("bucket", "shard").agg(
+        F.min("first_doc_id").alias("_lo"),
+        F.max("last_doc_id").alias("_hi"),
+    )
+    w = Window.partitionBy("bucket").orderBy("shard")
+    n_shard_bad = (
+        hulls.withColumn("_prev_hi", F.lag("_hi").over(w))
+        .filter(
+            (F.col("_hi") - F.col("_lo") >= range_size)
+            | (
+                F.col("_prev_hi").isNotNull()
+                & (F.col("_lo") <= F.col("_prev_hi"))
+            )
+        )
+        .count()
+    )
+    report["shards"] = {"ok": n_shard_bad == 0, "bad_shards": n_shard_bad}
+
+    if deep:
+        audit_cols = _BLOCK_AUDIT_COLS + (["positions"] if positional else [])
+        totals = (
+            blocks.select(*audit_cols)
+            .mapInPandas(
+                _audit_blocks_kernel(range_size, positional),
+                schema=_BLOCK_AUDIT_SCHEMA,
+            )
+            .groupBy()
+            .sum()
+            .head()
+        )
+        blk = {
+            k[len("sum("):-1]: int(totals[k] or 0)
+            for k in totals.asDict()
+        }
+        blk["ok"] = all(
+            v == 0 for k, v in blk.items() if k.startswith("bad_")
+        )
+        report["blocks"] = blk
+
+        # orphan/drift check: decoded (doc_id, doc_len) ⊆ docs
+        def pairs_kernel(batches):
+            import pandas as pd
+
+            from search_engine_spark.operators.compress import decode_blocks
+
+            for pdf in batches:
+                ids, _tfs, dls = decode_blocks(
+                    pdf["doc_ids"].to_numpy(object),
+                    pdf["tfs"].to_numpy(object),
+                    pdf["doc_lens"].to_numpy(object),
+                )
+                yield pd.DataFrame(
+                    {"doc_id": ids, "dl": dls}
+                ).drop_duplicates()
+
+        posting_pairs = (
+            blocks.select("doc_ids", "tfs", "doc_lens")
+            .mapInPandas(pairs_kernel, schema="doc_id long, dl long")
+            .distinct()
+        )
+        n_orphans = posting_pairs.join(
+            docs.select(
+                "doc_id", F.col("doc_len").cast("long").alias("dl")
+            ),
+            ["doc_id", "dl"],
+            "left_anti",
+        ).count()
+        report["alignment"] = {"ok": n_orphans == 0, "orphans": n_orphans}
+
+    report["ok"] = all(v["ok"] for v in report.values())
+    return report
+
+
 def rebalance_buckets(job: IndexBuildJob, per_bucket: int | None = None) -> dict:
     """Re-bucket the index to ≤ ``per_bucket`` docs per bucket (default:
     the build-time target from lineage). doc_ids, postings content and

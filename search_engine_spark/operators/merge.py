@@ -94,6 +94,15 @@ def _remap_blocks(
     return blocks.mapInPandas(patch, schema=schema)
 
 
+def _per_bucket_of(lin: dict) -> int:
+    """Build-time bucket-size target of one input index: the pinned
+    lineage key when present (plans/job.py writes it), else the legacy
+    derivation from that input's own (n_turns, n_buckets)."""
+    if "per_bucket" in lin:
+        return int(lin["per_bucket"])
+    return max(1, -(-int(lin["n_turns"]) // int(lin["n_buckets"])))
+
+
 def _lineage_dict(spark: SparkSession, index_dir: str) -> dict[str, str]:
     return {
         r["key"]: r["value"]
@@ -206,6 +215,10 @@ def merge_indexes(
         (run_id, "n_buckets",
          str(bucket_off + int(lin_b["n_buckets"])), None),
         (run_id, "docs_per_shard", lin_a["docs_per_shard"], None),
+        # coarsest build-time bucket target of the inputs — the rebalance
+        # target for the concatenated layout (see plans/job.py lineage)
+        (run_id, "per_bucket",
+         str(max(_per_bucket_of(lin_a), _per_bucket_of(lin_b))), None),
         (run_id, "positional", lin_a["positional"], None),
         (run_id, "filter_cols", lin_a["filter_cols"], None),
         (run_id, "range_size", lin_a["range_size"], None),
@@ -343,6 +356,8 @@ def merge_many(
         (run_id, "n_turns", str(doc_off), None),
         (run_id, "n_buckets", str(bucket_off), None),
         (run_id, "docs_per_shard", lins[0]["docs_per_shard"], None),
+        (run_id, "per_bucket",
+         str(max(_per_bucket_of(lin) for lin in lins)), None),
         (run_id, "positional", lins[0]["positional"], None),
         (run_id, "filter_cols", lins[0]["filter_cols"], None),
         (run_id, "range_size", lins[0]["range_size"], None),

@@ -163,6 +163,10 @@ class IndexBuildJob:
                 (self.run_id, "input_path", self.transcripts_path, None),
                 (self.run_id, "n_turns", str(total), None),
                 (self.run_id, "n_buckets", str(self.n_buckets), None),
+                # the build-time bucket-size target; upserts refresh n_turns
+                # as ids grow, so per_bucket is NOT derivable from lineage
+                # later — rebalance_buckets keys off this pinned value
+                (self.run_id, "per_bucket", str(per_bucket), None),
                 (self.run_id, "docs_per_shard", str(self.docs_per_shard), None),
                 (self.run_id, "positional", str(self.positional), None),
                 (self.run_id, "filter_cols", ",".join(self.filter_cols), None),

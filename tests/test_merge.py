@@ -43,6 +43,17 @@ def merged(spark, tmp_path_factory):
     }
 
 
+def test_verify_index_passes_on_merged(spark, merged):
+    """The fsck audit holds on a MERGED index — shard ids are shifted
+    (not formula-aligned), which the per-bucket hull check must accept."""
+    from search_engine_spark.operators.maintenance import verify_index
+
+    rep = verify_index(spark, merged["merged"])
+    bad = {k: v for k, v in rep.items() if isinstance(v, dict) and not v["ok"]}
+    assert rep["ok"], bad
+    assert rep["shards"]["ok"] and rep["blocks"]["bad_shard"] == 0
+
+
 def _rows(spark, path, cols, order):
     return [
         tuple(r[c] for c in cols)
