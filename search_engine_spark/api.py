@@ -38,6 +38,12 @@ class SearchEngine:
 
         self.spark = spark
         self.index_dir = index_dir.rstrip("/")
+        # a time-travel view rooted inside snapshots/v{N} is read-only:
+        # mutating a committed snapshot would corrupt history
+        parent, base = os.path.split(self.index_dir)
+        self._snapshot_view = (
+            os.path.basename(parent) == "snapshots" and base.startswith("v")
+        )
         self._blocks = read_table(spark, f"{self.index_dir}/postings")
         self._lemma_stats = read_table(spark, f"{self.index_dir}/lemma_stats")
         self._doc_stats = read_table(spark, f"{self.index_dir}/doc_stats")
@@ -705,29 +711,88 @@ class SearchEngine:
 
     # -- POST /api/indexPage ---------------------------------------------------
 
-    def index_turns(self, delta) -> dict:
+    def index_turns(self, delta, snapshot: bool = True) -> dict:
         """Incremental upsert of changed turns (delta: transcripts-shaped
-        DataFrame). Invalidates the result cache."""
+        DataFrame). Invalidates the result cache and commits a snapshot
+        (Iceberg semantics — operators/snapshots.py)."""
+        from search_engine_spark.operators.snapshots import create_snapshot
         from search_engine_spark.operators.upsert import upsert_turns
 
+        self._guard_mutation()
         job = IndexBuildJob(self.spark, "", self.index_dir)
         summary = upsert_turns(job, delta)
+        if snapshot:
+            summary["snapshot_id"] = create_snapshot(
+                self.index_dir, operation="upsert", run_id=job.run_id
+            )["snapshot_id"]
         self._cache_key = self._cache_rows = None
         self._cache_ids = []
         # re-open swapped tables (file listings changed)
         self.__init__(self.spark, self.index_dir)
         return {"result": True, **summary}
 
+    def _guard_mutation(self) -> None:
+        if self._snapshot_view:
+            raise RuntimeError(
+                "read-only snapshot view: open the live index to mutate "
+                "(or rollback() the live index to this snapshot)"
+            )
+
+    # -- snapshots (Iceberg-style commits; operators/snapshots.py) ------------
+
+    def snapshot(self, operation: str = "manual") -> dict:
+        """Commit the current index state as a new snapshot; returns the
+        manifest."""
+        from search_engine_spark.operators.snapshots import create_snapshot
+
+        self._guard_mutation()
+        return create_snapshot(self.index_dir, operation=operation)
+
+    def snapshots(self) -> list[dict]:
+        """History log: all retained snapshot manifests, oldest first."""
+        from search_engine_spark.operators.snapshots import list_snapshots
+
+        return list_snapshots(self.index_dir)
+
+    def rollback(self, snapshot_id: int) -> dict:
+        """Restore the live index to ``snapshot_id`` (a NEW snapshot
+        records the rollback; history is never erased) and re-open."""
+        from search_engine_spark.operators import snapshots as snap
+
+        self._guard_mutation()
+        manifest = snap.rollback(self.index_dir, snapshot_id)
+        self.__init__(self.spark, self.index_dir)
+        return manifest
+
+    @classmethod
+    def at_snapshot(
+        cls, spark: SparkSession, index_dir: str, snapshot_id: int
+    ) -> "SearchEngine":
+        """Time-travel: a read-only engine over snapshot ``snapshot_id``
+        of ``index_dir`` (the snapshot tree mirrors the index layout, so
+        every query path works unchanged)."""
+        from search_engine_spark.operators.snapshots import snapshot_dir
+
+        return cls(spark, snapshot_dir(index_dir.rstrip("/"), snapshot_id))
+
     # -- maintenance -----------------------------------------------------------
 
-    def rebalance(self, per_bucket: int | None = None) -> dict:
+    def rebalance(
+        self, per_bucket: int | None = None, snapshot: bool = True
+    ) -> dict:
         """Re-bucket the index to the per_bucket target after append-heavy
         upserts (operators/maintenance.py — the segment-merge/compaction
         analog; doc_ids and search results are unchanged)."""
         from search_engine_spark.operators.maintenance import rebalance_buckets
+        from search_engine_spark.operators.snapshots import create_snapshot
 
+        self._guard_mutation()
         job = IndexBuildJob(self.spark, "", self.index_dir)
         summary = rebalance_buckets(job, per_bucket)
+        if snapshot and summary.get("moved_docs"):
+            summary["snapshot_id"] = create_snapshot(
+                self.index_dir, operation="rebalance", run_id=job.run_id
+            )["snapshot_id"]
         self._cache_key = self._cache_rows = None
         self._cache_ids = []
         self.__init__(self.spark, self.index_dir)

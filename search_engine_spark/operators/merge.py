@@ -240,6 +240,9 @@ def merge_indexes(
          (run_id, "merge", "rows_p0", float(n_turns), now)],
         METRICS,
     ).coalesce(1).write.mode("overwrite").parquet(f"{out}/metrics")
+    from search_engine_spark.operators.snapshots import create_snapshot
+
+    sid = create_snapshot(out, operation="merge", run_id=run_id)["snapshot_id"]
     return {
         "run_id": run_id,
         "out": out,
@@ -247,6 +250,7 @@ def merge_indexes(
         "doc_offset": doc_off,
         "shard_offset": shard_off,
         "bucket_offset": bucket_off,
+        "snapshot_id": sid,
         "wall_sec": time.time() - t0,
     }
 
@@ -378,10 +382,14 @@ def merge_many(
          (run_id, "merge", "rows_p0", float(doc_off), now)],
         METRICS,
     ).coalesce(1).write.mode("overwrite").parquet(f"{out}/metrics")
+    from search_engine_spark.operators.snapshots import create_snapshot
+
+    sid = create_snapshot(out, operation="merge", run_id=run_id)["snapshot_id"]
     return {
         "run_id": run_id,
         "out": out,
         "n_turns": doc_off,
         "n_indexes": len(dirs),
+        "snapshot_id": sid,
         "wall_sec": time.time() - t0,
     }

@@ -72,6 +72,7 @@ class IndexBuildJob:
         run_id: str | None = None,
         positional: bool = False,
         filter_cols: tuple[str, ...] | None = None,
+        snapshots: bool = True,
     ):
         from search_engine_spark.operators.filters import FILTER_COLS
 
@@ -85,6 +86,9 @@ class IndexBuildJob:
         # (operators/filters.py); () disables the filters family
         self.filter_cols = FILTER_COLS if filter_cols is None else tuple(filter_cols)
         self.run_id = run_id or f"run-{uuid.uuid4().hex[:12]}"
+        # snapshot the index on every completed mutation (Iceberg commit
+        # semantics, operators/snapshots.py); off only for throwaway builds
+        self.snapshots = bool(snapshots)
         # cooperative cancellation (reference: stop-flag machinery in
         # IndexingServiceImpl.java:36, 50-64 / WebParser.java:65-68)
         self._cancel = threading.Event()
@@ -228,10 +232,11 @@ class IndexBuildJob:
             n = self.spark.read.parquet(f"{self.out}/filters/bucket={b}").count()
             self._checkpoint("filters", b, n, t0)
 
-    def _stage_stats(self, done: set) -> None:
-        """Global stats from the small outputs (no corpus rescan)."""
+    def _stage_stats(self, done: set) -> bool:
+        """Global stats from the small outputs (no corpus rescan).
+        Returns whether the stage ran (vs already checkpointed)."""
         if ("stats", 0) in done:
-            return
+            return False
         t0 = time.time()
         blocks = self.spark.read.parquet(f"{self.out}/postings")
         lemma_stats_from_blocks(blocks).write.mode("overwrite").parquet(
@@ -242,6 +247,7 @@ class IndexBuildJob:
             f"{self.out}/doc_stats"
         )
         self._checkpoint("stats", 0, self.n_buckets, t0)
+        return True
 
     # -- driver -------------------------------------------------------------
 
@@ -300,14 +306,30 @@ class IndexBuildJob:
             shutil.rmtree(
                 f"{self.out}/.cache_postings_flat", ignore_errors=True
             )
+        stats_ran = False
         if not cancelled:
-            self._stage_stats(done)
+            stats_ran = self._stage_stats(done)
+        snapshot_id = None
+        if self.snapshots and not cancelled and (built or stats_ran):
+            # completed mutation → Iceberg-style commit: the checkpoint
+            # row records the snapshot id (SURVEY.md §7.4 item 4)
+            from search_engine_spark.operators.snapshots import (
+                create_snapshot,
+            )
+
+            t0 = time.time()
+            manifest = create_snapshot(
+                self.out, operation="build", run_id=self.run_id
+            )
+            snapshot_id = manifest["snapshot_id"]
+            self._checkpoint("snapshot", snapshot_id, manifest["n_files"], t0)
         return {
             "run_id": self.run_id,
             "out": self.out,
             "buckets_built": built,
             "n_buckets": self.n_buckets,
             "cancelled": cancelled,
+            "snapshot_id": snapshot_id,
         }
 
     # -- read side ----------------------------------------------------------
