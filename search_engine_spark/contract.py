@@ -1308,6 +1308,55 @@ def q_chunk_windows(spark, sf_dir):
     )
 
 
+# stored percolator queries (operators/percolate.py): pinned alert set —
+# AND + NOT semantics over the contract tokenizer; one source of truth for
+# the Spark kernel and the generated DuckDB twin
+PERC_QUERIES = [
+    (1, "spark window"),
+    (2, "merge batch"),
+    (3, "customer -slow"),
+    (4, "vector group table"),
+    (5, "query key -agg"),
+]
+
+
+def q_percolate(spark, sf_dir):
+    """Reverse search (ES-percolator analog, operators/percolate.py):
+    which stored alert queries match each document — shuffle-free narrow
+    mapInPandas with a token→queries candidate index; the same operator
+    runs unchanged on a streaming DataFrame (test_percolate.py)."""
+    from search_engine_spark.operators.percolate import percolate
+
+    return percolate(_read(spark, sf_dir, "documents"), PERC_QUERIES)
+
+
+def q_kmv_distinct(spark, sf_dir):
+    """KMV distinct-count sketch (operators/sketch.py): estimated
+    distinct texts per source from the k=16 smallest pinned 60-bit md5
+    hashes — the COUNT(DISTINCT) replacement whose shuffle is ≤ k rows
+    per group per partition at any scale. Groups under 16 distinct take
+    the exact fallback, so both branches are contract-covered."""
+    from search_engine_spark.operators.sketch import kmv_distinct
+
+    return kmv_distinct(
+        _read(spark, sf_dir, "documents"), "text", k=16,
+        group_cols=["source"],
+    )
+
+
+def q_frequent_tokens(spark, sf_dir):
+    """Misra–Gries heavy hitters (operators/sketch.py frequent_items):
+    every token in ≥ 3.4% of all token occurrences, with EXACT counts —
+    candidate pass bounded at ⌈500/17⌉ counters per partition, exact
+    recount of candidates only; never a full-vocabulary shuffle."""
+    from search_engine_spark.operators.sketch import frequent_items
+
+    toks = _read(spark, sf_dir, "documents").select(
+        F.explode(F.expr(TOKS_SQL)).alias("tok")
+    )
+    return frequent_items(toks, "tok", 17, 500)
+
+
 def q_mixture_rates(spark, sf_dir):
     """Token-budget data mixing (operators/curate.py mixture_rates):
     per-source Bernoulli keep-rates hitting a target token mixture —
@@ -2109,6 +2158,9 @@ def _oracle_sql_map() -> dict[str, str]:
             FROM c GROUP BY bin
         """,
         "stratified_sample": _stratified_sample_duck(),
+        "percolate": _percolate_duck(),
+        "kmv_distinct": _kmv_distinct_duck(),
+        "frequent_tokens": _frequent_tokens_duck(),
         "mixture_rates": _mixture_rates_duck(),
         "chunk_windows": _chunk_windows_duck(),
         "quality_funnel": f"""
@@ -2189,6 +2241,28 @@ def _stratified_sample_duck() -> str:
     return f"SELECT doc_id, lang FROM ({inner})"
 
 
+def _percolate_duck() -> str:
+    from search_engine_spark.operators.percolate import percolate_oracle_sql
+
+    return percolate_oracle_sql("documents", PERC_QUERIES)
+
+
+def _kmv_distinct_duck() -> str:
+    from search_engine_spark.operators.sketch import kmv_distinct_sql
+
+    return kmv_distinct_sql("documents", "text", 16, group_cols=["source"])
+
+
+def _frequent_tokens_duck() -> str:
+    from search_engine_spark.operators.sketch import frequent_items_sql
+
+    toks = (
+        "(SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+', 0))"
+        " AS tok FROM documents)"
+    )
+    return frequent_items_sql(toks, "tok", 17, 500)
+
+
 def _mixture_rates_duck() -> str:
     from search_engine_spark.operators.curate import (
         mixture_rates_oracle_sql,
@@ -2264,6 +2338,9 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "pack_bins": q_pack_bins,
         "stratified_sample": q_stratified_sample,
+        "percolate": q_percolate,
+        "kmv_distinct": q_kmv_distinct,
+        "frequent_tokens": q_frequent_tokens,
         "mixture_rates": q_mixture_rates,
         "chunk_windows": q_chunk_windows,
         "quality_funnel": q_quality_funnel,

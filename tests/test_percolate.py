@@ -1,0 +1,127 @@
+"""Percolator (operators/percolate.py): compile guards, batch matches vs
+a Python reference AND the DuckDB twin, candidate-index correctness
+(registration under the smallest required token never loses a match),
+and the streaming micro-batch run equals the batch run."""
+
+from __future__ import annotations
+
+import re
+
+import duckdb
+import pandas as pd
+import pytest
+
+from search_engine_spark.operators.percolate import (
+    compile_queries,
+    percolate,
+    percolate_oracle_sql,
+)
+
+QUERIES = [
+    (1, "spark window"),
+    (2, "merge batch"),
+    (3, "customer -slow"),
+    (4, "vector group table"),
+    (5, "query key -agg"),
+]
+
+
+def _ref(pdf: pd.DataFrame, queries) -> set:
+    out = set()
+    for qid, req, exc in compile_queries(queries):
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            toks = set(re.findall(r"[a-z0-9]+", str(text).lower()))
+            if req <= toks and not (exc & toks):
+                out.add((doc_id, qid))
+    return out
+
+
+@pytest.fixture(scope="module")
+def docs_pdf():
+    return pd.read_parquet("/root/testdata/sf0.001/documents.parquet")[
+        ["doc_id", "text"]
+    ]
+
+
+def test_compile_guards():
+    assert compile_queries([(1, "A b -C")]) == [
+        (1, frozenset({"a", "b"}), frozenset({"c"}))
+    ]
+    with pytest.raises(ValueError, match="no required"):
+        compile_queries([(1, "-only -negs")])
+    with pytest.raises(ValueError, match="duplicate"):
+        compile_queries([(1, "a"), (1, "b")])
+
+
+def test_batch_matches_reference_and_duckdb(spark, docs_pdf):
+    df = spark.createDataFrame(docs_pdf)
+    got = {
+        (r["doc_id"], r["query_id"])
+        for r in percolate(df, QUERIES).collect()
+    }
+    assert got == _ref(docs_pdf, QUERIES)
+    con = duckdb.connect()
+    con.register("docs", docs_pdf)
+    want = set(
+        map(tuple, con.execute(percolate_oracle_sql("docs", QUERIES)).fetchall())
+    )
+    assert got == want and got, len(got)
+
+
+def test_exclusion_and_candidate_index(spark):
+    # 'slow' docs must NOT match q3 even though 'customer' is present;
+    # a query whose registration token is absent can never match
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "customer fast path",
+                "customer slow path",
+                "spark only window here",
+            ],
+        }
+    )
+    got = {
+        (r["doc_id"], r["query_id"])
+        for r in percolate(spark.createDataFrame(pdf), QUERIES).collect()
+    }
+    assert got == {(1, 3), (3, 1)}
+
+
+def test_streaming_equals_batch(spark, docs_pdf, tmp_path):
+    import os
+
+    from pyspark.sql import types as T
+
+    os.makedirs(f"{tmp_path}/in", exist_ok=True)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{tmp_path}/in")
+    )
+    q = (
+        percolate(stream, QUERIES)
+        .writeStream.format("memory")
+        .queryName("perc")
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmp_path}/ckpt")
+        .start()
+    )
+    try:
+        mid = len(docs_pdf) // 2
+        for i, chunk in enumerate([docs_pdf.iloc[:mid], docs_pdf.iloc[mid:]]):
+            chunk.to_parquet(f"{tmp_path}/in/c{i}.parquet", index=False)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["doc_id"], r["query_id"])
+        for r in spark.table("perc").collect()
+    }
+    assert got == _ref(docs_pdf, QUERIES)
