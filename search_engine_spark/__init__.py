@@ -63,6 +63,10 @@ _PUBLIC = {
     "fingerprint": "search_engine_spark.operators.text",
     "sessionize_stream": "search_engine_spark.streaming.sessions",
     "hourly_counts_stream": "search_engine_spark.streaming.sessions",
+    "kmv_distinct": "search_engine_spark.operators.sketch",
+    "frequent_items": "search_engine_spark.operators.sketch",
+    "percolate": "search_engine_spark.operators.percolate",
+    "compile_queries": "search_engine_spark.operators.percolate",
 }
 
 

@@ -30,8 +30,12 @@ concatenated corpus — same docs rows, same lemma_stats/doc_stats, same
 search scores and doc ids — because the two-level id scheme assigns
 exactly ``A's ids ++ (B's ids + off)`` in that case.
 
-Scale shape: A's families move by directory copy (a manifest-level move
-on Iceberg — no data pass); B's docs are a narrow map (no shuffle, the
+Scale shape: A's families move by HARDLINK manifest (the Iceberg
+manifest-move analog — zero bytes copied; parquet part-files are
+immutable, the same property operators/snapshots.py relies on, and the
+append of B's rows only ever ADDS part files to the linked directories;
+cross-device falls back to a byte copy); B's docs are a narrow map (no
+shuffle, the
 array-typed lemma_counts column never crosses an exchange); B's blocks
 are a mapInPandas metadata patch; stats recompute from block metadata and
 the docs scan via the SAME stage functions the build job uses
@@ -53,6 +57,29 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from search_engine_spark.functions.codec import varbyte_decode, varbyte_encode
+
+
+def _manifest_move(src: str, dst: str) -> None:
+    """Materialize ``src`` at ``dst`` as a hardlink tree (Iceberg
+    manifest-move analog): O(files) metadata ops, zero bytes copied.
+    Safe because part-files are immutable — later writes into ``dst``
+    only add new files or unlink, never modify shared inodes. The
+    zero-byte ``_SUCCESS`` markers are recreated (a committer may
+    O_TRUNC them, which would reach through a hardlink); anything
+    unlinkable (cross-device) falls back to a byte copy."""
+    for root, _dirs, files in os.walk(src):
+        rel = os.path.relpath(root, src)
+        out_root = dst if rel == "." else os.path.join(dst, rel)
+        os.makedirs(out_root, exist_ok=True)
+        for fn in files:
+            sp, dp = os.path.join(root, fn), os.path.join(out_root, fn)
+            if fn == "_SUCCESS":
+                open(dp, "wb").close()
+                continue
+            try:
+                os.link(sp, dp)
+            except OSError:
+                shutil.copy2(sp, dp)
 
 
 def _patch_first_varint(buf: bytes, off: int) -> bytes:
@@ -177,7 +204,7 @@ def merge_indexes(
     )
     merged_off.write.mode("overwrite").parquet(f"{out}/conv_offsets")
 
-    # A's data families: directory copy — no data pass
+    # A's data families: hardlink manifest-move — no data pass
     families = ["docs", "postings"]
     has_filters = os.path.exists(f"{a}/filters")
     if has_filters != os.path.exists(f"{b}/filters"):
@@ -185,7 +212,7 @@ def merge_indexes(
     if has_filters:
         families.append("filters")
     for fam in families:
-        shutil.copytree(f"{a}/{fam}", f"{out}/{fam}")
+        _manifest_move(f"{a}/{fam}", f"{out}/{fam}")
 
     # B docs: narrow map (doc_id/bucket shift), appended per bucket
     docs_b = spark.read.parquet(f"{b}/docs").withColumn(
@@ -323,7 +350,7 @@ def merge_many(
     for i, (d, lin, off) in enumerate(zip(dirs, lins, offs)):
         if i == 0:
             for fam in ["docs", *families]:
-                shutil.copytree(f"{d}/{fam}", f"{out}/{fam}")
+                _manifest_move(f"{d}/{fam}", f"{out}/{fam}")
             merged_off = off
         else:
             docs_i = spark.read.parquet(f"{d}/docs").withColumn(

@@ -318,3 +318,27 @@ def test_merge_after_upsert_insert(spark, merged):
     _build(spark, over, f"{tmp}/iover", tmp, "iover")
     with pytest.raises(ValueError, match="conv_id"):
         merge_indexes(spark, a_up, f"{tmp}/iover", f"{tmp}/mover")
+
+
+def test_merge_moves_a_families_by_hardlink(merged):
+    """A's data families land in the merged index as HARDLINKS (Iceberg
+    manifest-move analog — zero bytes copied): every A part-file shares
+    its inode with the merged copy, and _SUCCESS markers are fresh files
+    (a committer may O_TRUNC them, which would reach through a link)."""
+    import os
+
+    ia, out = merged["ia"], merged["merged"]
+    linked = checked = 0
+    for fam in ("docs", "postings"):
+        for root, _d, files in os.walk(f"{ia}/{fam}"):
+            rel = os.path.relpath(root, f"{ia}/{fam}")
+            for fn in files:
+                src = os.path.join(root, fn)
+                dst = os.path.join(f"{out}/{fam}", "" if rel == "." else rel, fn)
+                assert os.path.exists(dst), dst
+                checked += 1
+                if fn == "_SUCCESS":
+                    assert os.stat(dst).st_ino != os.stat(src).st_ino
+                elif os.stat(dst).st_ino == os.stat(src).st_ino:
+                    linked += 1
+    assert checked > 2 and linked > 0, (checked, linked)
