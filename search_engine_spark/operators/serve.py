@@ -14,10 +14,20 @@ amortizes them:
 - the postings blocks DataFrame persisted (binary columns — cheap to
   cache, unlike array<struct> rows; see CLAUDE.md perf notes).
 
-Each query then runs exactly ONE Spark job: pruned block scan → per-shard
+Each query then runs AT MOST one Spark job: pruned block scan → per-shard
 kernel → TakeOrderedAndProject. Reference analog: the always-resident
 MySQL indexes + in-process caches of the Spring service
 (services/SearchServiceImpl.java:26-28).
+
+Adaptive execution venue: when the queried lemmas' total df (a zero-cost
+cached-dictionary lookup) is under ``local_df_budget``, the pruned
+blocks are broadcast-sized, so the server fetches them once into a
+per-lemma driver cache (one pushed point-scan per COLD lemma, zero Spark
+jobs on warm ones) and runs the SAME shard kernels in-process
+(``wand.run_kernel_local``) — the serving analog of a broadcast-join
+size threshold. Hot terms stay distributed. Applies to term and boolean
+search; rank/score-identical to the distributed path by shared-kernel
+construction (test_serve.py, test_bool.py).
 
 Full API parity from cached stats (each parity-tested against the
 SearchEngine or oracle twin in tests/test_serve.py): ``search`` (term
@@ -53,6 +63,8 @@ class QueryServer:
         index_dir: str,
         cache_blocks: bool = True,
         preload_dict_max_rows: int = 2_000_000,
+        local_df_budget: int = 50_000,
+        local_cache_bytes: int = 256 << 20,
     ):
         self.spark = spark
         self.index_dir = index_dir.rstrip("/")
@@ -85,6 +97,20 @@ class QueryServer:
         # NOT persisted: its array<struct> lemma_counts column is exactly
         # the layout the CLAUDE.md persist() warning is about)
         self._docs = None
+        # driver-local execution for SMALL posting sets: when the queried
+        # terms' TOTAL df (cached dictionary — zero-cost decision) is
+        # under `local_df_budget`, the pruned blocks are broadcast-sized,
+        # so the server collects them once (per-lemma LRU) and runs the
+        # SAME shard kernels in-process — zero Spark jobs on a warm term,
+        # one pushed point-scan on a cold one. Rank/score-identical to
+        # the distributed path (wand.blocks_core_local shares the kernel
+        # closures); hot terms stay distributed. The adaptive
+        # local-vs-scatter choice is the serving analog of a broadcast
+        # join threshold. local_df_budget=0 disables.
+        self.local_df_budget = int(local_df_budget)
+        self._block_cache: dict[str, object] = {}
+        self._block_cache_sizes: dict[str, int] = {}
+        self._block_cache_cap = int(local_cache_bytes)
 
     def _docs_table(self):
         if self._docs is None:
@@ -140,6 +166,44 @@ class QueryServer:
         if scope is not None:
             return {t: self._dfs.get((scope, t), 0) for t in terms}
         return {t: self._df_totals.get(t, 0) for t in terms}
+
+    def _local_blocks(self, lemmas: list[str], scope: str | None):
+        """Pruned block rows for ``lemmas`` as ONE pandas frame, served
+        from the per-lemma driver cache; cold lemmas fetch with a single
+        pushed ``lemma IN (...)`` point-scan. Eviction drops the oldest
+        cached lemma not needed by the current query."""
+        import pandas as pd
+
+        missing = [l for l in lemmas if l not in self._block_cache]
+        if missing:
+            got = prune_blocks(self.blocks, missing, None).toPandas()
+            for lem in missing:
+                frame = got[got["lemma"] == lem].reset_index(drop=True)
+                self._block_cache[lem] = frame
+                self._block_cache_sizes[lem] = int(
+                    sum(
+                        len(b)
+                        for col in ("doc_ids", "tfs", "doc_lens")
+                        for b in frame[col]
+                    )
+                ) + 256 * len(frame)
+            # bounded driver memory: evict oldest lemmas (insertion
+            # order) not needed by the current query until under cap
+            need = set(lemmas)
+            extra = [l for l in self._block_cache if l not in need]
+            while (
+                sum(self._block_cache_sizes.values()) > self._block_cache_cap
+                and extra
+            ):
+                drop = extra.pop(0)
+                self._block_cache.pop(drop)
+                self._block_cache_sizes.pop(drop)
+        pdf = pd.concat(
+            [self._block_cache[lem] for lem in lemmas], ignore_index=True
+        )
+        if scope is not None:
+            pdf = pdf[pdf["scope"] == scope].reset_index(drop=True)
+        return pdf
 
     # -- query ---------------------------------------------------------------
 
@@ -340,6 +404,18 @@ class QueryServer:
                 .collect()
             )
             return [(r["doc_id"], r["score"]) for r in rows][offset:]
+        if not groups and self.local_df_budget > 0:
+            from search_engine_spark.operators.wand import blocks_core_local
+
+            lemmas = sorted(set(terms) | set(excl))
+            # decision on TOTAL (cross-scope) df: that is what a cold
+            # fetch actually collects (blocks cache per lemma, all scopes)
+            totals = self._term_dfs(lemmas, None)
+            if sum(totals.values()) <= self.local_df_budget:
+                return blocks_core_local(
+                    self._local_blocks(lemmas, scope), terms, idfs,
+                    avg_len, k, offset, mode, combine, excl, after,
+                )
         rows = _blocks_core(
             blocks, terms, idfs, avg_len, k, offset, mode, combine, excl,
             groups, after,
@@ -522,6 +598,15 @@ class QueryServer:
         kernel = _shard_bool_kernel(
             tree, terms, idfs, avg_len, offset + k, tuple(groups), after
         )
+        if not groups and self.local_df_budget > 0:
+            from search_engine_spark.operators.wand import run_kernel_local
+
+            lemmas = sorted(set(all_lemmas(tree)))
+            totals = self._term_dfs(lemmas, None)
+            if sum(totals.values()) <= self.local_df_budget:
+                return run_kernel_local(
+                    self._local_blocks(lemmas, scope), kernel, k, offset
+                )
         per_shard = blocks.groupBy("shard").applyInPandas(
             kernel, schema=SEARCH_RESULT
         )

@@ -765,6 +765,59 @@ def _blocks_core(
     return _paginate(per_shard, k, offset)
 
 
+def blocks_core_local(
+    blocks_pdf: pd.DataFrame,
+    terms: list[str],
+    idfs: list[float],
+    avg_len: float,
+    k: int,
+    offset: int,
+    mode: str,
+    combine: str,
+    excl_terms: list[str] | None = None,
+    after: tuple[float, int] | None = None,
+) -> list[tuple[int, float]]:
+    """Driver-local twin of ``_blocks_core``: the SAME per-shard kernel
+    closures run over an already-collected blocks frame (grouped by
+    shard in Python), merged with the SAME (score desc, doc_id asc)
+    total order. Rank/score-identical to the distributed path by
+    construction — one code path for the math, two execution venues.
+    Serving uses this for small posting sets (see QueryServer), where a
+    distributed barrier costs more than the postings themselves."""
+    m = offset + k
+    kernels = {
+        ("and", "wand"): _shard_wand_kernel,
+        ("and", "exact"): _shard_exact_kernel,
+        ("or", "wand"): _shard_or_wand_kernel,
+        ("or", "exact"): _shard_or_exact_kernel,
+    }
+    kernel = kernels[(combine, mode)](
+        terms, idfs, avg_len, m, tuple(excl_terms or ()), (), after
+    )
+    return run_kernel_local(blocks_pdf, kernel, k, offset)
+
+
+def run_kernel_local(
+    blocks_pdf: pd.DataFrame, kernel, k: int, offset: int
+) -> list[tuple[int, float]]:
+    """Run any per-shard kernel closure driver-side over a collected
+    blocks frame and merge with the pinned (score desc, doc_id asc)
+    total order — the in-process venue every kernel (term/bool/phrase)
+    shares with its ``applyInPandas`` twin."""
+    parts = [
+        kernel(sub)
+        for _, sub in blocks_pdf.groupby("shard", sort=True)
+    ]
+    parts = [p for p in parts if len(p)]
+    if not parts:
+        return []
+    merged = pd.concat(parts, ignore_index=True)
+    scores = merged["score"].to_numpy(np.float64)
+    ids = merged["doc_id"].to_numpy(np.int64)
+    order = np.lexsort((ids, -scores))[offset:offset + k]
+    return [(int(ids[i]), float(scores[i])) for i in order]
+
+
 def _shard_bool_kernel(tree, terms, idfs, avg_len, m, req_groups=(), after=None):
     """Per-shard grouped-map fn: boolean-AST matching + exact scoring.
 

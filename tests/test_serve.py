@@ -198,3 +198,62 @@ def test_server_significant_terms_parity(spark, base_index_dir):
     got = srv.significant_terms(RARE, k=8, depth=50)
     assert want and got == want
     assert srv.significant_terms("zzzznotaword", k=8) == []
+
+
+def test_server_local_fast_path_rank_identity(spark, base_index_dir, oracle_idx):
+    """Small posting sets execute DRIVER-LOCAL (wand.blocks_core_local —
+    same kernel closures, zero Spark jobs on a warm term); results must
+    be bit-identical to the distributed path and the oracle across
+    modes. The tiny test corpus keeps every query under the default df
+    budget, so srv_local always takes the local venue."""
+    srv_local = QueryServer(spark, base_index_dir["index"], cache_blocks=False)
+    srv_dist = QueryServer(
+        spark, base_index_dir["index"], cache_blocks=False, local_df_budget=0
+    )
+    assert srv_local.local_df_budget > 0
+    for i in (0, 2, 7, 8, 11):
+        qid, query, scope, k, offset = QUERY_CASES[i]
+        exp = [
+            (d, s)
+            for d, s in orc.search(
+                oracle_idx, query, scope=scope, k=k, offset=offset
+            )
+        ]
+        for mode in ("wand", "exact"):
+            got_l = srv_local.search(
+                query, scope=scope, k=k, offset=offset, mode=mode
+            )
+            got_d = srv_dist.search(
+                query, scope=scope, k=k, offset=offset, mode=mode
+            )
+            assert got_l == exp and got_d == exp, (qid, mode)
+    assert srv_local._block_cache and not srv_dist._block_cache
+    # warm repeat: served purely from the driver cache, same rows
+    qid, query, scope, k, offset = QUERY_CASES[0]
+    before = dict(srv_local._block_cache)
+    again = srv_local.search(query, scope=scope, k=k, offset=offset)
+    assert again == srv_dist.search(query, scope=scope, k=k, offset=offset)
+    assert list(srv_local._block_cache) == list(before)
+
+
+def test_server_local_cache_eviction(spark, base_index_dir, oracle_idx):
+    """A 1-byte cache cap forces eviction of every lemma not in the
+    current query; results stay oracle-identical throughout."""
+    srv = QueryServer(
+        spark, base_index_dir["index"], cache_blocks=False,
+        local_cache_bytes=1,
+    )
+    for i in (0, 2, 0):
+        qid, query, scope, k, offset = QUERY_CASES[i]
+        exp = [
+            (d, s)
+            for d, s in orc.search(
+                oracle_idx, query, scope=scope, k=k, offset=offset
+            )
+        ]
+        assert srv.search(query, scope=scope, k=k, offset=offset) == exp, qid
+        # only the current query's lemmas may remain cached
+        assert sum(srv._block_cache_sizes.values()) == sum(
+            srv._block_cache_sizes[l] for l in srv._block_cache
+        )
+        assert len(srv._block_cache) <= 4
