@@ -63,7 +63,7 @@ class QueryServer:
         index_dir: str,
         cache_blocks: bool = True,
         preload_dict_max_rows: int = 2_000_000,
-        local_df_budget: int = 50_000,
+        local_df_budget: int = 200_000,
         local_cache_bytes: int = 256 << 20,
     ):
         self.spark = spark
@@ -106,10 +106,16 @@ class QueryServer:
         # the distributed path (wand.blocks_core_local shares the kernel
         # closures); hot terms stay distributed. The adaptive
         # local-vs-scatter choice is the serving analog of a broadcast
-        # join threshold. local_df_budget=0 disables.
+        # join threshold: 200k postings ≈ 2 MB of varbyte blocks, well
+        # inside Spark's own 10 MB broadcast default. =0 disables.
         self.local_df_budget = int(local_df_budget)
         self._block_cache: dict[str, object] = {}
         self._block_cache_sizes: dict[str, int] = {}
+        # positional (phrase) blocks cache separately — their frames
+        # carry the positions payload, so mixing layouts would corrupt
+        # the concat; both caches share the one bytes cap
+        self._pos_block_cache: dict[str, object] = {}
+        self._pos_block_sizes: dict[str, int] = {}
         self._block_cache_cap = int(local_cache_bytes)
 
     def _docs_table(self):
@@ -167,43 +173,68 @@ class QueryServer:
             return {t: self._dfs.get((scope, t), 0) for t in terms}
         return {t: self._df_totals.get(t, 0) for t in terms}
 
-    def _local_blocks(self, lemmas: list[str], scope: str | None):
+    def _local_blocks(
+        self, lemmas: list[str], scope: str | None, positional: bool = False
+    ):
         """Pruned block rows for ``lemmas`` as ONE pandas frame, served
         from the per-lemma driver cache; cold lemmas fetch with a single
         pushed ``lemma IN (...)`` point-scan. Eviction drops the oldest
         cached lemma not needed by the current query."""
         import pandas as pd
 
-        missing = [l for l in lemmas if l not in self._block_cache]
+        cache = self._pos_block_cache if positional else self._block_cache
+        sizes = self._pos_block_sizes if positional else self._block_cache_sizes
+        missing = [l for l in lemmas if l not in cache]
         if missing:
-            got = prune_blocks(self.blocks, missing, None).toPandas()
+            got = prune_blocks(
+                self.blocks, missing, None, with_positions=positional
+            ).toPandas()
+            byte_cols = ("doc_ids", "tfs", "doc_lens") + (
+                ("positions",) if positional else ()
+            )
             for lem in missing:
                 frame = got[got["lemma"] == lem].reset_index(drop=True)
-                self._block_cache[lem] = frame
-                self._block_cache_sizes[lem] = int(
-                    sum(
-                        len(b)
-                        for col in ("doc_ids", "tfs", "doc_lens")
-                        for b in frame[col]
-                    )
+                cache[lem] = frame
+                sizes[lem] = int(
+                    sum(len(b) for col in byte_cols for b in frame[col])
                 ) + 256 * len(frame)
-            # bounded driver memory: evict oldest lemmas (insertion
-            # order) not needed by the current query until under cap
+            # bounded driver memory (one cap across both caches): evict
+            # oldest lemmas not needed by the current query until under
             need = set(lemmas)
-            extra = [l for l in self._block_cache if l not in need]
-            while (
-                sum(self._block_cache_sizes.values()) > self._block_cache_cap
-                and extra
-            ):
+            total = lambda: (  # noqa: E731
+                sum(self._block_cache_sizes.values())
+                + sum(self._pos_block_sizes.values())
+            )
+            extra = [l for l in cache if l not in need]
+            while total() > self._block_cache_cap and extra:
                 drop = extra.pop(0)
-                self._block_cache.pop(drop)
-                self._block_cache_sizes.pop(drop)
+                cache.pop(drop)
+                sizes.pop(drop)
+            other_c, other_s = (
+                (self._block_cache, self._block_cache_sizes)
+                if positional
+                else (self._pos_block_cache, self._pos_block_sizes)
+            )
+            extra = list(other_c)
+            while total() > self._block_cache_cap and extra:
+                drop = extra.pop(0)
+                other_c.pop(drop)
+                other_s.pop(drop)
         pdf = pd.concat(
-            [self._block_cache[lem] for lem in lemmas], ignore_index=True
+            [cache[lem] for lem in lemmas], ignore_index=True
         )
         if scope is not None:
             pdf = pdf[pdf["scope"] == scope].reset_index(drop=True)
         return pdf
+
+    def _local_venue(self, lemmas: list[str]) -> bool:
+        """Venue decision: total cross-scope df of the queried lemmas
+        (what a cold fetch actually collects) under the broadcast-sized
+        budget — a zero-job cached-dictionary lookup."""
+        if self.local_df_budget <= 0:
+            return False
+        totals = self._term_dfs(sorted(set(lemmas)), None)
+        return sum(totals.values()) <= self.local_df_budget
 
     # -- query ---------------------------------------------------------------
 
@@ -404,18 +435,14 @@ class QueryServer:
                 .collect()
             )
             return [(r["doc_id"], r["score"]) for r in rows][offset:]
-        if not groups and self.local_df_budget > 0:
+        lemmas = sorted(set(terms) | set(excl))
+        if not groups and self._local_venue(lemmas):
             from search_engine_spark.operators.wand import blocks_core_local
 
-            lemmas = sorted(set(terms) | set(excl))
-            # decision on TOTAL (cross-scope) df: that is what a cold
-            # fetch actually collects (blocks cache per lemma, all scopes)
-            totals = self._term_dfs(lemmas, None)
-            if sum(totals.values()) <= self.local_df_budget:
-                return blocks_core_local(
-                    self._local_blocks(lemmas, scope), terms, idfs,
-                    avg_len, k, offset, mode, combine, excl, after,
-                )
+            return blocks_core_local(
+                self._local_blocks(lemmas, scope), terms, idfs,
+                avg_len, k, offset, mode, combine, excl, after,
+            )
         rows = _blocks_core(
             blocks, terms, idfs, avg_len, k, offset, mode, combine, excl,
             groups, after,
@@ -523,6 +550,13 @@ class QueryServer:
         kernel = _shard_phrase_kernel(
             seq, uniq, idfs, avg_len, offset + k, slop, tuple(groups), after
         )
+        if not groups and self._local_venue(uniq):
+            from search_engine_spark.operators.wand import run_kernel_local
+
+            return run_kernel_local(
+                self._local_blocks(uniq, scope, positional=True),
+                kernel, k, offset,
+            )
         per_shard = blocks.groupBy("shard").applyInPandas(
             kernel, schema=SEARCH_RESULT
         )
@@ -598,15 +632,13 @@ class QueryServer:
         kernel = _shard_bool_kernel(
             tree, terms, idfs, avg_len, offset + k, tuple(groups), after
         )
-        if not groups and self.local_df_budget > 0:
+        lemmas = sorted(set(all_lemmas(tree)))
+        if not groups and self._local_venue(lemmas):
             from search_engine_spark.operators.wand import run_kernel_local
 
-            lemmas = sorted(set(all_lemmas(tree)))
-            totals = self._term_dfs(lemmas, None)
-            if sum(totals.values()) <= self.local_df_budget:
-                return run_kernel_local(
-                    self._local_blocks(lemmas, scope), kernel, k, offset
-                )
+            return run_kernel_local(
+                self._local_blocks(lemmas, scope), kernel, k, offset
+            )
         per_shard = blocks.groupBy("shard").applyInPandas(
             kernel, schema=SEARCH_RESULT
         )
@@ -652,6 +684,14 @@ class QueryServer:
         if not terms:
             return []
         idfs = [bm25_idf(dfs[t], n_docs) for t in terms]
+        if self._local_venue(terms):
+            from search_engine_spark.operators.wand import blocks_core_local
+
+            rows_l = blocks_core_local(
+                self._local_blocks(terms, scope), terms, idfs, avg_len,
+                k + 1, 0, "wand", "or", [], None,
+            )
+            return [(d, s) for d, s in rows_l if d != int(doc_id)][:k]
         blocks = prune_blocks(self.blocks, terms, scope)
         rows = _blocks_core(
             blocks, terms, idfs, avg_len, k + 1, 0, "wand", "or", [], (),
