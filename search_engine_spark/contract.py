@@ -1441,6 +1441,95 @@ def q_decontaminate(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# conversation suite (operators/conversations.py twins) — the driver's
+# tables carry no transcripts, so a transcripts-shaped view is DERIVED
+# from documents with pinned arithmetic, identically in both engines:
+# conv = doc_id % CONV_MOD, turn = doc_id div CONV_MOD (unique per conv),
+# role alternates by parity, tool by residue mod 7
+# ---------------------------------------------------------------------------
+
+CONV_MOD = 101
+CTX_PREV = 3  # context_windows: previous-turn budget
+CONV_BUDGET = 120  # assemble_samples: tokens per training sample
+SPAN_W = 8  # duplicate_spans: tokens per gram
+
+_CONV_DUCK = f"""
+    SELECT 'c' || (doc_id % {CONV_MOD})::VARCHAR AS conv_id,
+           (doc_id // {CONV_MOD})::BIGINT AS turn_idx,
+           CASE WHEN doc_id % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+           text,
+           CASE WHEN doc_id % 7 = 3 THEN 'search'
+                WHEN doc_id % 7 = 5 THEN 'python' END AS tool
+    FROM documents
+"""
+
+
+def _conv(spark, sf_dir) -> DataFrame:
+    d = _read(spark, sf_dir, "documents")
+    return d.select(
+        F.concat(
+            F.lit("c"), (F.col("doc_id") % CONV_MOD).cast("string")
+        ).alias("conv_id"),
+        F.expr(f"doc_id div {CONV_MOD}").cast("long").alias("turn_idx"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("user"))
+        .otherwise(F.lit("assistant"))
+        .alias("role"),
+        "text",
+        F.when(F.col("doc_id") % 7 == 3, F.lit("search"))
+        .when(F.col("doc_id") % 7 == 5, F.lit("python"))
+        .alias("tool"),
+    )
+
+
+def q_conv_stats(spark, sf_dir):
+    """Per-conversation rollup (operators/conversations.py
+    conversation_stats): turn/role/tool counts and token budget — the
+    curation-filter input for dialogue data. One hash agg."""
+    from search_engine_spark.operators.conversations import (
+        conversation_stats,
+    )
+
+    return conversation_stats(_conv(spark, sf_dir))
+
+
+def q_conv_context(spark, sf_dir):
+    """(context, target) next-turn-prediction pairs
+    (operators/conversations.py context_windows): each assistant turn
+    with its previous <= CTX_PREV turns rendered as the prompt. One
+    partitioned window."""
+    from search_engine_spark.operators.conversations import context_windows
+
+    return context_windows(_conv(spark, sf_dir), CTX_PREV)
+
+
+def q_conv_samples(spark, sf_dir):
+    """Fixed-token-budget conversation segmentation
+    (operators/conversations.py assemble_samples): offset-based
+    turn-boundary splits into ~CONV_BUDGET-token training samples."""
+    from search_engine_spark.operators.conversations import assemble_samples
+
+    return assemble_samples(_conv(spark, sf_dir), CONV_BUDGET)
+
+
+def q_tool_transitions(spark, sf_dir):
+    """Tool-call bigram transition counts (operators/conversations.py
+    tool_transitions): agent-behavior analytics over the tool stream."""
+    from search_engine_spark.operators.conversations import tool_transitions
+
+    return tool_transitions(_conv(spark, sf_dir))
+
+
+def q_dup_spans(spark, sf_dir):
+    """Exact substring-level duplication (operators/dedup.py
+    duplicate_spans, Lee et al. 2022 at SPAN_W-token granularity):
+    per-doc count of width-grams shared verbatim with other docs —
+    catches partial copies that doc-level MinHash/SimHash miss."""
+    from search_engine_spark.operators.dedup import duplicate_spans
+
+    return duplicate_spans(_read(spark, sf_dir, "documents"), SPAN_W)
+
+
+# ---------------------------------------------------------------------------
 # DuckDB oracle SQL twins
 # ---------------------------------------------------------------------------
 
@@ -2347,11 +2436,32 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redact_pii": q_redact_pii,
         "repetition_signals": q_repetition_signals,
         "decontaminate": q_decontaminate,
+        "conv_stats": q_conv_stats,
+        "conv_context": q_conv_context,
+        "conv_samples": q_conv_samples,
+        "tool_transitions": q_tool_transitions,
+        "dup_spans": q_dup_spans,
     }
 
 
 def duckdb_oracles() -> dict[str, str]:
+    from search_engine_spark.operators.conversations import (
+        assemble_samples_oracle_sql,
+        context_windows_oracle_sql,
+        conversation_stats_oracle_sql,
+        tool_transitions_oracle_sql,
+    )
+    from search_engine_spark.operators.dedup import duplicate_spans_oracle_sql
+
     m = _oracle_sql_map()
+    conv_tbl = f"({_CONV_DUCK})"
+    m["conv_stats"] = conversation_stats_oracle_sql(table=conv_tbl)
+    m["conv_context"] = context_windows_oracle_sql(CTX_PREV, table=conv_tbl)
+    m["conv_samples"] = assemble_samples_oracle_sql(
+        CONV_BUDGET, table=conv_tbl
+    )
+    m["tool_transitions"] = tool_transitions_oracle_sql(table=conv_tbl)
+    m["dup_spans"] = duplicate_spans_oracle_sql(SPAN_W)
     # ann_cosine_topk needs the query vector embedded literally; DuckDB can
     # read it from the registered embeddings view itself.
     m["ann_cosine_topk"] = f"""

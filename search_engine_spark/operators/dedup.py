@@ -233,3 +233,133 @@ def simhash(tf_df: DataFrame, n_bits: int = 63) -> DataFrame:
         for b in range(n_bits)
     )
     return merged.select("doc_id", packed.alias("simhash"))
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    width: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact substring-level duplication (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better", at
+    token-``width``-gram granularity): for every doc, how many of its
+    ``width``-token windows also occur VERBATIM in at least
+    ``min_docs - 1`` other docs. Doc-level dedup (MinHash/SimHash above)
+    misses partial copies — a unique page quoting a boilerplate
+    paragraph; this flags the copied spans themselves. Returns
+    (doc_id, n_grams, dup_grams, dup_ratio) for docs with >= ``width``
+    tokens; ``dup_ratio = round(dup_grams / n_grams, 6)``.
+
+    Pinned semantics (the DuckDB twin computes the same): tokens =
+    ``[a-z0-9]+`` of lower(text) (the dedup-suite rule); gram text =
+    tokens joined by one space; identity = the 60-bit md5 prefix
+    (``TOKHASH_SQL``); a gram is duplicated when it appears in >=
+    ``min_docs`` DISTINCT docs (within-doc repeats alone don't count).
+
+    Scale shape (the suffix-array MapReduce approximation): one
+    map-only gram+hash pass (native HOFs, no Python), one hash agg
+    keyed by the uniform 60-bit hash with a map-side distinct-doc
+    combiner, one shuffle join back on the same hash, one per-doc agg.
+    No pairwise comparisons anywhere — cost is O(total tokens), not
+    O(docs^2); hot boilerplate grams concentrate only their own
+    occurrence rows (count-distinct partials, never a cross join)."""
+    if width < 2:
+        raise ValueError("need width >= 2")
+    gram_hash = TOKHASH_SQL.format(
+        col=f"concat_ws(' ', slice(_t, i + 1, {width}))"
+    )
+    occ = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.expr(
+                f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)"
+            ).alias("_t"),
+        )
+        .filter(F.size("_t") >= width)
+        .select(
+            "doc_id",
+            F.size("_t").alias("_n"),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, size(_t) - {width}), "
+                    f"i -> {gram_hash})"
+                )
+            ).alias("h"),
+        )
+    )
+    shared = (
+        occ.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("h")
+    )
+    per_doc = (
+        occ.join(shared, "h")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("dup_grams"))
+    )
+    base = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.expr(
+                f"size(regexp_extract_all(lower({text_col}), "
+                f"'[a-z0-9]+', 0))"
+            ).alias("_n"),
+        )
+        .filter(F.col("_n") >= width)
+        .select(
+            "doc_id", (F.col("_n") - width + 1).cast("long").alias("n_grams")
+        )
+    )
+    return (
+        base.join(per_doc, "doc_id", "left")
+        .na.fill({"dup_grams": 0})
+        .select(
+            "doc_id",
+            "n_grams",
+            F.col("dup_grams").cast("long").alias("dup_grams"),
+            F.round(F.col("dup_grams") / F.col("n_grams"), 6).alias(
+                "dup_ratio"
+            ),
+        )
+    )
+
+
+def duplicate_spans_oracle_sql(
+    width: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    table: str = "documents",
+    min_docs: int = 2,
+) -> str:
+    """DuckDB twin of ``duplicate_spans`` (same token / gram / hash /
+    threshold pins)."""
+    gram = f"array_to_string(tk[i + 1 : i + {width}], ' ')"
+    ghash = f"(('0x' || substr(md5({gram}), 1, 15))::BIGINT)"
+    return f"""
+        WITH t AS (
+            SELECT {id_col} AS doc_id,
+                   regexp_extract_all(lower({text_col}), '[a-z0-9]+') AS tk
+            FROM {table}),
+        occ AS (
+            SELECT doc_id, len(tk)::BIGINT AS _n,
+                   unnest([{ghash}
+                           for i in range(0, len(tk) - {width} + 1)]) AS h
+            FROM t WHERE len(tk) >= {width}),
+        shared AS (
+            SELECT h FROM occ GROUP BY h
+            HAVING count(DISTINCT doc_id) >= {min_docs}),
+        per_doc AS (
+            SELECT doc_id, count(*)::BIGINT AS dup_grams
+            FROM occ JOIN shared USING (h) GROUP BY doc_id),
+        base AS (
+            SELECT doc_id, (len(tk) - {width} + 1)::BIGINT AS n_grams
+            FROM t WHERE len(tk) >= {width})
+        SELECT base.doc_id, base.n_grams,
+               coalesce(per_doc.dup_grams, 0)::BIGINT AS dup_grams,
+               round(coalesce(per_doc.dup_grams, 0)::DOUBLE / base.n_grams,
+                     6) AS dup_ratio
+        FROM base LEFT JOIN per_doc USING (doc_id)
+    """
