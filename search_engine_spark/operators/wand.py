@@ -38,7 +38,11 @@ from pyspark.sql import functions as F
 
 from search_engine_spark import BM25_B, BM25_K1
 from search_engine_spark.functions.analyze import query_lemmas
-from search_engine_spark.functions.codec import delta_decode, varbyte_decode
+from search_engine_spark.functions.codec import (
+    delta_decode,
+    delta_decode_segmented,
+    varbyte_decode,
+)
 from search_engine_spark.functions.scoring import bm25_idf, query_killed_by_cutoff
 from search_engine_spark.operators.query import (
     _paginate,
@@ -62,26 +66,31 @@ def _decode_one(row) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     return ids, tfs, dls
 
 
+def _fused_ids(pdf: pd.DataFrame) -> np.ndarray:
+    """All blocks' doc_ids in pdf row order, ONE decode pass: the block
+    buffers concatenate into a single valid varbyte stream (values never
+    span buffers) and the per-block-absolute deltas resolve with a
+    segmented cumsum keyed by the ``count`` column."""
+    gaps = varbyte_decode(b"".join(pdf["doc_ids"].to_numpy(object)))
+    return delta_decode_segmented(
+        gaps, pdf["count"].to_numpy(np.int64)
+    ).astype(np.int64)
+
+
 def _gather_term(pdf: pd.DataFrame) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """All blocks of one term in one shard → sorted (ids, tfs, dls).
     Blocks from different scope groups interleave in doc_id, so sort.
-    Byte columns are pulled as object arrays once (row-wise pandas
-    access costs multiples of the decode itself)."""
-    parts = [
-        (
-            delta_decode(varbyte_decode(d)).astype(np.int64),
-            varbyte_decode(t).astype(np.int64),
-            varbyte_decode(l).astype(np.int64),
-        )
-        for d, t, l in zip(
-            pdf["doc_ids"].to_numpy(object),
-            pdf["tfs"].to_numpy(object),
-            pdf["doc_lens"].to_numpy(object),
-        )
-    ]
-    ids = np.concatenate([p[0] for p in parts])
-    tfs = np.concatenate([p[1] for p in parts])
-    dls = np.concatenate([p[2] for p in parts])
+    Decoding is FUSED across blocks (one varbyte pass per column +
+    segmented delta cumsum) — per-block numpy calls cost ~6x the decode
+    itself on many-block terms; byte columns are pulled as object
+    arrays once (row-wise pandas access costs multiples of the decode)."""
+    ids = _fused_ids(pdf)
+    tfs = varbyte_decode(b"".join(pdf["tfs"].to_numpy(object))).astype(
+        np.int64
+    )
+    dls = varbyte_decode(
+        b"".join(pdf["doc_lens"].to_numpy(object))
+    ).astype(np.int64)
     order = np.argsort(ids, kind="stable")  # doc_ids are unique per term
     return ids[order], tfs[order], dls[order]
 
@@ -142,14 +151,7 @@ def _gather_excluded(pdf: pd.DataFrame, excl_terms: list[str]):
     ep = pdf[pdf["lemma"].isin(excl_terms)]
     if ep.empty:
         return None
-    return np.unique(
-        np.concatenate(
-            [
-                delta_decode(varbyte_decode(d)).astype(np.int64)
-                for d in ep["doc_ids"].to_numpy(object)
-            ]
-        )
-    )
+    return np.unique(_fused_ids(ep))
 
 
 def _drop_excluded(
@@ -180,14 +182,7 @@ def _gather_required(pdf: pd.DataFrame, groups):
         gp = pdf[pdf["lemma"].isin(g)]
         if gp.empty:
             return np.empty(0, dtype=np.int64)
-        ids = np.unique(
-            np.concatenate(
-                [
-                    delta_decode(varbyte_decode(d)).astype(np.int64)
-                    for d in gp["doc_ids"].to_numpy(object)
-                ]
-            )
-        )
+        ids = np.unique(_fused_ids(gp))
         req = ids if req is None else req[np.isin(req, ids, assume_unique=True)]
         if req.size == 0:
             return req
@@ -434,6 +429,7 @@ def _shard_wand_kernel(
                     "max_tf": tp["max_tf"].to_numpy(np.int64),
                     "min_dl": tp["min_dl"].to_numpy(np.int64),
                     "count": int(tp["count"].sum()),
+                    "counts": tp["count"].to_numpy(np.int64),
                     # raw byte columns as object arrays: per-block access
                     # must be a plain array index — a pandas .iloc +
                     # itertuples round-trip per block measured ~2 ms/call,
@@ -465,6 +461,39 @@ def _shard_wand_kernel(
                 meta["decoded"][ri] = hit
             return hit
 
+        def full_term(ti: int):
+            """Whole-term fused decode (sorted): one varbyte pass per
+            column + segmented delta cumsum — O(total postings), no
+            per-block numpy-call overhead. Cached on the meta."""
+            meta = metas[ti]
+            full = meta.get("full")
+            if full is None:
+                ids = delta_decode_segmented(
+                    varbyte_decode(b"".join(meta["doc_ids_b"])),
+                    meta["counts"],
+                ).astype(np.int64)
+                tfs = varbyte_decode(b"".join(meta["tfs_b"])).astype(
+                    np.int64
+                )
+                dls = varbyte_decode(b"".join(meta["dls_b"])).astype(
+                    np.int64
+                )
+                order = np.argsort(ids, kind="stable")
+                full = (ids[order], tfs[order], dls[order])
+                meta["full"] = full
+            return full
+
+        # hot∧rare fast path: when the rare term's candidate count
+        # reaches a dense term's BLOCK count, the sweep will touch
+        # essentially every block of that term anyway (candidates are
+        # spread over the whole doc range) — the per-block decode loop
+        # then costs ~6x the decode itself in numpy-call overhead
+        # (measured: 5k-block hot term). Fuse-decode such terms once up
+        # front; sparse terms keep the decode-only-touched-blocks path.
+        for oi in others:
+            if metas[rarest]["count"] >= metas[oi]["first"].size:
+                full_term(oi)
+
         def scope_groups(ti: int):
             """Per-scope (firsts, lasts, row_idx) triples, each sorted by
             first_doc_id. Within one (term, scope) block ranges are
@@ -495,7 +524,20 @@ def _shard_wand_kernel(
             blocks that the rare block's few candidates never touch stay
             varbyte-encoded, and the Python loop is over touched blocks,
             not all overlapping blocks (the old per-rare-block decode-all
-            + concat + argsort was O(rare_blocks × hot_blocks))."""
+            + concat + argsort was O(rare_blocks × hot_blocks)). Terms
+            pre-fused by ``full_term`` short-circuit to one searchsorted
+            against the whole sorted posting array."""
+            full = metas[ti].get("full")
+            if full is not None:
+                ids, tfs, dls = full
+                pos = np.searchsorted(ids, cand)
+                pos_c = np.minimum(pos, ids.size - 1)
+                found = ids[pos_c] == cand
+                return (
+                    found,
+                    np.where(found, tfs[pos_c], 0),
+                    np.where(found, dls[pos_c], 0),
+                )
             found = np.zeros(cand.size, dtype=bool)
             tfs_out = np.zeros(cand.size, dtype=np.int64)
             dls_out = np.zeros(cand.size, dtype=np.int64)

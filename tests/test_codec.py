@@ -61,3 +61,33 @@ def test_compression_wins_on_dense_ids():
     ids_buf, _ = encode_posting_block(ids, tfs)
     # gaps of 1 → ~1 byte/id vs 8 raw
     assert len(ids_buf) < ids.size * 2
+
+
+def test_delta_decode_segmented_matches_per_block():
+    from search_engine_spark.functions.codec import (
+        delta_decode_segmented,
+        varbyte_encode,
+    )
+
+    rng = np.random.default_rng(7)
+    # random per-block-absolute blocks of uneven sizes, interleaving ranges
+    blocks = []
+    for _ in range(37):
+        n = int(rng.integers(1, 50))
+        ids = np.sort(
+            rng.choice(np.arange(1, 10_000, dtype=np.int64), n, replace=False)
+        )
+        blocks.append(ids)
+    bufs = [varbyte_encode(delta_encode(b.astype(np.uint64))) for b in blocks]
+    counts = np.array([b.size for b in blocks], dtype=np.int64)
+    fused = delta_decode_segmented(
+        varbyte_decode(b"".join(bufs)), counts
+    ).astype(np.int64)
+    per_block = np.concatenate(
+        [delta_decode(varbyte_decode(bf)).astype(np.int64) for bf in bufs]
+    )
+    assert np.array_equal(fused, per_block)
+    # empty stream
+    assert delta_decode_segmented(
+        np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64)
+    ).size == 0
