@@ -1068,6 +1068,15 @@ def q_fingerprint(spark, sf_dir):
     )
 
 
+def q_lm_logppl(spark, sf_dir):
+    """CCNet-style LM quality score: per-doc log10-perplexity under a
+    self-trained interpolated bigram model (operators/text.py lm_logppl
+    — pinned vocab/smoothing/fold shapes shared with the DuckDB twin)."""
+    from search_engine_spark.operators.text import lm_logppl
+
+    return lm_logppl(_read(spark, sf_dir, "documents"), vocab_size=256, lam=0.7)
+
+
 def q_collocations_pmi(spark, sf_dir):
     """Adjacent-word collocations by pointwise mutual information
     (operators/text.py collocations — Church & Hanks 1990): bigrams with
@@ -2128,6 +2137,7 @@ def _oracle_sql_map() -> dict[str, str]:
                        (acc, x) -> (acc * 31 + x) % {HASH_MOD}) AS fingerprint
             FROM t
         """,
+        "lm_logppl": _lm_logppl_duck(),
         "collocations_pmi": """
             WITH toks AS (
                 SELECT regexp_extract_all(lower(text), '[a-z]+') AS t
@@ -2342,6 +2352,12 @@ def _kmv_distinct_duck() -> str:
     return kmv_distinct_sql("documents", "text", 16, group_cols=["source"])
 
 
+def _lm_logppl_duck() -> str:
+    from search_engine_spark.operators.text import lm_logppl_oracle_sql
+
+    return lm_logppl_oracle_sql(vocab_size=256, lam=0.7)
+
+
 def _frequent_tokens_duck() -> str:
     from search_engine_spark.operators.sketch import frequent_items_sql
 
@@ -2414,6 +2430,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
+        "lm_logppl": q_lm_logppl,
         "collocations_pmi": q_collocations_pmi,
         "stats_rollup": q_stats_rollup,
         "events_hourly": q_events_hourly,

@@ -459,3 +459,194 @@ def collocations(
     if k is not None:
         out = out.orderBy(F.desc("pmi"), F.asc("a"), F.asc("b")).limit(k)
     return out
+
+
+# -- interpolated bigram LM scoring (CCNet-style perplexity filter) ------------
+
+
+def lm_logppl(
+    docs: DataFrame,
+    vocab_size: int = 256,
+    lam: float = 0.7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, n_tokens, logppl): per-document log10-perplexity under an
+    interpolated bigram language model trained on the same corpus — the
+    classic LM-quality filter of the CCNet / CC-100 pipeline (Wenzek et
+    al. 2020 score documents with a KenLM 5-gram; this is the same
+    filter shape with a self-trained, fully deterministic 2-gram model
+    so both engines can reproduce it bit-for-bit).
+
+    Pinned model (the DuckDB twin computes the identical expressions):
+
+    - token stream: ``regexp_extract_all(lower(text), '[a-z]+')``;
+      docs with zero tokens are excluded from the output;
+    - vocab: top-``vocab_size`` tokens by (count desc, token asc);
+      out-of-vocab tokens map to the literal ``<unk>`` (cannot collide
+      with ``[a-z]+`` tokens);
+    - unigram: add-one smoothing over the mapped stream,
+      ``p_uni(w) = (n_w + 1.0) / (N + V + 1.0)`` with ``V`` = actual
+      vocab row count and ``N`` = total mapped tokens;
+    - bigram: ``p_bi(cur|prev) = n_prev_cur / n_prev`` (0 when the pair
+      was never seen — ``prev`` itself is always seen);
+    - interpolation: position 0 scores ``p_uni``; position i>0 scores
+      ``lam * p_bi + (1 - lam) * p_uni`` (``lam`` and ``1 - lam`` are
+      embedded as exact double literals on both engines);
+    - ``logppl = round(-(Σ_i log10 p_i) / n_tokens, 6)`` with the sum
+      folded LEFT-TO-RIGHT in position order (the repo-wide pinned
+      float-fold shape).
+
+    Scale shape: vocab selection is count-agg + TakeOrderedAndProject
+    (no global window); the model tables are vocabulary-sized (≤ V+1
+    unigram rows, ≤ V² bigram rows) and ride broadcast joins onto the
+    per-position stream; the per-position explode is inherent to LM
+    scoring (one row per token, like the lang-id trigram explode); the
+    final per-doc fold is one hash aggregation. The docs scan is
+    recomputed per model table (vocab/uni/bi) — a deployment training on
+    a held-in slice would materialize the three tiny model tables once
+    and only the scoring pass would touch the corpus."""
+    mu = 1.0 - lam
+    toks = docs.select(
+        id_col,
+        F.expr(f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)").alias("_t"),
+    ).filter(F.size("_t") > 0)
+    vocab = (
+        toks.select(F.explode("_t").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("w"))
+        .limit(vocab_size)
+    )
+    vrow = vocab.agg(
+        F.sort_array(F.collect_list("w")).alias("_vwords"),
+        F.count("*").alias("_vsize"),
+    )
+    m = toks.crossJoin(F.broadcast(vrow.select("_vwords"))).select(
+        id_col,
+        F.expr(
+            "transform(_t, x -> case when array_contains(_vwords, x) "
+            "then x else '<unk>' end)"
+        ).alias("_m"),
+    )
+    pos = m.select(
+        id_col,
+        F.explode(
+            F.expr(
+                "transform(_m, (x, i) -> struct(i as pos, x as cur, "
+                "case when i > 0 then element_at(_m, i) "
+                "else cast(null as string) end as prev))"
+            )
+        ).alias("p"),
+    ).select(id_col, "p.pos", "p.cur", "p.prev")
+    uni = pos.groupBy("cur").agg(F.count("*").alias("n")).select(
+        F.col("cur").alias("w"), "n"
+    )
+    # one-row (N, V) constants frame (the broadcast global-max pattern)
+    tot = uni.agg(F.sum("n").alias("_N")).crossJoin(vrow.select("_vsize"))
+    bi = (
+        pos.filter(F.col("prev").isNotNull())
+        .groupBy("prev", "cur")
+        .agg(F.count("*").alias("n_pc"))
+    )
+    p_uni = (F.col("n_cur") + F.lit(1.0)) / (
+        F.col("_N") + F.col("_vsize") + F.lit(1.0)
+    )
+    p_bi = F.coalesce(F.col("n_pc"), F.lit(0)).cast("double") / F.col("n_prev")
+    p = F.when(F.col("prev").isNull(), p_uni).otherwise(
+        F.lit(lam) * p_bi + F.lit(mu) * p_uni
+    )
+    scored = (
+        pos.join(
+            F.broadcast(
+                uni.select(F.col("w").alias("cur"), F.col("n").alias("n_cur"))
+            ),
+            "cur",
+        )
+        .join(
+            F.broadcast(
+                uni.select(F.col("w").alias("prev"), F.col("n").alias("n_prev"))
+            ),
+            "prev",
+            "left",
+        )
+        .join(F.broadcast(bi), ["prev", "cur"], "left")
+        .crossJoin(F.broadcast(tot))
+        .select(id_col, "pos", F.log10(p).alias("_lp"))
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sort_array(F.collect_list(F.struct("pos", "_lp"))).alias("_l"),
+        )
+        .select(
+            id_col,
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.round(
+                -F.aggregate(
+                    "_l", F.lit(0.0), lambda a, s: a + s["_lp"]
+                )
+                / F.col("n_tokens"),
+                6,
+            ).alias("logppl"),
+        )
+    )
+
+
+def lm_logppl_oracle_sql(
+    vocab_size: int = 256,
+    lam: float = 0.7,
+    source_sql: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of ``lm_logppl`` — identical pinned model and float
+    expression shapes (left-to-right ``list_reduce`` fold in position
+    order; ``lam`` / ``1 - lam`` embedded via ``repr`` so both engines
+    parse the exact same doubles)."""
+    mu = 1.0 - lam
+    return f"""
+        WITH toks AS (
+            SELECT {id_col} AS doc_id,
+                   regexp_extract_all(lower({text_col}), '[a-z]+') AS _t
+            FROM {source_sql}
+            WHERE len(regexp_extract_all(lower({text_col}), '[a-z]+')) > 0),
+        vocab AS (
+            SELECT u.w, count(*) AS n
+            FROM toks, unnest(_t) AS u(w)
+            GROUP BY 1 ORDER BY n DESC, w ASC LIMIT {vocab_size}),
+        vlist AS (
+            SELECT list(w ORDER BY w) AS _vwords, count(*) AS _vsize FROM vocab),
+        m AS (
+            SELECT doc_id,
+                   [CASE WHEN list_contains(_vwords, x) THEN x
+                         ELSE '<unk>' END FOR x IN _t] AS _m
+            FROM toks, vlist),
+        pos AS (
+            SELECT doc_id, i AS pos, _m[i + 1] AS cur,
+                   CASE WHEN i > 0 THEN _m[i] END AS prev
+            FROM m, unnest(range(0, len(_m))) AS r(i)),
+        uni AS (SELECT cur AS w, count(*) AS n FROM pos GROUP BY 1),
+        tot AS (SELECT sum(n) AS _N FROM uni),
+        bi AS (
+            SELECT prev, cur, count(*) AS n_pc FROM pos
+            WHERE prev IS NOT NULL GROUP BY 1, 2),
+        sc AS (
+            SELECT p.doc_id, p.pos,
+                   log10(CASE WHEN p.prev IS NULL
+                         THEN (uc.n + 1.0) / (_N + _vsize + 1.0)
+                         ELSE {lam!r} * (coalesce(b.n_pc, 0)::DOUBLE / up.n)
+                              + {mu!r} * ((uc.n + 1.0) / (_N + _vsize + 1.0))
+                         END) AS _lp
+            FROM pos p
+            JOIN uni uc ON uc.w = p.cur
+            LEFT JOIN uni up ON up.w = p.prev
+            LEFT JOIN bi b ON b.prev = p.prev AND b.cur = p.cur
+            CROSS JOIN tot CROSS JOIN vlist)
+        SELECT doc_id AS {id_col}, count(*)::BIGINT AS n_tokens,
+               round(-list_reduce(list_prepend(0.0, list(_lp ORDER BY pos)),
+                                  (a, x) -> a + x)
+                     / count(*)::BIGINT, 6) AS logppl
+        FROM sc GROUP BY doc_id
+    """
