@@ -69,6 +69,7 @@ _PUBLIC = {
     "compile_queries": "search_engine_spark.operators.percolate",
     "duplicate_spans": "search_engine_spark.operators.dedup",
     "lm_logppl": "search_engine_spark.operators.text",
+    "textrank_keywords": "search_engine_spark.operators.text",
     # conversation suite (transcripts are multi-turn dialogues)
     "conversation_stats": "search_engine_spark.operators.conversations",
     "context_windows": "search_engine_spark.operators.conversations",

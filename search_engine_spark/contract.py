@@ -1077,6 +1077,16 @@ def q_lm_logppl(spark, sf_dir):
     return lm_logppl(_read(spark, sf_dir, "documents"), vocab_size=256, lam=0.7)
 
 
+def q_textrank(spark, sf_dir):
+    """Corpus keywords by TextRank (Mihalcea & Tarau 2004): weighted
+    PageRank over the word-adjacency graph, 10 pinned iterations with
+    6dp per-iteration rounding (operators/text.py textrank_keywords),
+    top-20 by (score desc, term asc)."""
+    from search_engine_spark.operators.text import textrank_keywords
+
+    return textrank_keywords(_read(spark, sf_dir, "documents"), k=20)
+
+
 def q_collocations_pmi(spark, sf_dir):
     """Adjacent-word collocations by pointwise mutual information
     (operators/text.py collocations — Church & Hanks 1990): bigrams with
@@ -2138,6 +2148,7 @@ def _oracle_sql_map() -> dict[str, str]:
             FROM t
         """,
         "lm_logppl": _lm_logppl_duck(),
+        "textrank_keywords": _textrank_duck(),
         "collocations_pmi": """
             WITH toks AS (
                 SELECT regexp_extract_all(lower(text), '[a-z]+') AS t
@@ -2352,6 +2363,12 @@ def _kmv_distinct_duck() -> str:
     return kmv_distinct_sql("documents", "text", 16, group_cols=["source"])
 
 
+def _textrank_duck() -> str:
+    from search_engine_spark.operators.text import textrank_oracle_sql
+
+    return textrank_oracle_sql(k=20)
+
+
 def _lm_logppl_duck() -> str:
     from search_engine_spark.operators.text import lm_logppl_oracle_sql
 
@@ -2431,6 +2448,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
         "lm_logppl": q_lm_logppl,
+        "textrank_keywords": q_textrank,
         "collocations_pmi": q_collocations_pmi,
         "stats_rollup": q_stats_rollup,
         "events_hourly": q_events_hourly,

@@ -650,3 +650,160 @@ def lm_logppl_oracle_sql(
                      / count(*)::BIGINT, 6) AS logppl
         FROM sc GROUP BY doc_id
     """
+
+
+# -- TextRank keyword extraction (weighted PageRank over word adjacency) -------
+
+
+def textrank_keywords(
+    docs: DataFrame,
+    damping: float = 0.85,
+    iters: int = 10,
+    k: int | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """(term, score): corpus keywords by TextRank (Mihalcea & Tarau
+    2004) — weighted PageRank over the undirected word-adjacency graph
+    of the lowercase ``[a-z]+`` token stream.
+
+    Pinned model (the DuckDB twin computes the identical expressions):
+
+    - edges: adjacent token pairs with ``a != b`` (self-loops dropped),
+      undirected — the weight of {a, b} is the total adjacency count in
+      either order;
+    - node set: words with at least one edge (isolated words drop, the
+      standard TextRank convention);
+    - ratio ``r(i←j) = w_ij / W_j`` with ``W_j`` = total incident
+      weight of j (bigint / bigint → double on both engines);
+    - iteration: ``s_i = round((1 - d) + d * Σ_j r(i←j) * s_j, 6)``
+      from ``s = 1.0``, the Σ folded LEFT-TO-RIGHT over neighbors in
+      lexicographic j order; the 6dp round after EVERY iteration is the
+      cross-engine pin (the kmeans/PQ trick — operators/ann.py) — drop
+      it and float drift compounds across iterations;
+    - ``d`` and ``1 - d`` are embedded as exact double literals;
+    - optional top-``k`` by (score desc, term asc) →
+      TakeOrderedAndProject, no global window.
+
+    Scale shape: the graph tables are vocabulary-sized (edges =
+    distinct adjacent pairs), so each iteration is one
+    vocabulary-keyed join + one hash aggregation — the canonical
+    iterative-PageRank shuffle pattern; nothing is corpus-sized after
+    the first two aggregations. The edge table is rebuilt lazily per
+    iteration here (Catalyst ReusedExchange collapses the repeats
+    within the one job); a long production run would materialize the
+    flat (i, j, r) table once before iterating."""
+    od = 1.0 - damping
+    toks = docs.select(
+        F.expr(f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)").alias(
+            "t"
+        )
+    )
+    pairs = (
+        toks.filter(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(slice(t, 1, size(t) - 1), "
+                    "(x, i) -> struct(x AS a, t[i + 1] AS b))"
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
+        .filter(F.col("a") != F.col("b"))
+    )
+    und = (
+        pairs.select(
+            F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+        )
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("w"))
+    )
+    adj = und.select(
+        F.col("u").alias("i"), F.col("v").alias("j"), "w"
+    ).unionByName(und.select(F.col("v").alias("i"), F.col("u").alias("j"), "w"))
+    wj = adj.groupBy("i").agg(F.sum("w").alias("wj")).select(
+        F.col("i").alias("j"), "wj"
+    )
+    ae = adj.join(wj, "j").select(
+        "i", "j", (F.col("w").cast("double") / F.col("wj")).alias("r")
+    )
+    scores = adj.select("i").distinct().select("i", F.lit(1.0).alias("s"))
+    for _ in range(iters):
+        c = ae.join(
+            scores.select(F.col("i").alias("j"), "s"), "j"
+        ).select("i", "j", (F.col("r") * F.col("s")).alias("_c"))
+        scores = (
+            c.groupBy("i")
+            .agg(
+                F.sort_array(F.collect_list(F.struct("j", "_c"))).alias("_l")
+            )
+            .select(
+                "i",
+                F.round(
+                    F.lit(od)
+                    + F.lit(damping)
+                    * F.aggregate(
+                        "_l", F.lit(0.0), lambda a, s: a + s["_c"]
+                    ),
+                    6,
+                ).alias("s"),
+            )
+        )
+    out = scores.select(
+        F.col("i").alias("term"), F.col("s").alias("score")
+    )
+    if k is not None:
+        out = out.orderBy(F.desc("score"), F.asc("term")).limit(k)
+    return out
+
+
+def textrank_oracle_sql(
+    damping: float = 0.85,
+    iters: int = 10,
+    k: int | None = None,
+    source_sql: str = "documents",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of ``textrank_keywords`` — the ``iters`` iterations
+    unrolled as chained CTEs, each summing neighbor contributions with
+    the same lexicographic-j left-to-right ``list_reduce`` fold and 6dp
+    round."""
+    od = 1.0 - damping
+    its = []
+    for n in range(1, iters + 1):
+        its.append(
+            f"""s{n} AS (
+            SELECT ae.i,
+                   round({od!r} + {damping!r} *
+                       list_reduce(list_prepend(0.0,
+                           list(ae.r * s{n - 1}.s ORDER BY ae.j)),
+                           (x, y) -> x + y), 6) AS s
+            FROM ae JOIN s{n - 1} ON s{n - 1}.i = ae.j
+            GROUP BY ae.i)"""
+        )
+    body = ",\n        ".join(its)
+    lim = (
+        f"ORDER BY score DESC, term ASC LIMIT {k}" if k is not None else ""
+    )
+    return f"""
+        WITH toks AS (
+            SELECT regexp_extract_all(lower({text_col}), '[a-z]+') AS t
+            FROM {source_sql}),
+        pairs AS (
+            SELECT t[i] AS a, t[i + 1] AS b
+            FROM toks, unnest(range(1, len(t))) AS r(i)
+            WHERE t[i] <> t[i + 1]),
+        e AS (
+            SELECT least(a, b) AS u, greatest(a, b) AS v, count(*) AS w
+            FROM pairs GROUP BY 1, 2),
+        adj AS (
+            SELECT u AS i, v AS j, w FROM e
+            UNION ALL SELECT v, u, w FROM e),
+        tot AS (SELECT i AS j, sum(w) AS wj FROM adj GROUP BY 1),
+        ae AS (
+            SELECT a.i, a.j, a.w::DOUBLE / t.wj AS r
+            FROM adj a JOIN tot t ON t.j = a.j),
+        s0 AS (SELECT DISTINCT i, 1.0::DOUBLE AS s FROM adj),
+        {body}
+        SELECT i AS term, s AS score FROM s{iters} {lim}
+    """
