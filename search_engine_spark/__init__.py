@@ -70,6 +70,7 @@ _PUBLIC = {
     "duplicate_spans": "search_engine_spark.operators.dedup",
     "lm_logppl": "search_engine_spark.operators.text",
     "textrank_keywords": "search_engine_spark.operators.text",
+    "mmr_rerank": "search_engine_spark.operators.rescore",
     # conversation suite (transcripts are multi-turn dialogues)
     "conversation_stats": "search_engine_spark.operators.conversations",
     "context_windows": "search_engine_spark.operators.conversations",

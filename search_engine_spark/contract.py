@@ -807,6 +807,25 @@ def q_kmeans_assign(spark, sf_dir):
     return out
 
 
+def q_mmr_diversify(spark, sf_dir):
+    """MMR result diversification (operators/rescore.py mmr_rerank,
+    Carbonell & Goldstein 1998): first stage = OR-mode BM25 top-20 over
+    ('dup','merge'); greedy picks maximize round(0.7*rel - 0.3*max_jac,
+    6) with ties to lower doc_id; k=10."""
+    from search_engine_spark.operators.rescore import mmr_rerank
+
+    per = _bm25_per_term(spark, sf_dir, BM25_TERMS)
+    first = (
+        per.groupBy("doc_id")
+        .agg(F.round(F.sum("_s"), 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(20)
+    )
+    return mmr_rerank(
+        first, _read(spark, sf_dir, "documents"), TOKS_SQL, k=10, lam=0.7
+    )
+
+
 def q_rescore_proximity(spark, sf_dir):
     """Second-stage proximity rescoring in SQL form (operators/
     rescore.py pins, ES rescore-window as prior art): first stage =
@@ -2149,6 +2168,7 @@ def _oracle_sql_map() -> dict[str, str]:
         """,
         "lm_logppl": _lm_logppl_duck(),
         "textrank_keywords": _textrank_duck(),
+        "mmr_diversify": _mmr_duck(),
         "collocations_pmi": """
             WITH toks AS (
                 SELECT regexp_extract_all(lower(text), '[a-z]+') AS t
@@ -2363,6 +2383,31 @@ def _kmv_distinct_duck() -> str:
     return kmv_distinct_sql("documents", "text", 16, group_cols=["source"])
 
 
+def _mmr_duck() -> str:
+    from search_engine_spark.operators.rescore import mmr_oracle_sql
+
+    first = """WITH lens AS (
+                SELECT doc_id, len({toks})::DOUBLE AS dl FROM documents),
+            st AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM lens),
+            tf AS (SELECT * FROM ({tfq}) WHERE term IN ('dup', 'merge')),
+            dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            per AS (
+                SELECT tf.doc_id,
+                       ln(1.0 + ((SELECT n FROM st) - dfs.df + 0.5)
+                                 / (dfs.df + 0.5))
+                       * tf.tf * {K1P1}
+                       / (tf.tf + {K1} * ({OMB} + {B}
+                          * lens.dl / (SELECT avgdl FROM st))) AS _s
+                FROM tf JOIN dfs USING (term) JOIN lens USING (doc_id))
+            SELECT doc_id, round(sum(_s), 6) AS score
+            FROM per GROUP BY doc_id
+            ORDER BY score DESC, doc_id ASC LIMIT 20""".format(
+        toks=TOKS_DUCK, tfq=_TF_DUCK,
+        K1P1=BM25_K1 + 1.0, K1=BM25_K1, OMB=1.0 - BM25_B, B=BM25_B,
+    )
+    return mmr_oracle_sql(first, TOKS_DUCK, k=10, lam=0.7)
+
+
 def _textrank_duck() -> str:
     from search_engine_spark.operators.text import textrank_oracle_sql
 
@@ -2449,6 +2494,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "lm_logppl": q_lm_logppl,
         "textrank_keywords": q_textrank,
+        "mmr_diversify": q_mmr_diversify,
         "collocations_pmi": q_collocations_pmi,
         "stats_rollup": q_stats_rollup,
         "events_hourly": q_events_hourly,

@@ -103,3 +103,150 @@ def rescore_window(
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+# -- MMR diversification (Carbonell & Goldstein 1998) --------------------------
+
+
+def mmr_rerank(
+    scored: DataFrame,
+    docs: DataFrame,
+    tokens_sql: str,
+    k: int = 10,
+    lam: float = 0.7,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, score, rank): Maximal Marginal Relevance re-ranking of a
+    scored window — greedily pick the doc maximizing
+    ``lam * rel - (1 - lam) * max_sim_to_picked`` so the top-``k``
+    balances relevance against novelty (Carbonell & Goldstein 1998, the
+    classic search-result-diversification second stage).
+
+    Pinned semantics (``mmr_oracle_sql`` is the DuckDB twin):
+
+    - candidate set = every row of ``scored`` (callers bound the window
+      with their first-stage ``LIMIT`` — the ES rescore contract);
+    - ``rel = score / max(score)`` over the window (one division);
+    - ``sim`` = Jaccard over the DISTINCT token set of ``tokens_sql``
+      (``|a ∩ b| / |a ∪ b|`` as one double division; 0.0 when the union
+      is empty), vs each already-picked doc, reduced with float max;
+    - pick order: argmax of ``round(lam * rel - (1-lam) * max_sim, 6)``
+      with ties to lower id — the 6dp round BEFORE the argmax is the
+      cross-engine pin (operators/ann.py family); the first pick
+      reduces to ``round(lam * rel, 6)`` (max_sim = 0);
+    - output rows carry the ORIGINAL first-stage score and the pick
+      ``rank`` (1-based).
+
+    Scale shape: the scored side is ≤ window rows and BROADCASTS into
+    the docs join (the rescore/snippet pattern — the corpus pays one
+    pruned join); the greedy selection is inherently sequential in k,
+    so it runs as ONE bounded ``applyInPandas`` group over ≤ window
+    rows — O(k · window) set intersections on one task, never
+    corpus-sized."""
+    mu = 1.0 - lam
+    cand = docs.select(
+        id_col,
+        F.array_sort(F.array_distinct(F.expr(tokens_sql))).alias("_set"),
+    ).join(F.broadcast(scored.select(id_col, "score")), id_col)
+
+    def _kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        if pdf.empty:
+            return pd.DataFrame(
+                {"_id": pd.Series(dtype="int64"),
+                 "score": pd.Series(dtype="float64"),
+                 "rank": pd.Series(dtype="int32")}
+            )
+        ids = pdf["_id"].to_numpy(np.int64)
+        scores = pdf["score"].to_numpy(np.float64)
+        sets = [frozenset(s) for s in pdf["_set"]]
+        rel = scores / scores.max()
+        n = ids.size
+        remaining = sorted(range(n), key=lambda i: ids[i])
+        picked: list[int] = []
+        out_id, out_sc, out_rk = [], [], []
+        for rank in range(1, min(k, n) + 1):
+            best_i, best_key = None, None
+            for i in remaining:
+                ms = 0.0
+                for j in picked:
+                    u = len(sets[i] | sets[j])
+                    s = len(sets[i] & sets[j]) / u if u else 0.0
+                    if s > ms:
+                        ms = s
+                m = np.round(lam * rel[i] - mu * ms, 6)
+                key = (-m, ids[i])
+                if best_key is None or key < best_key:
+                    best_i, best_key = i, key
+            picked.append(best_i)
+            remaining.remove(best_i)
+            out_id.append(ids[best_i])
+            out_sc.append(scores[best_i])
+            out_rk.append(rank)
+        return pd.DataFrame({"_id": out_id, "score": out_sc, "rank": out_rk})
+
+    return (
+        cand.select(F.col(id_col).alias("_id"), "score", "_set")
+        .groupBy(F.lit(1).alias("_g"))
+        .applyInPandas(
+            lambda _, pdf: _kernel(pdf),
+            schema="_id long, score double, rank int",
+        )
+        .select(F.col("_id").alias(id_col), "score", "rank")
+    )
+
+
+def mmr_oracle_sql(
+    first_stage_sql: str,
+    tokens_duck: str,
+    k: int = 10,
+    lam: float = 0.7,
+    source_sql: str = "documents",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of ``mmr_rerank`` — the ``k`` greedy picks unrolled
+    as chained CTEs, each an argmax over the same pinned
+    ``round(lam*rel - (1-lam)*max_sim, 6)`` with (value desc, id asc)
+    order. ``first_stage_sql`` must yield (``id_col``, score). The
+    accumulated-picks CTEs are MATERIALIZED: each step references the
+    previous picks twice (the NOT IN filter and the correlated
+    max-sim), so DuckDB's default CTE inlining would expand the chain
+    2^k-fold — measured as a hang at k=10 on 6 rows."""
+    mu = 1.0 - lam
+    jac = (
+        "CASE WHEN len(list_distinct(c._set || p._set)) = 0 THEN 0.0 "
+        "ELSE len(list_filter(c._set, x -> list_contains(p._set, x)))::DOUBLE"
+        " / len(list_distinct(c._set || p._set)) END"
+    )
+    steps = [
+        f"""p1 AS (
+            SELECT c.{id_col} FROM cand c
+            ORDER BY round({lam!r} * c.rel, 6) DESC, c.{id_col} ASC LIMIT 1),
+        k1 AS MATERIALIZED (SELECT {id_col}, 1 AS rank FROM p1)"""
+    ]
+    for n in range(2, k + 1):
+        steps.append(
+            f"""p{n} AS (
+            SELECT c.{id_col} FROM cand c
+            WHERE c.{id_col} NOT IN (SELECT {id_col} FROM k{n - 1})
+            ORDER BY round({lam!r} * c.rel - {mu!r} * coalesce(
+                (SELECT max({jac}) FROM cand p
+                 JOIN k{n - 1} pk ON p.{id_col} = pk.{id_col}), 0.0), 6)
+                DESC, c.{id_col} ASC
+            LIMIT 1),
+        k{n} AS MATERIALIZED (SELECT * FROM k{n - 1}
+                 UNION ALL SELECT {id_col}, {n} FROM p{n})"""
+        )
+    body = ",\n        ".join(steps)
+    return f"""
+        WITH first AS ({first_stage_sql}),
+        cand AS (
+            SELECT f.{id_col}, f.score,
+                   f.score / (SELECT max(score) FROM first) AS rel,
+                   list_sort(list_distinct({tokens_duck})) AS _set
+            FROM first f JOIN {source_sql} d ON d.{id_col} = f.{id_col}),
+        {body}
+        SELECT c.{id_col}, c.score, kk.rank
+        FROM k{k} kk JOIN cand c ON c.{id_col} = kk.{id_col}
+    """
