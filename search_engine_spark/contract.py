@@ -1567,6 +1567,117 @@ def q_dup_spans(spark, sf_dir):
     return duplicate_spans(_read(spark, sf_dir, "documents"), SPAN_W)
 
 
+HASHVEC_DIM = 32  # hashing_vectors: feature-hashing dimensionality
+
+
+def q_hashing_vectors(spark, sf_dir):
+    """Feature-hashing doc vectors (operators/text.py hashing_vectors,
+    Weinberger et al. 2009): sparse L2-normalized hashed-tf rows —
+    model-free embeddings for the ANN suite. Integer signed bucket
+    sums and an integer norm-square, so the only float op is one
+    pinned round(s / sqrt(ss), 6)."""
+    from search_engine_spark.operators.text import hashing_vectors
+
+    return hashing_vectors(_read(spark, sf_dir, "documents"), dim=HASHVEC_DIM)
+
+
+SEMDEDUP_TAU = 0.3  # semdedup: within-cluster cosine prune threshold
+# (the synthetic embeddings' high-similarity tail; real corpora ~0.95)
+
+
+def q_semdedup(spark, sf_dir):
+    """SemDeDup (operators/dedup.py semdedup, Abbas et al. 2023):
+    k-means topic clusters (the pinned 6dp kmeans), then within-cluster
+    cosine pruning — keep=false iff a lower-id cluster member has
+    round(cos, 6) >= SEMDEDUP_TAU. Cosine sums fold left-to-right in
+    dimension order on both engines."""
+    from search_engine_spark.operators.dedup import semdedup
+
+    return semdedup(
+        _read(spark, sf_dir, "embeddings"), k=4, iters=2,
+        threshold=SEMDEDUP_TAU,
+    )
+
+
+BPE_MERGES_N = 8  # bpe_merges: learned merge count
+BPE_TOP_V = 300  # bpe_merges: word-count vocabulary truncation
+
+
+def q_bpe_merges(spark, sf_dir):
+    """Distributed BPE tokenizer training (operators/bpe.py, Sennrich
+    et al. 2016): BPE_MERGES_N merges learned over the top-BPE_TOP_V
+    word-count table of the documents corpus. Merge pick pinned
+    (count desc, pair asc); greedy left-to-right apply pinned by the
+    double-separator replace (same literal `replace` semantics in
+    Spark, DuckDB and Python). Integer counts — no float pins. The
+    merge list is the operator's (tiny) output; the heavy operands
+    (corpus word-count pass, per-iteration pair aggregation) ran
+    distributed."""
+    from search_engine_spark.operators.bpe import bpe_train, word_counts
+
+    wc = word_counts(_read(spark, sf_dir, "documents"), top_v=BPE_TOP_V)
+    merges = bpe_train(wc, BPE_MERGES_N)
+    return spark.createDataFrame(
+        [(i + 1, p, c) for i, (p, c) in enumerate(merges)],
+        "merge_rank INT, pair STRING, cnt BIGINT",
+    )
+
+
+def bpe_merges_duck(n_merges: int, top_v: int | None) -> str:
+    """Unrolled-CTE DuckDB twin of the BPE trainer: m0..mN repr tables
+    (word → double-space-joined symbols + </w>), per-iteration pair
+    counts p_i, pinned pick b_i, merge-apply m_i via the same padded
+    double-separator literal replace. `§ §` is the never-matching
+    fallback pattern once the vocabulary exhausts (symbols are
+    [a-z0-9]+ or </w>)."""
+    lim = f"LIMIT {top_v}" if top_v is not None else ""
+    parts = [
+        f"""
+        WITH w AS MATERIALIZED (
+            SELECT word, count(*)::BIGINT AS freq FROM (
+                SELECT unnest({TOKS_DUCK}) AS word FROM documents)
+            GROUP BY word ORDER BY freq DESC, word ASC {lim}
+        ),
+        m0 AS MATERIALIZED (
+            SELECT word, freq,
+                   trim(regexp_replace(word, '(.)', '\\1  ', 'g'))
+                     || '  </w>' AS repr
+            FROM w
+        )"""
+    ]
+    for i in range(1, n_merges + 1):
+        parts.append(f"""
+        p{i} AS (
+            SELECT s[i] || ' ' || s[i+1] AS pair, sum(freq)::BIGINT AS cnt
+            FROM (SELECT freq, str_split(repr, '  ') AS s,
+                         unnest(range(1, len(str_split(repr, '  ')))) AS i
+                  FROM m{i - 1})
+            GROUP BY 1
+        ),
+        b{i} AS MATERIALIZED (
+            SELECT pair, cnt FROM p{i} ORDER BY cnt DESC, pair ASC LIMIT 1
+        ),
+        m{i} AS MATERIALIZED (
+            SELECT word, freq,
+                   trim(regexp_replace(
+                       replace(' ' || repr || ' ',
+                               ' ' || replace(coalesce((SELECT pair FROM b{i}),
+                                                       '§ §'), ' ', '  ') || ' ',
+                               ' ' || replace(coalesce((SELECT pair FROM b{i}),
+                                                       '§ §'), ' ', '') || ' '),
+                       ' +', '  ', 'g')) AS repr
+            FROM m{i - 1}
+        )""")
+    ranks = "\n            UNION ALL ".join(
+        f"SELECT {i} AS merge_rank, pair, cnt FROM b{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return (
+        ",".join(parts)
+        + f"\n        SELECT * FROM ({ranks}) ORDER BY merge_rank"
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle SQL twins
 # ---------------------------------------------------------------------------
@@ -2522,6 +2633,9 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_samples": q_conv_samples,
         "tool_transitions": q_tool_transitions,
         "dup_spans": q_dup_spans,
+        "bpe_merges": q_bpe_merges,
+        "semdedup": q_semdedup,
+        "hashing_vectors": q_hashing_vectors,
     }
 
 
@@ -2543,6 +2657,10 @@ def duckdb_oracles() -> dict[str, str]:
     )
     m["tool_transitions"] = tool_transitions_oracle_sql(table=conv_tbl)
     m["dup_spans"] = duplicate_spans_oracle_sql(SPAN_W)
+    m["bpe_merges"] = bpe_merges_duck(BPE_MERGES_N, BPE_TOP_V)
+    from search_engine_spark.operators.text import hashing_vectors_oracle_sql
+
+    m["hashing_vectors"] = hashing_vectors_oracle_sql(HASHVEC_DIM)
     # ann_cosine_topk needs the query vector embedded literally; DuckDB can
     # read it from the registered embeddings view itself.
     m["ann_cosine_topk"] = f"""
@@ -2765,6 +2883,37 @@ def duckdb_oracles() -> dict[str, str]:
         f"WITH km AS ({m['kmeans_assign']}) "
         f"SELECT vec_id, centroid FROM km WHERE {_arms}"
     )
+    _dot_ab = (
+        "list_reduce(list_prepend(0.0, "
+        f"[ea.embedding[i]::DOUBLE * eb.embedding[i]::DOUBLE "
+        f"for i in range(1, {EMB_DIM + 1})]), (a, b) -> a + b)"
+    )
+
+    def _norm(alias: str) -> str:
+        return (
+            "sqrt(list_reduce(list_prepend(0.0, "
+            f"[{alias}.embedding[i]::DOUBLE * {alias}.embedding[i]::DOUBLE "
+            f"for i in range(1, {EMB_DIM + 1})]), (a, b) -> a + b))"
+        )
+
+    m["semdedup"] = f"""
+        WITH km AS MATERIALIZED ({m['kmeans_assign']}),
+        pairs AS (
+            SELECT ka.vec_id AS i, kb.vec_id AS j
+            FROM km ka JOIN km kb
+              ON ka.centroid = kb.centroid AND kb.vec_id < ka.vec_id),
+        sim AS (
+            SELECT p.i,
+                   round({_dot_ab} / ({_norm('ea')} * {_norm('eb')}), 6)
+                     AS c
+            FROM pairs p
+            JOIN embeddings ea ON ea.vec_id = p.i
+            JOIN embeddings eb ON eb.vec_id = p.j),
+        dropped AS (SELECT DISTINCT i FROM sim WHERE c >= {SEMDEDUP_TAU})
+        SELECT km.vec_id, km.centroid,
+               km.vec_id NOT IN (SELECT i FROM dropped) AS keep
+        FROM km
+    """
     m["ann_ivf_topk"] = f"""
         WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
         dims AS (

@@ -363,3 +363,73 @@ def duplicate_spans_oracle_sql(
                      6) AS dup_ratio
         FROM base LEFT JOIN per_doc USING (doc_id)
     """
+
+
+def semdedup(
+    emb: DataFrame,
+    k: int = 4,
+    iters: int = 2,
+    threshold: float = 0.93,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication = k-means topic clusters, then within-cluster cosine
+    near-dup pruning — the embedding-space analog of MinHash dedup that
+    catches paraphrases sharing no n-grams.
+
+    Returns (id_col, centroid, keep): ``keep=false`` iff a LOWER-id
+    member of the same cluster has cosine similarity ≥ ``threshold``
+    (the pinned survivor rule — lowest id in each near-dup
+    neighborhood survives).
+
+    Pins (shared with the DuckDB contract twin ``semdedup``):
+    - clustering = ``ann.kmeans`` (6dp init/centroid/distance rounds);
+    - pair cosine = round(dot / (norm_a * norm_b), 6), every sum
+      accumulated strictly left-to-right in dimension order (float64),
+      compared ≥ threshold AFTER the round.
+
+    Scale shape: clustering is the shuffle-free partial-agg kmeans;
+    the pairwise stage shuffles each vector ONCE to its cluster's
+    kernel (``applyInPandas`` by centroid). The quadratic term is
+    confined within clusters — SemDeDup's defining trick: pick k so
+    |cluster| ≈ n/k stays bounded (the paper uses k ≈ √n·const); the
+    kernel's survivor rule only needs a running column-max, so a
+    too-big cluster can stream row-blocks of the similarity matrix
+    rather than materializing |c|² floats at once."""
+    from search_engine_spark.operators.ann import kmeans
+
+    assign, _ = kmeans(emb, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+    src = (
+        emb.select(id_col, F.col(vec_col).cast("array<double>").alias("_v"))
+        .join(assign, id_col)
+    )
+
+    def kern(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        X = np.array(pdf["_v"].to_list(), dtype=np.float64)
+        n, dim = X.shape
+        # left-to-right per-dimension accumulation: S starts at zeros
+        # and adds one outer product per dimension IN ORDER — each
+        # element's sum sequence equals the SQL list_reduce fold
+        S = np.zeros((n, n), dtype=np.float64)
+        sq = np.zeros(n, dtype=np.float64)
+        for d in range(dim):
+            col = X[:, d]
+            S += np.outer(col, col)
+            sq += col * col
+        norms = np.sqrt(sq)
+        cos = np.round(S / np.outer(norms, norms), 6)
+        tri = np.tril(cos >= threshold, k=-1)  # [i, j<i] near-dup
+        keep = ~tri.any(axis=1)
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col],
+                "centroid": pdf["centroid"],
+                "keep": keep,
+            }
+        )
+
+    return src.groupBy("centroid").applyInPandas(
+        kern, schema=f"{id_col} long, centroid int, keep boolean"
+    )

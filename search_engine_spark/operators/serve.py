@@ -65,6 +65,7 @@ class QueryServer:
         preload_dict_max_rows: int = 2_000_000,
         local_df_budget: int = 200_000,
         local_cache_bytes: int = 256 << 20,
+        hybrid_max_candidates: int = 4096,
     ):
         self.spark = spark
         self.index_dir = index_dir.rstrip("/")
@@ -117,6 +118,13 @@ class QueryServer:
         self._pos_block_cache: dict[str, object] = {}
         self._pos_block_sizes: dict[str, int] = {}
         self._block_cache_cap = int(local_cache_bytes)
+        # hot∧rare hybrid venue: block METADATA cache (scope/shard/
+        # first/last arrays per lemma — ~40 B/block, no payloads; a
+        # metadata-only columnar scan on cold miss) lets a conjunction
+        # with one local-budget-sized term fetch ONLY the hot blocks
+        # that hold a rare-side candidate. =0 disables the venue.
+        self.hybrid_max_candidates = int(hybrid_max_candidates)
+        self._meta_cache: dict[str, object] = {}
 
     def _docs_table(self):
         if self._docs is None:
@@ -235,6 +243,114 @@ class QueryServer:
             return False
         totals = self._term_dfs(sorted(set(lemmas)), None)
         return sum(totals.values()) <= self.local_df_budget
+
+    def _block_meta(self, lemma: str):
+        """Per-lemma block metadata (scope, shard, first, last arrays)
+        from a metadata-ONLY scan — parquet is columnar, so the payload
+        byte columns are never read. ~40 B/block driver-side, LRU-capped."""
+        import numpy as np
+
+        meta = self._meta_cache.get(lemma)
+        if meta is None:
+            pdf = (
+                self.blocks.filter(F.col("lemma") == lemma)
+                .select("scope", "shard", "first_doc_id", "last_doc_id")
+                .toPandas()
+            )
+            meta = (
+                pdf["scope"].to_numpy(object),
+                pdf["first_doc_id"].to_numpy(np.int64),
+                pdf["last_doc_id"].to_numpy(np.int64),
+            )
+            self._meta_cache[lemma] = meta
+            while len(self._meta_cache) > 256:
+                self._meta_cache.pop(next(iter(self._meta_cache)))
+        return meta
+
+    def _hybrid_blocks(self, terms: list[str], excl: list[str],
+                       scope: str | None):
+        """Hot∧rare hybrid venue (conjunctions only): when the rarest
+        positive term(s) fit the local budget but a hot partner does
+        not, resolve the rare side from the driver block cache, decode
+        its candidate doc_ids, and fetch ONLY the hot blocks whose
+        range holds a candidate — a pushed ``first_doc_id IN (...)``
+        point-scan (exact across shards: shards partition the doc-id
+        space, so a needed block's first can't collide with another
+        shard's; cross-lemma collisions merely fetch a superset the
+        kernel membership-checks anyway). The shared kernels then run
+        driver-side: with df(rare) candidates the touched hot blocks
+        are ≤ |candidates|, so the whole conjunction costs O(df_rare)
+        instead of O(df_hot) — the classic skip-pointer win, realized
+        at the SCAN, which at 10^12 docs is the difference between
+        reading 4 GB of a stopword-grade term's blocks and 40 KB.
+
+        Returns a collected kernel-ready blocks frame, or None to fall
+        back to the distributed path. Rank/score-identical by
+        construction: same kernels, and AND semantics restrict results
+        to rare-side candidates, whose hot postings are all fetched."""
+        import numpy as np
+        import pandas as pd
+
+        from search_engine_spark.operators.wand import (
+            decoded_doc_ids,
+            needed_first_docs,
+        )
+
+        if self.hybrid_max_candidates <= 0 or self.local_df_budget <= 0:
+            return None
+        if not terms:
+            return None
+        lemmas = sorted(set(terms) | set(excl))
+        totals = self._term_dfs(lemmas, None)
+        # greedy local side: positive terms by df asc while under budget
+        rare, cum = [], 0
+        for t in sorted(set(terms), key=lambda t: (totals[t], t)):
+            if cum + totals[t] > self.local_df_budget:
+                break
+            rare.append(t)
+            cum += totals[t]
+        if not rare:
+            return None  # even the rarest positive term is hot
+        # small exclusions ride the same cached local fetch; hot ones
+        # are candidate-fetched like hot positives (membership among
+        # candidates is all the kernel needs of an exclusion)
+        local_side = list(rare)
+        for e in sorted(set(excl), key=lambda t: (totals[t], t)):
+            if cum + totals[e] > self.local_df_budget:
+                continue
+            local_side.append(e)
+            cum += totals[e]
+        hot = [l for l in lemmas if l not in set(local_side)]
+        if not hot:
+            return None  # fully local — the local venue's case
+        local_pdf = self._local_blocks(sorted(local_side), scope)
+        cand = None
+        for t in rare:
+            ids = decoded_doc_ids(local_pdf, t)
+            cand = ids if cand is None else np.intersect1d(
+                cand, ids, assume_unique=False
+            )
+            if cand.size == 0:
+                return local_pdf.iloc[0:0]  # AND over empty → empty
+        if cand.size > self.hybrid_max_candidates:
+            return None  # IN-list would bloat — distributed wins
+        firsts: set[int] = set()
+        for h in hot:
+            scopes, f, l = self._block_meta(h)
+            if scope is not None:
+                m = scopes == scope
+                scopes, f, l = scopes[m], f[m], l[m]
+            need = needed_first_docs(scopes, f, l, cand)
+            firsts.update(int(x) for x in need)
+        if firsts:
+            hot_pdf = (
+                prune_blocks(self.blocks, hot, scope)
+                .filter(F.col("first_doc_id").isin(sorted(firsts)))
+                .toPandas()
+            )
+        else:
+            hot_pdf = local_pdf.iloc[0:0]
+        return pd.concat([local_pdf, hot_pdf], ignore_index=True)
 
     # -- query ---------------------------------------------------------------
 
@@ -443,6 +559,19 @@ class QueryServer:
                 self._local_blocks(lemmas, scope), terms, idfs,
                 avg_len, k, offset, mode, combine, excl, after,
             )
+        if not groups and combine == "and":
+            # hot∧rare hybrid: candidates from the local rare side,
+            # hot blocks point-fetched by candidate range
+            hyb = self._hybrid_blocks(terms, excl, scope)
+            if hyb is not None:
+                from search_engine_spark.operators.wand import (
+                    blocks_core_local,
+                )
+
+                return blocks_core_local(
+                    hyb, terms, idfs, avg_len, k, offset, mode,
+                    combine, excl, after,
+                )
         rows = _blocks_core(
             blocks, terms, idfs, avg_len, k, offset, mode, combine, excl,
             groups, after,

@@ -807,3 +807,81 @@ def textrank_oracle_sql(
         {body}
         SELECT i AS term, s AS score FROM s{iters} {lim}
     """
+
+
+def hashing_vectors(
+    docs: DataFrame,
+    dim: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokens_sql: str | None = None,
+) -> DataFrame:
+    """Feature-hashing document vectors (the hashing trick — Weinberger
+    et al. 2009, ICML; sklearn ``HashingVectorizer`` shape): sparse
+    L2-normalized term-frequency vectors with NO vocabulary table —
+    embeddings for the ANN/dedup suite when no model embedding exists.
+
+    Per token: h = the shared 60-bit md5 token hash (dedup.TOKHASH_SQL,
+    exact in both engines); sign = +1 if h even else -1; bucket =
+    (h div 2) mod dim. Per (doc, bucket): s = Σ sign (a signed INTEGER
+    count — sign cancellation is the hashing trick's collision
+    correction). Norm = sqrt(Σ s²) over the doc's buckets — an INTEGER
+    sum, so no float fold order to pin. Output rows
+    (id_col, bucket, weight = round(s / norm, 6)) for s ≠ 0.
+
+    Scale shape: explode → one (doc, bucket) hash aggregation → one
+    doc-partitioned window for the norm. Map-side combine applies to
+    the agg; nothing is ever vocabulary- or dimension-exploded."""
+    from pyspark.sql import Window
+
+    from search_engine_spark.operators.dedup import TOKHASH_SQL
+
+    toks = tokens_sql or f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)"
+    h = TOKHASH_SQL.format(col="term")
+    s = (
+        docs.select(id_col, F.explode(F.expr(toks)).alias("term"))
+        .select(
+            id_col,
+            F.expr(f"cast(({h} div 2) % {dim} as int)").alias("bucket"),
+            F.expr(f"if({h} % 2 = 0, 1L, -1L)").alias("sign"),
+        )
+        .groupBy(id_col, "bucket")
+        .agg(F.sum("sign").alias("s"))
+        .filter(F.col("s") != 0)
+    )
+    w = Window.partitionBy(id_col)
+    return s.select(
+        id_col,
+        "bucket",
+        F.round(
+            F.col("s")
+            / F.sqrt(F.sum(F.col("s") * F.col("s")).over(w).cast("double")),
+            6,
+        ).alias("weight"),
+    )
+
+
+def hashing_vectors_oracle_sql(
+    dim: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of ``hashing_vectors`` (same hash / sign / bucket /
+    integer-norm pins)."""
+    h = "(('0x' || substr(md5(term), 1, 15))::BIGINT)"
+    return f"""
+        WITH tok AS (
+            SELECT {id_col},
+                   unnest(regexp_extract_all(lower({text_col}), '[a-z0-9]+'))
+                     AS term
+            FROM {table}),
+        s AS (
+            SELECT {id_col}, (({h} // 2) % {dim})::INT AS bucket,
+                   sum(CASE WHEN {h} % 2 = 0 THEN 1 ELSE -1 END)::BIGINT AS s
+            FROM tok GROUP BY 1, 2 HAVING s <> 0)
+        SELECT {id_col}, bucket,
+               round(s / sqrt((sum(s * s) OVER (
+                   PARTITION BY {id_col}))::DOUBLE), 6) AS weight
+        FROM s
+    """

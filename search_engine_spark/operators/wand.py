@@ -1207,3 +1207,46 @@ def phrase_search_blocks(
 
 def _empty(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame([], SEARCH_RESULT)
+
+
+def decoded_doc_ids(pdf: pd.DataFrame, lemma: str) -> np.ndarray:
+    """Sorted doc_ids of ``lemma`` across a collected blocks frame —
+    one fused varbyte pass + segmented delta cumsum (the full_term
+    shape), used by the serving hybrid venue to turn a rare term's
+    cached blocks into the candidate set."""
+    sub = pdf[pdf["lemma"] == lemma]
+    if sub.empty:
+        return np.empty(0, dtype=np.int64)
+    ids = delta_decode_segmented(
+        varbyte_decode(b"".join(sub["doc_ids"].to_numpy(object))),
+        sub["count"].to_numpy(np.int64),
+    ).astype(np.int64)
+    ids.sort()
+    return ids
+
+
+def needed_first_docs(
+    scopes: np.ndarray,
+    firsts: np.ndarray,
+    lasts: np.ndarray,
+    cand: np.ndarray,
+) -> np.ndarray:
+    """Which blocks hold a candidate: per scope group (ranges disjoint
+    within one (lemma, scope) — the encoder batches a sorted stream),
+    vectorized searchsorted of the sorted candidates against block
+    starts; returns the unique first_doc_id values of touched blocks.
+    The same candidate→block mapping the WAND kernel uses, applied at
+    FETCH time so untouched hot blocks never leave the parquet scan."""
+    out = []
+    for sc in pd.unique(scopes):
+        idx = np.flatnonzero(scopes == sc)
+        order = np.argsort(firsts[idx], kind="stable")
+        f, l = firsts[idx][order], lasts[idx][order]
+        pos = np.searchsorted(f, cand, side="right") - 1
+        ok = pos >= 0
+        hit = pos[ok][cand[ok] <= l[pos[ok]]]
+        if hit.size:
+            out.append(f[np.unique(hit)])
+    if not out:
+        return np.empty(0, dtype=np.int64)
+    return np.unique(np.concatenate(out))
