@@ -356,8 +356,16 @@ def main() -> None:
         ("q_or2", f"{vocab[300]} {vocab[301]}"),
     ]
     # warm python workers + codegen once (query serving is a long-lived
-    # process; first-call costs are not steady-state latency)
+    # process; first-call costs are not steady-state latency). The rare
+    # query warms the driver-LOCAL venue; the budget=0 repeat forces the
+    # DISTRIBUTED plan shape (applyInPandas kernel codegen + python
+    # workers) so the first hot-term query isn't charged its one-time
+    # startup either.
     server.search(fixture_queries[0][1], k=10)
+    _budget = server.local_df_budget
+    server.local_df_budget = 0
+    server.search(fixture_queries[0][1], k=10)
+    server.local_df_budget = _budget
     lat = []
     for name, q in fixture_queries:
         scope = "scope-1" if name == "q_scoped" else None
@@ -374,6 +382,7 @@ def main() -> None:
         "tf", "df", "bm25_topk", "dedup_minhash_lsh", "ann_cosine_topk",
         "text_quality", "fingerprint", "events_sessions", "tpch_pricing",
         "hybrid_rrf_topk", "kmeans_assign", "significant_terms",
+        "hashing_vectors", "semdedup",
     ]:
         t0 = time.perf_counter()
         _noop(contract[name](spark, sf_dir))

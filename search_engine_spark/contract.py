@@ -1581,6 +1581,33 @@ def q_hashing_vectors(spark, sf_dir):
     return hashing_vectors(_read(spark, sf_dir, "documents"), dim=HASHVEC_DIM)
 
 
+LOGREG_ITERS = 3  # logreg_weights: gradient-descent iterations
+
+
+def q_logreg_weights(spark, sf_dir):
+    """Hashed linear classifier training (operators/classify.py,
+    fastText/DCLM-style curation probe): logistic regression over the
+    hashing_vectors features with integer-exact fixed-point gradients
+    (order-free sums — the only float ops are the pinned rounded
+    sigmoid and the floor(x+0.5) driver update). Label here = presence
+    of the 'dup' token (a deterministic stand-in; real use plugs any
+    0/1 column). Output = the learned 6dp weight vector."""
+    from search_engine_spark.operators.classify import train_linear
+    from search_engine_spark.operators.text import hashing_vectors
+
+    docs = _read(spark, sf_dir, "documents")
+    feats = hashing_vectors(docs, dim=HASHVEC_DIM)
+    labels = docs.select(
+        "doc_id",
+        F.expr(f"if(array_contains({TOKS_SQL}, 'dup'), 1, 0)").alias("label"),
+    )
+    w6 = train_linear(feats, labels, HASHVEC_DIM, iters=LOGREG_ITERS, lr=1.0)
+    return spark.createDataFrame(
+        [(b, round(w6[b] / 1_000_000, 6)) for b in range(HASHVEC_DIM)],
+        "bucket INT, weight DOUBLE",
+    )
+
+
 SEMDEDUP_TAU = 0.3  # semdedup: within-cluster cosine prune threshold
 # (the synthetic embeddings' high-similarity tail; real corpora ~0.95)
 
@@ -2636,6 +2663,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": q_bpe_merges,
         "semdedup": q_semdedup,
         "hashing_vectors": q_hashing_vectors,
+        "logreg_weights": q_logreg_weights,
     }
 
 
@@ -2661,6 +2689,11 @@ def duckdb_oracles() -> dict[str, str]:
     from search_engine_spark.operators.text import hashing_vectors_oracle_sql
 
     m["hashing_vectors"] = hashing_vectors_oracle_sql(HASHVEC_DIM)
+    from search_engine_spark.operators.classify import logreg_oracle_sql
+
+    m["logreg_weights"] = logreg_oracle_sql(
+        HASHVEC_DIM, LOGREG_ITERS, lr=1.0
+    )
     # ann_cosine_topk needs the query vector embedded literally; DuckDB can
     # read it from the registered embeddings view itself.
     m["ann_cosine_topk"] = f"""

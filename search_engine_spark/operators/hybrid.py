@@ -54,8 +54,13 @@ def rrf_fuse(
         raise ValueError("rrf_fuse needs at least one ranked list")
     parts = []
     for i, df in enumerate(lists):
-        # bounded input (top-N list) — the unpartitioned window is ≤ N rows
-        w = Window.orderBy(F.desc(score_col), F.asc(id_col))
+        # bounded input (a top-N list) — ranking N rows on one task is
+        # the design, not an accident; the explicit constant partition
+        # says so (and keeps the "No Partition Defined" warning, which
+        # flags UNINTENDED global windows, meaningful elsewhere)
+        w = Window.partitionBy(F.lit(0)).orderBy(
+            F.desc(score_col), F.asc(id_col)
+        )
         parts.append(
             df.select(
                 F.col(id_col),

@@ -122,7 +122,8 @@ class QueryServer:
         # first/last arrays per lemma — ~40 B/block, no payloads; a
         # metadata-only columnar scan on cold miss) lets a conjunction
         # with one local-budget-sized term fetch ONLY the hot blocks
-        # that hold a rare-side candidate. =0 disables the venue.
+        # that hold a rare-side candidate. The knob caps the pushed
+        # IN-list (needed hot blocks); =0 disables the venue.
         self.hybrid_max_candidates = int(hybrid_max_candidates)
         self._meta_cache: dict[str, object] = {}
 
@@ -332,16 +333,27 @@ class QueryServer:
             )
             if cand.size == 0:
                 return local_pdf.iloc[0:0]  # AND over empty → empty
-        if cand.size > self.hybrid_max_candidates:
-            return None  # IN-list would bloat — distributed wins
+        # fetch-efficiency gate, decided on METADATA (cheap, cached):
+        # the venue only wins when the candidates touch a small slice
+        # of the hot side's blocks — when candidates are spread over
+        # most blocks (df_rare ≳ hot block count), nothing can be
+        # skipped and the plain pruned scan is strictly better; a huge
+        # IN-list also bloats planning. Both caps are per-decision,
+        # not per-lemma, so one dense hot term vetoes the venue.
         firsts: set[int] = set()
+        n_blocks_total = 0
         for h in hot:
             scopes, f, l = self._block_meta(h)
             if scope is not None:
                 m = scopes == scope
                 scopes, f, l = scopes[m], f[m], l[m]
+            n_blocks_total += f.size
             need = needed_first_docs(scopes, f, l, cand)
             firsts.update(int(x) for x in need)
+        if len(firsts) > self.hybrid_max_candidates:
+            return None  # IN-list would bloat — distributed wins
+        if n_blocks_total and len(firsts) > 0.25 * n_blocks_total:
+            return None  # touching most blocks anyway — nothing to skip
         if firsts:
             hot_pdf = (
                 prune_blocks(self.blocks, hot, scope)
