@@ -654,3 +654,68 @@ def collapse_ranked(
             out.append((d, s))
             seen[k] = n + 1
     return out
+
+
+def prf_search(
+    idx: OracleIndex,
+    query: str,
+    scope: str | None = None,
+    k: int = 10,
+    offset: int = 0,
+    feedback_k: int = 10,
+    expand_n: int = 4,
+    beta: float = 0.4,
+    min_fg_df: int = 2,
+) -> list[tuple[int, float]]:
+    """Pseudo-relevance-feedback expansion twin (QueryServer.search_prf
+    — the Rocchio/RM3 recipe; ES' significant-terms expansion as prior
+    art). Pinned pipeline:
+
+    1. feedback = ``search(query, combine="or", k=feedback_k)`` (OR
+       first stage — robust when some seed terms are hot);
+    2. expansion = ``significant_terms`` over the feedback ids with
+       ``k = expand_n + |base lemmas|``, minus the base lemmas, first
+       ``expand_n`` kept in the (jlh desc, term asc) order;
+    3. final = weighted OR over base ∪ expansion — weight 1.0 for base
+       lemmas, ``beta`` for expansions, applied as ONE multiply
+       ``boosted_idf = weight * idf`` before the pinned evaluation
+       shape (the boost pin); per-term df cutoff drops apply to ALL
+       stage-2 terms regardless of weight; accumulation in
+       lexicographic term order; (score desc, doc_id asc)."""
+    base = sorted(set(query_lemmas(query)))
+    if not base:
+        return []
+    first = search(idx, query, scope=scope, k=feedback_k, combine="or")
+    if not first:
+        return []
+    ids = [d for d, _ in first]
+    sig = significant_terms(
+        idx, ids, scope=scope, k=expand_n + len(base), min_fg_df=min_fg_df
+    )
+    base_set = set(base)
+    exp = [t for t, _, _, _ in sig if t not in base_set][:expand_n]
+    weights = {t: 1.0 for t in base}
+    weights.update({t: beta for t in exp})
+    scope_ids = _scope_doc_ids(idx, scope)
+    n_docs = len(scope_ids)
+    if n_docs == 0:
+        return []
+    cutoff = df_cutoff(n_docs)
+    terms = [
+        t for t in sorted(weights) if _df_of(idx, t, scope) <= cutoff
+    ]
+    if not terms:
+        return []
+    scope_set = set(scope_ids)
+    avg_len = sum(idx.doc_len[d] for d in scope_ids) / n_docs
+    scores: dict[int, float] = {}
+    for t in terms:  # lexicographic order (pinned)
+        boosted_idf = weights[t] * bm25_idf(_df_of(idx, t, scope), n_docs)
+        for d, tf in idx.postings.get(t, {}).items():
+            if d in scope_set:
+                scores[d] = scores.get(d, 0.0) + bm25_term_score(
+                    float(tf), float(idx.doc_len[d]), avg_len,
+                    boosted_idf, BM25_K1, BM25_B,
+                )
+    ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+    return _page(ranked, k, offset, None)

@@ -1581,6 +1581,119 @@ def q_hashing_vectors(spark, sf_dir):
     return hashing_vectors(_read(spark, sf_dir, "documents"), dim=HASHVEC_DIM)
 
 
+PRF_FEEDBACK_K = 10  # prf_expand: feedback depth
+PRF_EXPAND_N = 3  # prf_expand: expansion terms kept
+PRF_BETA = 0.4  # prf_expand: expansion weight
+
+
+def q_prf_expand(spark, sf_dir):
+    """Pseudo-relevance-feedback expansion (QueryServer.search_prf /
+    oracle.prf_search are the full-engine pins; this is the
+    contract-tokenizer twin of the operator math): OR-BM25 top-10 over
+    the seed terms → JLH significant terms of that feedback set
+    (fg_df ≥ 2, fg_pct > bg_pct, seeds excluded, top PRF_EXPAND_N by
+    (jlh desc, term asc)) → weighted OR rerun with seeds at 1.0 and
+    expansions at PRF_BETA (the single ``weight * idf`` boost
+    multiply). All stages stay DataFrames — the expansion list is a
+    3-row broadcast join, never a driver round-trip."""
+    seeds = BM25_TERMS
+    per1 = _bm25_per_term(spark, sf_dir, seeds)
+    fb = (
+        per1.groupBy("doc_id")
+        .agg(F.round(F.sum("_s"), 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(PRF_FEEDBACK_K)
+        .select("doc_id")
+    )
+    tfall = _tf(spark, sf_dir)
+    nf = fb.agg(F.count("*").cast("double").alias("nf"))
+    docs = _read(spark, sf_dir, "documents")
+    nd = docs.agg(F.count("*").cast("double").alias("nd"))
+    fgc = (
+        tfall.join(F.broadcast(fb), "doc_id")
+        .groupBy("term")
+        .agg(F.count("*").alias("fg_df"))
+        .filter(F.col("fg_df") >= 2)
+    )
+    bgc = tfall.groupBy("term").agg(F.count("*").alias("bg_df"))
+    sig = (
+        fgc.join(bgc, "term")
+        .crossJoin(F.broadcast(nf))
+        .crossJoin(F.broadcast(nd))
+        .withColumn("fg_pct", F.col("fg_df").cast("double") / F.col("nf"))
+        .withColumn("bg_pct", F.col("bg_df").cast("double") / F.col("nd"))
+        .filter(F.col("fg_pct") > F.col("bg_pct"))
+        .filter(~F.col("term").isin(seeds))
+        .withColumn(
+            "jlh",
+            F.round(
+                (F.col("fg_pct") - F.col("bg_pct"))
+                * (F.col("fg_pct") / F.col("bg_pct")),
+                6,
+            ),
+        )
+        .orderBy(F.desc("jlh"), F.asc("term"))
+        .limit(PRF_EXPAND_N)
+        .select("term", F.lit(float(PRF_BETA)).alias("w"))
+    )
+    weights = spark.createDataFrame(
+        [(t, 1.0) for t in seeds], "term STRING, w DOUBLE"
+    ).unionByName(sig)
+    lens = docs.select(
+        "doc_id", F.size(F.expr(TOKS_SQL)).cast("double").alias("dl")
+    )
+    stats = lens.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
+    n, avgdl = stats["n"], stats["avgdl"]
+    tf2 = tfall.join(F.broadcast(weights), "term")
+    dfs2 = tf2.groupBy("term").agg(F.count("*").alias("df"))
+    per2 = (
+        tf2.join(dfs2, "term")
+        .join(lens, "doc_id")
+        .withColumn(
+            "_idf",
+            F.col("w")
+            * F.log(
+                F.lit(1.0)
+                + (F.lit(float(n)) - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            ),
+        )
+        .withColumn(
+            "_s",
+            F.col("_idf")
+            * F.col("tf")
+            * F.lit(BM25_K1 + 1.0)
+            / (
+                F.col("tf")
+                + F.lit(BM25_K1)
+                * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("dl") / F.lit(avgdl))
+            ),
+        )
+    )
+    return (
+        per2.groupBy("doc_id")
+        .agg(F.round(F.sum("_s"), 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+SHUFFLE_SHARDS_N = 8  # shuffle_shards: training-export shard count
+
+
+def q_shuffle_shards(spark, sf_dir):
+    """Deterministic global training-data shuffle (operators/curate.py
+    shuffle_assign): pseudorandom shard + within-shard total order from
+    md5(salt || key) — identical at any partitioning or cluster size,
+    no RNG state. The one-shuffle export materializer
+    (write_training_shards) builds on this assignment."""
+    from search_engine_spark.operators.curate import shuffle_assign
+
+    return shuffle_assign(
+        _read(spark, sf_dir, "documents"), SHUFFLE_SHARDS_N
+    ).select("doc_id", "shard", "sort_key")
+
+
 LOGREG_ITERS = 3  # logreg_weights: gradient-descent iterations
 
 
@@ -2664,6 +2777,8 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": q_semdedup,
         "hashing_vectors": q_hashing_vectors,
         "logreg_weights": q_logreg_weights,
+        "shuffle_shards": q_shuffle_shards,
+        "prf_expand": q_prf_expand,
     }
 
 
@@ -2694,6 +2809,70 @@ def duckdb_oracles() -> dict[str, str]:
     m["logreg_weights"] = logreg_oracle_sql(
         HASHVEC_DIM, LOGREG_ITERS, lr=1.0
     )
+    from search_engine_spark.operators.curate import shuffle_assign_oracle_sql
+
+    m["shuffle_shards"] = shuffle_assign_oracle_sql(SHUFFLE_SHARDS_N)
+    _seeds_in = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    _seeds_rows = " UNION ALL ".join(
+        f"SELECT '{t}' AS term, 1.0 AS w" for t in BM25_TERMS
+    )
+    m["prf_expand"] = f"""
+        WITH lens AS (
+            SELECT doc_id, len({TOKS_DUCK})::DOUBLE AS dl FROM documents),
+        st AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM lens),
+        tfall AS ({_TF_DUCK}),
+        tf1 AS (SELECT * FROM tfall WHERE term IN ({_seeds_in})),
+        dfs1 AS (SELECT term, count(*) AS df FROM tf1 GROUP BY term),
+        per1 AS (
+            SELECT tf1.doc_id,
+                   ln(1.0 + ((SELECT n FROM st) - dfs1.df + 0.5)
+                             / (dfs1.df + 0.5))
+                   * tf1.tf * {BM25_K1 + 1.0}
+                   / (tf1.tf + {BM25_K1} * ({1.0 - BM25_B} + {BM25_B}
+                      * lens.dl / (SELECT avgdl FROM st))) AS _s
+            FROM tf1 JOIN dfs1 USING (term) JOIN lens USING (doc_id)),
+        fb AS (
+            SELECT doc_id FROM (
+                SELECT doc_id, round(sum(_s), 6) AS score
+                FROM per1 GROUP BY doc_id)
+            ORDER BY score DESC, doc_id ASC LIMIT {PRF_FEEDBACK_K}),
+        nf AS (SELECT count(*)::DOUBLE AS n FROM fb),
+        nd AS (SELECT count(*)::DOUBLE AS n FROM documents),
+        fgc AS (
+            SELECT term, count(*) AS fg_df
+            FROM tfall JOIN fb USING (doc_id)
+            GROUP BY term HAVING count(*) >= 2),
+        bgc AS (SELECT term, count(*) AS bg_df FROM tfall GROUP BY term),
+        sig AS (
+            SELECT term, {PRF_BETA} AS w FROM (
+                SELECT term,
+                       round((fg_pct - bg_pct) * (fg_pct / bg_pct), 6)
+                         AS jlh
+                FROM (
+                    SELECT term,
+                           fg_df::DOUBLE / (SELECT n FROM nf) AS fg_pct,
+                           bg_df::DOUBLE / (SELECT n FROM nd) AS bg_pct
+                    FROM fgc JOIN bgc USING (term)
+                    WHERE term NOT IN ({_seeds_in}))
+                WHERE fg_pct > bg_pct
+                ORDER BY jlh DESC, term ASC LIMIT {PRF_EXPAND_N})),
+        weights AS ({_seeds_rows} UNION ALL SELECT term, w FROM sig),
+        tf2 AS (
+            SELECT tfall.doc_id, tfall.term, tfall.tf, weights.w
+            FROM tfall JOIN weights USING (term)),
+        dfs2 AS (SELECT term, count(*) AS df FROM tf2 GROUP BY term),
+        per2 AS (
+            SELECT tf2.doc_id,
+                   tf2.w * ln(1.0 + ((SELECT n FROM st) - dfs2.df + 0.5)
+                             / (dfs2.df + 0.5))
+                   * tf2.tf * {BM25_K1 + 1.0}
+                   / (tf2.tf + {BM25_K1} * ({1.0 - BM25_B} + {BM25_B}
+                      * lens.dl / (SELECT avgdl FROM st))) AS _s
+            FROM tf2 JOIN dfs2 USING (term) JOIN lens USING (doc_id))
+        SELECT doc_id, round(sum(_s), 6) AS score
+        FROM per2 GROUP BY doc_id
+        ORDER BY score DESC, doc_id ASC LIMIT 10
+    """
     # ann_cosine_topk needs the query vector embedded literally; DuckDB can
     # read it from the registered embeddings view itself.
     m["ann_cosine_topk"] = f"""

@@ -530,3 +530,75 @@ def decontaminate(
         .select("doc_id", "eval_id", "n_shared", "eval_total")
         .orderBy("doc_id", "eval_id")
     )
+
+
+def shuffle_assign(
+    docs: DataFrame,
+    n_shards: int,
+    key_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic global training-data shuffle (the webdataset /
+    T5-span-corruption export shape): every row gets a pseudorandom
+    ``shard`` (0..n_shards-1) and a ``sort_key`` defining a pseudorandom
+    TOTAL order within its shard — the classic hash-shuffle that
+    decorrelates adjacent training examples without any RNG state.
+
+    Pins (DuckDB contract twin ``shuffle_shards``): h = md5(salt ||
+    key) hex; shard = int(h[:8], 16) % n_shards; sort_key = h. Same
+    input + salt → identical shards and order at ANY partitioning or
+    cluster size (the md5 keys are the shuffle — no seed to thread
+    through executors); a new salt is a fresh epoch permutation.
+
+    Scale shape: map-only. The companion ``write_training_shards``
+    turns it into one repartition-by-shard + in-partition sort — one
+    shuffle to materialize a fully shuffled 100 TB export."""
+    if n_shards <= 0:
+        raise ValueError("n_shards must be positive")
+    h = F.md5(
+        F.concat(F.lit(salt), F.col(key_col).cast("string")).cast("binary")
+    )
+    return docs.withColumn("_h", h).select(
+        "*",
+        (F.expr("cast(conv(substring(_h, 1, 8), 16, 10) as bigint)")
+         % n_shards).cast("int").alias("shard"),
+        F.col("_h").alias("sort_key"),
+    ).drop("_h")
+
+
+def write_training_shards(
+    docs: DataFrame,
+    out_dir: str,
+    n_shards: int,
+    key_col: str = "doc_id",
+    salt: str = "",
+) -> None:
+    """Materialize the deterministic shuffle: ONE hash repartition to
+    shard granularity + an in-partition sort (no global sort — the
+    total order lives inside each shard file), written as
+    ``shard=<i>/`` parquet partitions any loader can stream."""
+    assigned = shuffle_assign(docs, n_shards, key_col=key_col, salt=salt)
+    (
+        assigned.repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "sort_key")
+        .write.partitionBy("shard")
+        .mode("overwrite")
+        .parquet(out_dir)
+    )
+
+
+def shuffle_assign_oracle_sql(
+    n_shards: int,
+    key_col: str = "doc_id",
+    salt: str = "",
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of ``shuffle_assign`` (same md5 shard/sort pins)."""
+    h = f"md5('{salt}' || {key_col}::VARCHAR)"
+    return f"""
+        SELECT {key_col},
+               (('0x' || substring({h}, 1, 8))::BIGINT % {n_shards})::INT
+                 AS shard,
+               {h} AS sort_key
+        FROM {table}
+    """

@@ -33,7 +33,7 @@ the distributed paths.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 DEFAULT_RRF_K = 60
@@ -54,19 +54,33 @@ def rrf_fuse(
         raise ValueError("rrf_fuse needs at least one ranked list")
     parts = []
     for i, df in enumerate(lists):
-        # bounded input (a top-N list) — ranking N rows on one task is
-        # the design, not an accident; the explicit constant partition
-        # says so (and keeps the "No Partition Defined" warning, which
-        # flags UNINTENDED global windows, meaningful elsewhere)
-        w = Window.partitionBy(F.lit(0)).orderBy(
-            F.desc(score_col), F.asc(id_col)
+        # rank WITHOUT a window: for a bounded top-N list with unique
+        # ids, row_number under (score desc, id asc) ==
+        # 1 + |rows strictly before| — an O(N²) theta-join that stays
+        # fully parallel and never raises the single-partition
+        # WindowExec (a constant partitionBy gets folded away and
+        # warns anyway; the N² is ≤ 10⁴ rows for N=100). Same trick as
+        # the docs.py terminal cumsum.
+        a = df.select(
+            F.col(id_col).alias("_id"), F.col(score_col).alias("_sc")
+        )
+        b = df.select(
+            F.col(id_col).alias("_id2"), F.col(score_col).alias("_sc2")
+        )
+        before = (F.col("_sc2") > F.col("_sc")) | (
+            (F.col("_sc2") == F.col("_sc")) & (F.col("_id2") < F.col("_id"))
+        )
+        ranked = (
+            a.join(F.broadcast(b), before, "left")
+            .groupBy("_id", "_sc")
+            .agg((F.lit(1) + F.count("_id2")).alias("_rank"))
         )
         parts.append(
-            df.select(
-                F.col(id_col),
+            ranked.select(
+                F.col("_id").alias(id_col),
                 (
                     F.lit(1.0)
-                    / (F.lit(float(rrf_k)) + F.row_number().over(w))
+                    / (F.lit(float(rrf_k)) + F.col("_rank"))
                 ).alias(f"_c{i}"),
             )
         )

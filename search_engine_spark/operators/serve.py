@@ -786,6 +786,75 @@ class QueryServer:
         rows = _paginate(per_shard, k, offset).collect()
         return [(r["doc_id"], r["score"]) for r in rows]
 
+    def search_prf(
+        self,
+        query: str,
+        scope: str | None = None,
+        k: int = 10,
+        offset: int = 0,
+        feedback_k: int = 10,
+        expand_n: int = 4,
+        beta: float = 0.4,
+        min_fg_df: int = 2,
+        mode: str = "wand",
+    ) -> list[tuple[int, float]]:
+        """Pseudo-relevance-feedback query expansion (Rocchio/RM3
+        recipe; ES' significant-terms expansion as prior art): OR
+        first stage → JLH significant terms of the top-``feedback_k``
+        docs → weighted OR rerun with the ``expand_n`` best non-query
+        terms at weight ``beta`` (base terms weigh 1.0). The weight is
+        the boost pin — ONE multiply ``boosted_idf = weight * idf``
+        before the pinned evaluation shape; per-term cutoff drops see
+        dfs only, never weights; accumulation stays lexicographic.
+        ``oracle.prf_search`` is the twin (test_prf.py). Venue:
+        adaptive local/distributed like ``search``; two extra Spark
+        jobs over stage 1 (the significant-terms aggregation) — at
+        scale the expansion stage touches only the ≤feedback_k
+        foreground docs plus a dictionary semi-join, never the corpus."""
+        from search_engine_spark.operators.significant import (
+            significant_for_ids,
+        )
+        from search_engine_spark.operators.wand import blocks_core_local
+
+        base = sorted(set(query_lemmas(query)))
+        if not base:
+            return []
+        first = self.search(
+            query, scope=scope, k=feedback_k, combine="or", mode=mode
+        )
+        if not first:
+            return []
+        ids = [d for d, _ in first]
+        n_docs, avg_len = self._scope_stats(scope)
+        if n_docs == 0:
+            return []
+        rows = significant_for_ids(
+            self._docs_table(), self._lemma_stats, ids, scope, n_docs,
+            k=expand_n + len(base), min_fg_df=min_fg_df,
+        ).collect()
+        base_set = set(base)
+        exp = [
+            r["lemma"] for r in rows if r["lemma"] not in base_set
+        ][:expand_n]
+        weights = {t: 1.0 for t in base}
+        weights.update({t: beta for t in exp})
+        dfs = self._term_dfs(sorted(weights), scope)
+        cutoff = df_cutoff(n_docs)
+        terms = [t for t in sorted(weights) if dfs[t] <= cutoff]
+        if not terms:
+            return []
+        idfs = [weights[t] * bm25_idf(dfs[t], n_docs) for t in terms]
+        if self._local_venue(terms):
+            return blocks_core_local(
+                self._local_blocks(terms, scope), terms, idfs,
+                avg_len, k, offset, mode, "or",
+            )
+        rows2 = _blocks_core(
+            prune_blocks(self.blocks, terms, scope), terms, idfs,
+            avg_len, k, offset, mode, "or",
+        ).collect()
+        return [(r["doc_id"], r["score"]) for r in rows2]
+
     def more_like_this(
         self,
         doc_id: int,
