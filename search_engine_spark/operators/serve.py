@@ -69,6 +69,7 @@ class QueryServer:
     ):
         self.spark = spark
         self.index_dir = index_dir.rstrip("/")
+        self._preload_dict_max_rows = int(preload_dict_max_rows)
         self.blocks = spark.read.parquet(f"{self.index_dir}/postings")
         if cache_blocks:
             self.blocks = self.blocks.persist()
@@ -126,6 +127,30 @@ class QueryServer:
         # IN-list (needed hot blocks); =0 disables the venue.
         self.hybrid_max_candidates = int(hybrid_max_candidates)
         self._meta_cache: dict[str, object] = {}
+
+    def refresh(self) -> None:
+        """Re-open the index after an external mutation (upsert /
+        rebalance / merge / snapshot rollback committed by another
+        process): reload stats + dictionary and drop EVERY driver cache
+        (block payloads, positional blocks, block metadata, fuzzy
+        memos) — the serving analog of an index refresh. A long-lived
+        server otherwise intentionally keeps serving the epoch it
+        opened: parquet part-files are immutable and the snapshot layer
+        never rewrites them in place, so the open epoch stays
+        consistent; ``refresh()`` is the explicit epoch switch."""
+        if self._cache_blocks:
+            self.blocks.unpersist()
+            if self._filter_blocks is not None:
+                self._filter_blocks.unpersist()
+        self.__init__(
+            self.spark,
+            self.index_dir,
+            cache_blocks=self._cache_blocks,
+            preload_dict_max_rows=self._preload_dict_max_rows,
+            local_df_budget=self.local_df_budget,
+            local_cache_bytes=self._block_cache_cap,
+            hybrid_max_candidates=self.hybrid_max_candidates,
+        )
 
     def _docs_table(self):
         if self._docs is None:
