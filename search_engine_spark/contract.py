@@ -1721,6 +1721,27 @@ def q_logreg_weights(spark, sf_dir):
     )
 
 
+def q_logreg_scores(spark, sf_dir):
+    """Corpus scoring under the trained probe (operators/classify.py
+    predict_linear): the integer margin + the one pinned sigmoid per
+    doc — the scan-shaped 'score 100 TB under the cheap classifier'
+    pass; featureless docs pin to 0.5."""
+    from search_engine_spark.operators.classify import (
+        predict_linear,
+        train_linear,
+    )
+    from search_engine_spark.operators.text import hashing_vectors
+
+    docs = _read(spark, sf_dir, "documents")
+    feats = hashing_vectors(docs, dim=HASHVEC_DIM)
+    labels = docs.select(
+        "doc_id",
+        F.expr(f"if(array_contains({TOKS_SQL}, 'dup'), 1, 0)").alias("label"),
+    )
+    w6 = train_linear(feats, labels, HASHVEC_DIM, iters=LOGREG_ITERS, lr=1.0)
+    return predict_linear(feats, labels, w6)
+
+
 SEMDEDUP_TAU = 0.3  # semdedup: within-cluster cosine prune threshold
 # (the synthetic embeddings' high-similarity tail; real corpora ~0.95)
 
@@ -2779,6 +2800,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "logreg_weights": q_logreg_weights,
         "shuffle_shards": q_shuffle_shards,
         "prf_expand": q_prf_expand,
+        "logreg_scores": q_logreg_scores,
     }
 
 
@@ -2807,6 +2829,11 @@ def duckdb_oracles() -> dict[str, str]:
     from search_engine_spark.operators.classify import logreg_oracle_sql
 
     m["logreg_weights"] = logreg_oracle_sql(
+        HASHVEC_DIM, LOGREG_ITERS, lr=1.0
+    )
+    from search_engine_spark.operators.classify import logreg_scores_oracle_sql
+
+    m["logreg_scores"] = logreg_scores_oracle_sql(
         HASHVEC_DIM, LOGREG_ITERS, lr=1.0
     )
     from search_engine_spark.operators.curate import shuffle_assign_oracle_sql

@@ -16,7 +16,11 @@ Fixed-point contract (the cross-engine pin):
   ops in Spark and DuckDB; the round absorbs last-ulp exp differences
   — the lm_logppl/textrank pin family);
 - gradient ``G12_b = Σ_d (P6_d − Y6_d)·X6_db`` is again an exact
-  integer sum (distributed hash agg, order-free);
+  integer sum (distributed hash agg, order-free) — WIDENED to
+  decimal(38,0) / HUGEINT: each term fits int64 (≤ 1e12) but the sum
+  over a 10^9-doc training set would not, and exactness is the whole
+  point (the float conversion at update time rounds the exact integer
+  to the same nearest double in Python and SQL);
 - update (driver-side, dim-sized): ``W6 ← W6 − floor(lr·G12/(n·1e6)
   + 0.5)`` — floor(x+0.5) is the pinned rounding (identical in
   Python and SQL; never a banker's-rounding mismatch).
@@ -94,8 +98,12 @@ def train_linear(
             g_rows = (
                 x.join(p6, id_col)
                 .groupBy("bucket")
-                .agg(F.sum((F.col("p6") - F.col("y6")) * F.col("x6"))
-                     .alias("g12"))
+                .agg(
+                    F.sum(
+                        ((F.col("p6") - F.col("y6")) * F.col("x6"))
+                        .cast("decimal(38,0)")
+                    ).alias("g12")
+                )
                 .collect()
             )
             import math
@@ -187,7 +195,7 @@ def logreg_oracle_sql(
                        / 1e12))) * {SCALE}, 0)::BIGINT AS p6
             FROM y LEFT JOIN m{i} m USING ({id_col})),
         g{i} AS (
-            SELECT f.bucket, sum((p.p6 - p.y6) * f.x6)::BIGINT AS g12
+            SELECT f.bucket, sum((p.p6 - p.y6) * f.x6) AS g12
             FROM feats f JOIN p{i} p USING ({id_col})
             GROUP BY f.bucket),
         w{i} AS (
@@ -200,4 +208,36 @@ def logreg_oracle_sql(
         + f"""
         SELECT bucket, round(w6 / {SCALE}.0, 6) AS weight
         FROM w{iters} ORDER BY bucket"""
+    )
+
+
+def logreg_scores_oracle_sql(
+    dim: int,
+    iters: int,
+    lr: float = 1.0,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    features_sql: str | None = None,
+    label_sql: str = "CASE WHEN list_contains("
+    "regexp_extract_all(lower(text), '[a-z0-9]+'), 'dup') "
+    "THEN 1 ELSE 0 END",
+) -> str:
+    """Twin of ``predict_linear`` under the twin-trained weights: the
+    same integer margin + pinned sigmoid, one score per labeled doc
+    (featureless docs score 0.5)."""
+    body = logreg_oracle_sql(
+        dim, iters, lr=lr, table=table, id_col=id_col,
+        features_sql=features_sql, label_sql=label_sql,
+    )
+    head, _tail = body.rsplit("SELECT bucket,", 1)
+    return (
+        head
+        + f""", m_final AS (
+            SELECT f.{id_col}, sum(f.x6 * w.w6)::BIGINT AS m12
+            FROM feats f JOIN w{iters} w USING (bucket)
+            GROUP BY f.{id_col})
+        SELECT y.{id_col},
+               round(1.0 / (1.0 + exp(-(coalesce(m.m12, 0) / 1e12))), 6)
+                 AS score
+        FROM y LEFT JOIN m_final m USING ({id_col})"""
     )
