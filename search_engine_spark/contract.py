@@ -149,6 +149,7 @@ _SHINGLES_FLAT_DUCK = f"""
 from search_engine_spark.operators.dedup import TOKHASH_SQL as _TOKHASH_SPARK  # noqa: E402
 from search_engine_spark.operators.text import (  # noqa: E402
     lang_id_oracle_sql as _lang_id_oracle_sql,
+    train_lang_profiles_oracle_sql as _train_lang_profiles_oracle_sql,
 )
 
 _TOKHASH_DUCK = "(('0x' || substr(md5({col}), 1, 15))::BIGINT)"
@@ -1066,14 +1067,26 @@ def q_dedup_embedding_cosine(spark, sf_dir):
 
 
 def q_lang_id(spark, sf_dir):
-    """Character-trigram language-ID (Cavnar & Trenkle profile scoring)
-    over pinned public trigram profiles — the real n-gram shape, replacing
-    the round-1 script-ratio stand-in (library operator:
-    operators/text.py, which also documents why accuracy against the
-    synthetic corpus's random ``lang`` labels is not the target)."""
+    """Character-n-gram language-ID (Cavnar & Trenkle profile scoring)
+    over the TRAINED profile table (functions/langdata.py: top-40
+    n-grams per language of the deterministic multilingual seed corpus;
+    held-out accuracy asserted in tests/test_langid.py). Library
+    operator: operators/text.py, which also documents why accuracy
+    against the synthetic corpus's random ``lang`` labels is not the
+    target here — this twin pins ENGINE PARITY of the scoring shape."""
     from search_engine_spark.operators.text import lang_id_ngram
 
     return lang_id_ngram(_read(spark, sf_dir, "documents"))
+
+
+def q_lang_profiles(spark, sf_dir):
+    """The language-profile TRAINER (operators/text.py
+    train_lang_profiles): per ``lang`` label of the documents table, the
+    top-10 most frequent character n-grams, rank = row_number under
+    (cnt desc, tg asc) — integer counts, no float path."""
+    from search_engine_spark.operators.text import train_lang_profiles
+
+    return train_lang_profiles(_read(spark, sf_dir, "documents"), n_top=10)
 
 
 def q_fingerprint(spark, sf_dir):
@@ -2428,6 +2441,7 @@ def _oracle_sql_map() -> dict[str, str]:
             WHERE cos >= 0.35
         """,
         "lang_id": _lang_id_oracle_sql(),
+        "lang_profiles": _train_lang_profiles_oracle_sql(n_top=10),
         "fingerprint": f"""
             WITH t AS (SELECT doc_id, {TOKS_DUCK} AS _t FROM documents)
             SELECT doc_id,
@@ -2763,6 +2777,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
+        "lang_profiles": q_lang_profiles,
         "fingerprint": q_fingerprint,
         "lm_logppl": q_lm_logppl,
         "textrank_keywords": q_textrank,

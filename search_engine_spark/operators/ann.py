@@ -30,6 +30,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from search_engine_spark.functions.rounding import round6
+
 
 def pinned_sign_matrix(n_rows: int, dim: int, row_offset: int = 0) -> np.ndarray:
     """±1 matrix from pinned integer arithmetic — identical to the
@@ -95,7 +97,7 @@ def ivf_assign(
                 continue
             E = _batch_matrix(pdf, vec_col)
             D = np.stack([_ordered_dot(E, C[c]) for c in range(C.shape[0])], axis=1)
-            D = np.copysign(np.floor(np.abs(D) * 1e6 + 0.5), D) / 1e6
+            D = round6(D)
             cent = D.argmax(axis=1).astype(np.int32)
             yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), "centroid": cent})
 
@@ -162,7 +164,7 @@ def ivf_probe_cells(
     C = np.ascontiguousarray(centroids, dtype=np.float64)
     q = np.asarray(query_vec, dtype=np.float64)
     d = _ordered_dot(C, q)
-    d = np.copysign(np.floor(np.abs(d) * 1e6 + 0.5), d) / 1e6
+    d = round6(d)
     order = sorted(range(C.shape[0]), key=lambda c: (-d[c], c))
     return sorted(order[: int(nprobe)])
 
@@ -199,7 +201,7 @@ def ivf_topk(
                 continue
             E = _batch_matrix(pdf, vec_col)
             D = np.stack([_ordered_dot(E, C[c]) for c in range(C.shape[0])], axis=1)
-            D = np.copysign(np.floor(np.abs(D) * 1e6 + 0.5), D) / 1e6
+            D = round6(D)
             cent = D.argmax(axis=1).astype(np.int64)
             ids = pdf[id_col].to_numpy()
             mask = np.isin(cent, cells)
@@ -323,7 +325,7 @@ def _pq_assign_codes(Xs: np.ndarray, C: np.ndarray) -> np.ndarray:
     codes = np.empty((n, m_sub), dtype=np.int32)
     for s in range(m_sub):
         d2 = ((Xs[:, s, None, :] - C[s][None, :, :]) ** 2).sum(axis=2)
-        codes[:, s] = np.argmin(np.round(d2, 6), axis=1)
+        codes[:, s] = np.argmin(round6(d2), axis=1)
     return codes
 
 
@@ -370,7 +372,7 @@ def pq_train(
     if dim % m_sub:
         raise ValueError(f"dim={dim} not divisible by m_sub={m_sub}")
     dsub = dim // m_sub
-    C = np.round(V0, 6).reshape(ksub, m_sub, dsub).transpose(1, 0, 2).copy()
+    C = round6(V0).reshape(ksub, m_sub, dsub).transpose(1, 0, 2).copy()
     src = emb.select(F.col(vec_col).cast("array<double>").alias("_v"))
 
     for _ in range(iters):
@@ -414,9 +416,7 @@ def pq_train(
             counts[r["s"], r["j"]] += r["n"]
         C = np.where(
             (counts > 0)[:, :, None],
-            np.round(
-                sums / np.maximum(counts, 1)[:, :, None].astype(np.float64), 6
-            ),
+            round6(sums / np.maximum(counts, 1)[:, :, None].astype(np.float64)),
             C,
         )
     return C
@@ -458,7 +458,7 @@ def pq_adc_lut(codebooks: np.ndarray, query_vec: list[float]) -> np.ndarray:
     Cb = np.ascontiguousarray(codebooks, dtype=np.float64)
     m_sub, _, dsub = Cb.shape
     q = np.asarray(query_vec, dtype=np.float64).reshape(m_sub, dsub)
-    return np.round(((q[:, None, :] - Cb) ** 2).sum(axis=2), 6)
+    return round6(((q[:, None, :] - Cb) ** 2).sum(axis=2))
 
 
 def pq_topk(
@@ -531,7 +531,7 @@ def ivfpq_encode(
                 continue
             E = _batch_matrix(pdf, vec_col)
             D = np.stack([_ordered_dot(E, C[c]) for c in range(C.shape[0])], axis=1)
-            D = np.copysign(np.floor(np.abs(D) * 1e6 + 0.5), D) / 1e6
+            D = round6(D)
             cent = D.argmax(axis=1).astype(np.int32)
             Xs = E.reshape(E.shape[0], Cb.shape[0], -1)
             codes = _pq_assign_codes(Xs, Cb)
@@ -598,7 +598,7 @@ def _assign_ids(X: np.ndarray, C: np.ndarray) -> np.ndarray:
     same rounded distance, so last-ulp summation differences can't flip
     an assignment."""
     d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-    return np.argmin(np.round(d2, 6), axis=1)
+    return np.argmin(round6(d2), axis=1)
 
 
 def kmeans(
@@ -631,7 +631,7 @@ def kmeans(
     dim_row = emb.select(F.size(vec_col).alias("_d")).limit(1).collect()
     if not dim_row:
         raise ValueError("kmeans on an empty embeddings table")
-    C = np.round(
+    C = round6(
         np.array(
             [
                 r["_v"]
@@ -641,8 +641,7 @@ def kmeans(
                 .collect()
             ],
             dtype=np.float64,
-        ),
-        6,
+        )
     )
     if C.shape[0] < k:
         raise ValueError(f"k={k} but only {C.shape[0]} vectors")
@@ -686,7 +685,7 @@ def kmeans(
             counts[r["c"]] += r["n"]
         C = np.vstack(
             [
-                np.round(sums[c] / counts[c], 6) if counts[c] else C[c]
+                round6(sums[c] / counts[c]) if counts[c] else C[c]
                 for c in range(k)
             ]
         )

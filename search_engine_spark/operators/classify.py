@@ -27,9 +27,11 @@ Fixed-point contract (the cross-engine pin):
 
 Scale shape: each iteration is two narrow integer hash aggregations
 over the (doc, bucket, X6) feature rows — per-doc margin, per-bucket
-gradient — plus a dim-row driver update; the model is broadcast back
-as a literal. No windows, no ordered folds over the corpus, no float
-accumulation anywhere.
+gradient — plus a dim-row driver update; the model ships back as a
+BROADCAST (bucket, w6) join side (a dim-row frame stays small even at
+a 2^18 hashing dim, where the earlier literal-array expression
+exploded the plan). No windows, no ordered folds over the corpus, no
+float accumulation anywhere.
 """
 
 from __future__ import annotations
@@ -44,6 +46,28 @@ def _x6(features: DataFrame, id_col: str, weight_col: str) -> DataFrame:
         id_col,
         "bucket",
         F.expr(f"cast(round({weight_col} * {SCALE}, 0) as bigint)").alias("x6"),
+    )
+
+
+def _margins(x: DataFrame, w6: list[int], id_col: str) -> DataFrame:
+    """Per-doc integer margin ``m12 = Σ_b x6·w6`` under the current
+    weights, via a BROADCAST join against a (bucket, w6) frame — a
+    dim-row table is kilobytes-to-megabytes even at a production
+    hashing dim (2^18+), where the previous
+    ``element_at(array(<dim literals>), bucket+1)`` form exploded the
+    expression tree / codegen. The arithmetic is unchanged: exact
+    int64 products, order-free integer sum."""
+    import pandas as pd
+
+    spark = x.sparkSession
+    w_df = spark.createDataFrame(
+        pd.DataFrame({"bucket": range(len(w6)), "w6": w6})
+    ).select(F.col("bucket").cast("int"), F.col("w6").cast("long"))
+    return (
+        x.join(F.broadcast(w_df), "bucket")
+        .select(id_col, (F.col("x6") * F.col("w6")).alias("_t"))
+        .groupBy(id_col)
+        .agg(F.sum("_t").alias("m12"))
     )
 
 
@@ -74,16 +98,7 @@ def train_linear(
     w6 = [0] * dim
     try:
         for _ in range(iters):
-            w_expr = (
-                "element_at(array("
-                + ",".join(f"{v}L" for v in w6)
-                + "), bucket + 1)"
-            )
-            m12 = (
-                x.select(id_col, F.expr(f"x6 * {w_expr}").alias("_t"))
-                .groupBy(id_col)
-                .agg(F.sum("_t").alias("m12"))
-            )
+            m12 = _margins(x, w6, id_col)
             p6 = (
                 y.join(m12, id_col, "left")
                 .select(
@@ -131,14 +146,7 @@ def predict_linear(
     One integer hash agg + a map-only sigmoid — scan-shaped, fit for
     scoring a 100 TB corpus under a trained filter."""
     x = _x6(features, id_col, weight_col)
-    w_expr = (
-        "element_at(array(" + ",".join(f"{v}L" for v in w6) + "), bucket + 1)"
-    )
-    m12 = (
-        x.select(id_col, F.expr(f"x6 * {w_expr}").alias("_t"))
-        .groupBy(id_col)
-        .agg(F.sum("_t").alias("m12"))
-    )
+    m12 = _margins(x, w6, id_col)
     return (
         labels.select(id_col)
         .join(m12, id_col, "left")

@@ -25,6 +25,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from search_engine_spark.functions.rounding import round6
+
 # md5-based 60-bit token hash, identical in Spark and DuckDB (the contract
 # embeds the DuckDB twin)
 TOKHASH_SQL = (
@@ -372,6 +374,7 @@ def semdedup(
     threshold: float = 0.93,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    block_rows: int = 2048,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication = k-means topic clusters, then within-cluster cosine
@@ -393,10 +396,14 @@ def semdedup(
     the pairwise stage shuffles each vector ONCE to its cluster's
     kernel (``applyInPandas`` by centroid). The quadratic term is
     confined within clusters — SemDeDup's defining trick: pick k so
-    |cluster| ≈ n/k stays bounded (the paper uses k ≈ √n·const); the
-    kernel's survivor rule only needs a running column-max, so a
-    too-big cluster can stream row-blocks of the similarity matrix
-    rather than materializing |c|² floats at once."""
+    |cluster| ≈ n/k stays bounded (the paper uses k ≈ √n·const) —
+    and the KERNEL's memory is bounded regardless: the similarity
+    matrix streams in ``block_rows``-row blocks (the survivor rule
+    only needs, per row, whether ANY lower-id member clears the
+    threshold), so a skewed mega-cluster costs O(block_rows²)
+    floats at a time, never |c|². The block decomposition is
+    bit-identical to the full-matrix form: each (i, j) dot still
+    accumulates left-to-right in dimension order."""
     from search_engine_spark.operators.ann import kmeans
 
     assign, _ = kmeans(emb, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
@@ -404,24 +411,41 @@ def semdedup(
         emb.select(id_col, F.col(vec_col).cast("array<double>").alias("_v"))
         .join(assign, id_col)
     )
+    B = int(block_rows)
+    if B < 1:
+        raise ValueError(f"block_rows must be >= 1, got {block_rows}")
 
     def kern(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(id_col).reset_index(drop=True)
         X = np.array(pdf["_v"].to_list(), dtype=np.float64)
         n, dim = X.shape
-        # left-to-right per-dimension accumulation: S starts at zeros
-        # and adds one outer product per dimension IN ORDER — each
-        # element's sum sequence equals the SQL list_reduce fold
-        S = np.zeros((n, n), dtype=np.float64)
+        # norms: left-to-right per-dimension accumulation (the same
+        # fold the SQL list_reduce twin replays)
         sq = np.zeros(n, dtype=np.float64)
         for d in range(dim):
-            col = X[:, d]
-            S += np.outer(col, col)
-            sq += col * col
+            sq += X[:, d] * X[:, d]
         norms = np.sqrt(sq)
-        cos = np.round(S / np.outer(norms, norms), 6)
-        tri = np.tril(cos >= threshold, k=-1)  # [i, j<i] near-dup
-        keep = ~tri.any(axis=1)
+        keep = np.ones(n, dtype=bool)
+        for i0 in range(0, n, B):
+            Xi = X[i0 : i0 + B]
+            ni = Xi.shape[0]
+            hit = np.zeros(ni, dtype=bool)
+            # columns j <= current rows only (strict j < i inside the
+            # diagonal block); each S element adds one per-dimension
+            # product IN ORDER — identical sums to the full matrix
+            for j0 in range(0, i0 + ni, B):
+                Xj = X[j0 : j0 + B]
+                nj = Xj.shape[0]
+                S = np.zeros((ni, nj), dtype=np.float64)
+                for d in range(dim):
+                    S += np.outer(Xi[:, d], Xj[:, d])
+                cos = round6(S / np.outer(norms[i0 : i0 + ni], norms[j0 : j0 + nj]))
+                m = cos >= threshold
+                if j0 == i0:
+                    m = np.tril(m, k=-1)  # [i, j<i] near-dup
+                # j0 < i0 blocks are entirely lower-id: whole block counts
+                hit |= m.any(axis=1)
+            keep[i0 : i0 + ni] = ~hit
         return pd.DataFrame(
             {
                 id_col: pdf[id_col],

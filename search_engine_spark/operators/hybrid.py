@@ -49,9 +49,21 @@ def rrf_fuse(
 ) -> DataFrame:
     """Fuse ranked top-N lists (columns: id_col, score_col) into a
     top-``topk`` (id_col, out_col) ranking by reciprocal-rank fusion.
-    See the module docstring for the pinned semantics."""
+    See the module docstring for the pinned semantics.
+
+    Precondition (asserted): each input list must be a BOUNDED top-N
+    result with UNIQUE ids. The window-free rank counts strictly-before
+    rows per (id, score) group, so duplicate ids would collapse into
+    one rank entry (row_number would not), and the O(N²) theta-join is
+    only safe because N is a result-list length, not a corpus size."""
     if not lists:
         raise ValueError("rrf_fuse needs at least one ranked list")
+    for df in lists:
+        if id_col not in df.columns or score_col not in df.columns:
+            raise ValueError(
+                f"rrf_fuse input needs columns ({id_col}, {score_col}); "
+                f"got {df.columns}"
+            )
     parts = []
     for i, df in enumerate(lists):
         # rank WITHOUT a window: for a bounded top-N list with unique

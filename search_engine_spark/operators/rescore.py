@@ -29,6 +29,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from search_engine_spark.functions.rounding import round6
+
 
 def min_cover_span(pos_lists: list[list[int]]) -> int | None:
     """Shortest span [lo, hi] of the position stream containing at least
@@ -175,7 +177,9 @@ def mmr_rerank(
                     s = len(sets[i] & sets[j]) / u if u else 0.0
                     if s > ms:
                         ms = s
-                m = np.round(lam * rel[i] - mu * ms, 6)
+                # HALF_UP 6dp — the shared cross-engine pin (the DuckDB
+                # twin's round(); np.round's half-even differs on midpoints)
+                m = float(round6(lam * rel[i] - mu * ms))
                 key = (-m, ids[i])
                 if best_key is None or key < best_key:
                     best_i, best_key = i, key

@@ -65,7 +65,7 @@ class QueryServer:
         preload_dict_max_rows: int = 2_000_000,
         local_df_budget: int = 200_000,
         local_cache_bytes: int = 256 << 20,
-        hybrid_max_candidates: int = 4096,
+        hybrid_max_fetch_blocks: int = 4096,
     ):
         self.spark = spark
         self.index_dir = index_dir.rstrip("/")
@@ -124,8 +124,14 @@ class QueryServer:
         # metadata-only columnar scan on cold miss) lets a conjunction
         # with one local-budget-sized term fetch ONLY the hot blocks
         # that hold a rare-side candidate. The knob caps the pushed
-        # IN-list (needed hot blocks); =0 disables the venue.
-        self.hybrid_max_candidates = int(hybrid_max_candidates)
+        # ``first_doc_id IN (...)`` list — i.e. the number of NEEDED
+        # HOT BLOCKS fetched, not the rare-side candidate count;
+        # =0 disables the venue.
+        self.hybrid_max_fetch_blocks = int(hybrid_max_fetch_blocks)
+        # the fetch-efficiency gate: decline the venue when candidates
+        # touch more than this fraction of the hot side's blocks
+        # (nothing left to skip — the plain pruned scan wins)
+        self.hybrid_fetch_frac = 0.25
         self._meta_cache: dict[str, object] = {}
 
     def refresh(self) -> None:
@@ -137,20 +143,30 @@ class QueryServer:
         server otherwise intentionally keeps serving the epoch it
         opened: parquet part-files are immutable and the snapshot layer
         never rewrites them in place, so the open epoch stays
-        consistent; ``refresh()`` is the explicit epoch switch."""
-        if self._cache_blocks:
-            self.blocks.unpersist()
-            if self._filter_blocks is not None:
-                self._filter_blocks.unpersist()
-        self.__init__(
+        consistent; ``refresh()`` is the explicit epoch switch.
+
+        Crash-safe: the NEW epoch's state is built first (a fresh
+        server opened on the same directory); only after that
+        succeeds does the swap happen and the OLD epoch's persisted
+        frames unpersist. If the re-open raises mid-way (e.g. a
+        concurrent commit swapping index files), this server keeps
+        serving its old epoch with every cache intact."""
+        old_blocks = self.blocks if self._cache_blocks else None
+        old_filters = self._filter_blocks if self._cache_blocks else None
+        fresh = QueryServer(
             self.spark,
             self.index_dir,
             cache_blocks=self._cache_blocks,
             preload_dict_max_rows=self._preload_dict_max_rows,
             local_df_budget=self.local_df_budget,
             local_cache_bytes=self._block_cache_cap,
-            hybrid_max_candidates=self.hybrid_max_candidates,
+            hybrid_max_fetch_blocks=self.hybrid_max_fetch_blocks,
         )
+        self.__dict__.update(fresh.__dict__)  # atomic epoch switch
+        if old_blocks is not None:
+            old_blocks.unpersist()
+        if old_filters is not None:
+            old_filters.unpersist()
 
     def _docs_table(self):
         if self._docs is None:
@@ -293,27 +309,39 @@ class QueryServer:
                 self._meta_cache.pop(next(iter(self._meta_cache)))
         return meta
 
-    def _hybrid_blocks(self, terms: list[str], excl: list[str],
-                       scope: str | None):
-        """Hot∧rare hybrid venue (conjunctions only): when the rarest
-        positive term(s) fit the local budget but a hot partner does
-        not, resolve the rare side from the driver block cache, decode
-        its candidate doc_ids, and fetch ONLY the hot blocks whose
-        range holds a candidate — a pushed ``first_doc_id IN (...)``
-        point-scan (exact across shards: shards partition the doc-id
-        space, so a needed block's first can't collide with another
-        shard's; cross-lemma collisions merely fetch a superset the
-        kernel membership-checks anyway). The shared kernels then run
+    def _hybrid_blocks(self, required: list[str], others: list[str],
+                       scope: str | None, positional: bool = False):
+        """Hot∧rare hybrid venue: when some REQUIRED lemma(s) fit the
+        local budget but a hot partner does not, resolve the rare side
+        from the driver block cache, decode its candidate doc_ids, and
+        fetch ONLY the hot blocks whose range holds a candidate — a
+        pushed ``first_doc_id IN (...)`` point-scan (exact across
+        shards: shards partition the doc-id space, so a needed block's
+        first can't collide with another shard's; cross-lemma
+        collisions merely fetch a superset the kernel
+        membership-checks anyway). The shared kernels then run
         driver-side: with df(rare) candidates the touched hot blocks
-        are ≤ |candidates|, so the whole conjunction costs O(df_rare)
+        are ≤ |candidates|, so the whole query costs O(df_rare)
         instead of O(df_hot) — the classic skip-pointer win, realized
         at the SCAN, which at 10^12 docs is the difference between
         reading 4 GB of a stopword-grade term's blocks and 40 KB.
 
+        ``required``: positive lemmas EVERY match must contain (AND
+        conjuncts; the full term set of a phrase; a bool tree's
+        top-level plain-term conjuncts) — their postings' intersection
+        upper-bounds the match set, which is what makes the candidate
+        restriction sound. ``others``: every other lemma the kernel
+        reads (exclusions, OR-branch / negated lemmas) — of a non-
+        required lemma the kernel only ever needs membership/payloads
+        AT candidate docs, so candidate-fetched blocks suffice.
+        ``positional=True`` carries the positions payload through both
+        the cache and the point-fetch (the phrase kernel's layout).
+
         Returns a collected kernel-ready blocks frame, or None to fall
         back to the distributed path. Rank/score-identical by
-        construction: same kernels, and AND semantics restrict results
-        to rare-side candidates, whose hot postings are all fetched."""
+        construction: same kernels, and the required-conjunct bound
+        restricts results to rare-side candidates, whose hot postings
+        are all fetched."""
         import numpy as np
         import pandas as pd
 
@@ -322,26 +350,26 @@ class QueryServer:
             needed_first_docs,
         )
 
-        if self.hybrid_max_candidates <= 0 or self.local_df_budget <= 0:
+        if self.hybrid_max_fetch_blocks <= 0 or self.local_df_budget <= 0:
             return None
-        if not terms:
+        if not required:
             return None
-        lemmas = sorted(set(terms) | set(excl))
+        lemmas = sorted(set(required) | set(others))
         totals = self._term_dfs(lemmas, None)
-        # greedy local side: positive terms by df asc while under budget
+        # greedy local side: required terms by df asc while under budget
         rare, cum = [], 0
-        for t in sorted(set(terms), key=lambda t: (totals[t], t)):
+        for t in sorted(set(required), key=lambda t: (totals[t], t)):
             if cum + totals[t] > self.local_df_budget:
                 break
             rare.append(t)
             cum += totals[t]
         if not rare:
-            return None  # even the rarest positive term is hot
-        # small exclusions ride the same cached local fetch; hot ones
-        # are candidate-fetched like hot positives (membership among
-        # candidates is all the kernel needs of an exclusion)
+            return None  # even the rarest required term is hot
+        # small non-required lemmas ride the same cached local fetch;
+        # hot ones are candidate-fetched like hot required terms
+        # (membership at candidates is all the kernel needs of them)
         local_side = list(rare)
-        for e in sorted(set(excl), key=lambda t: (totals[t], t)):
+        for e in sorted(set(others), key=lambda t: (totals[t], t)):
             if cum + totals[e] > self.local_df_budget:
                 continue
             local_side.append(e)
@@ -349,7 +377,9 @@ class QueryServer:
         hot = [l for l in lemmas if l not in set(local_side)]
         if not hot:
             return None  # fully local — the local venue's case
-        local_pdf = self._local_blocks(sorted(local_side), scope)
+        local_pdf = self._local_blocks(
+            sorted(local_side), scope, positional=positional
+        )
         cand = None
         for t in rare:
             ids = decoded_doc_ids(local_pdf, t)
@@ -375,13 +405,15 @@ class QueryServer:
             n_blocks_total += f.size
             need = needed_first_docs(scopes, f, l, cand)
             firsts.update(int(x) for x in need)
-        if len(firsts) > self.hybrid_max_candidates:
+        if len(firsts) > self.hybrid_max_fetch_blocks:
             return None  # IN-list would bloat — distributed wins
-        if n_blocks_total and len(firsts) > 0.25 * n_blocks_total:
+        if n_blocks_total and len(firsts) > self.hybrid_fetch_frac * n_blocks_total:
             return None  # touching most blocks anyway — nothing to skip
         if firsts:
             hot_pdf = (
-                prune_blocks(self.blocks, hot, scope)
+                prune_blocks(
+                    self.blocks, hot, scope, with_positions=positional
+                )
                 .filter(F.col("first_doc_id").isin(sorted(firsts)))
                 .toPandas()
             )
@@ -723,6 +755,18 @@ class QueryServer:
                 self._local_blocks(uniq, scope, positional=True),
                 kernel, k, offset,
             )
+        if not groups:
+            # hot∧rare hybrid: a phrase is conjunctive over ALL its
+            # terms, so every term is required and the rare side's
+            # candidates bound the matches; hot positional blocks
+            # point-fetch by candidate range
+            hyb = self._hybrid_blocks(uniq, [], scope, positional=True)
+            if hyb is not None:
+                from search_engine_spark.operators.wand import (
+                    run_kernel_local,
+                )
+
+                return run_kernel_local(hyb, kernel, k, offset)
         per_shard = blocks.groupBy("shard").applyInPandas(
             kernel, schema=SEARCH_RESULT
         )
@@ -805,6 +849,22 @@ class QueryServer:
             return run_kernel_local(
                 self._local_blocks(lemmas, scope), kernel, k, offset
             )
+        if not groups and tree[0] == "and":
+            # hot∧rare hybrid: the tree's top-level plain-term positive
+            # conjuncts upper-bound the match set (every match contains
+            # each of them), so candidates resolve from the rare ones
+            # and hot blocks point-fetch by candidate range; OR-branch
+            # and negated lemmas only need candidate membership
+            req = sorted({c[1] for c in tree[1] if c[0] == "term"})
+            hyb = self._hybrid_blocks(
+                req, sorted(set(lemmas) - set(req)), scope
+            )
+            if hyb is not None:
+                from search_engine_spark.operators.wand import (
+                    run_kernel_local,
+                )
+
+                return run_kernel_local(hyb, kernel, k, offset)
         per_shard = blocks.groupBy("shard").applyInPandas(
             kernel, schema=SEARCH_RESULT
         )

@@ -7,14 +7,20 @@ profile join) — no Python in the row path; the trigram explode is the
 only row inflation and it is inherent to character-n-gram analysis.
 
 Language-ID: classic character-n-gram profile scoring (Cavnar & Trenkle
-"N-Gram-Based Text Categorization"), bigram+trigram mix over pinned
-profiles of publicly well-known frequent n-grams per language (10
-languages incl. Cyrillic — lower() handles the non-Latin scripts
-natively). On the synthetic corpus the
-``lang`` column is an independent random label (the text itself is
-English-ish word soup for every label), so accuracy against it is not a
-meaningful target — the contract verifies ENGINE PARITY (Spark == DuckDB)
-of the real scoring shape a deployment would use with trained profiles.
+"N-Gram-Based Text Categorization"), bigram+trigram mix. The default
+profile table is TRAINED (``functions/langdata.py``): per language, the
+top-40 most frequent character n-grams of a deterministic multilingual
+seed corpus (10 languages incl. Cyrillic — lower() handles non-Latin
+scripts natively), ranked (count desc, gram asc); held-out accuracy is
+asserted in tests/test_langid.py. ``train_lang_profiles`` is the Spark
+trainer for building such a table from any labeled corpus at scale
+(identical ranking pins — parity-tested against the pure-Python twin).
+The legacy hand-picked stand-in lists remain as ``LANG_PROFILES``. On
+the synthetic contract corpus the ``lang`` column is an independent
+random label (the text is English-ish word soup for every label), so
+accuracy against it is not a meaningful target there — the contract
+verifies ENGINE PARITY (Spark == DuckDB) of the scoring shape and of
+the trainer.
 """
 
 from __future__ import annotations
@@ -101,7 +107,12 @@ def lang_id_ngram(
     Plan shape: n-gram explode → ONE broadcast join against the profile
     table (|langs|·|profile| rows) → per-(doc, lang) counts → native
     max_by. Scales as a narrow map + one aggregation on (doc, lang)."""
-    profiles = profiles if profiles is not None else LANG_PROFILES
+    if profiles is None:
+        from search_engine_spark.functions.langdata import (
+            TRAINED_LANG_PROFILES,
+        )
+
+        profiles = TRAINED_LANG_PROFILES
     langs = sorted(profiles)
     spark = docs.sparkSession
     prof = spark.createDataFrame(
@@ -151,10 +162,15 @@ def lang_id_ngram(
 
 def lang_id_oracle_sql(profiles: dict[str, list[str]] | None = None) -> str:
     """DuckDB twin of ``lang_id_ngram`` over the ``documents`` view."""
-    profiles = profiles if profiles is not None else LANG_PROFILES
+    if profiles is None:
+        from search_engine_spark.functions.langdata import (
+            TRAINED_LANG_PROFILES,
+        )
+
+        profiles = TRAINED_LANG_PROFILES
     langs = sorted(profiles)
     values = ", ".join(
-        f"('{lang}', '{tg}', {i + 1})"
+        "('{}', '{}', {})".format(lang, tg.replace("'", "''"), i + 1)
         for i, lang in enumerate(langs)
         for tg in profiles[lang]
     )
@@ -185,6 +201,84 @@ def lang_id_oracle_sql(profiles: dict[str, list[str]] | None = None) -> str:
         FROM documents d
         LEFT JOIN best USING (doc_id)
         LEFT JOIN totals USING (doc_id)
+    """
+
+
+def train_lang_profiles(
+    docs: DataFrame,
+    lang_col: str = "lang",
+    text_col: str = "text",
+    n_top: int = 40,
+) -> DataFrame:
+    """(lang, tg, rank, cnt): per language label, the ``n_top`` most
+    frequent character n-grams (bigrams + trigrams of the lowercased
+    text) — the Cavnar & Trenkle profile TRAINER, producing exactly the
+    table ``lang_id_ngram`` consumes (``{lang: [tg for rank asc]}``).
+
+    Pins (shared with ``functions/langdata.py train_profiles_py`` and
+    the DuckDB twin): integer counts only; rank = row_number under
+    (cnt desc, tg asc) per language.
+
+    Plan shape: n-gram explode → (lang, tg) hash count (partial aggs
+    map-side; the post-shuffle state is VOCABULARY-sized — n-gram
+    vocabulary is bounded by |charset|³, not corpus size) → top-n_top
+    per language via a window partitioned by lang over that tiny
+    aggregate. A 100-TB labeled corpus costs one narrow scan + one
+    bounded-state aggregation."""
+    from pyspark.sql import Window
+
+    base = docs.select(
+        F.col(lang_col).alias("lang"), F.lower(F.col(text_col)).alias("_lt")
+    )
+    tgs = base.select("lang", F.explode(F.expr(_NGRAMS_SQL)).alias("tg"))
+    counts = tgs.groupBy("lang", "tg").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("tg"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(n_top))
+        .select("lang", "tg", "rank", "cnt")
+    )
+
+
+def profiles_from_table(rows) -> dict[str, list[str]]:
+    """Collected ``train_lang_profiles`` rows → the ``{lang: [tg]}``
+    mapping ``lang_id_ngram`` takes (grams in rank order)."""
+    by_lang: dict[str, list[tuple[int, str]]] = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append((int(r["rank"]), r["tg"]))
+    return {
+        lang: [tg for _, tg in sorted(pairs)]
+        for lang, pairs in by_lang.items()
+    }
+
+
+def train_lang_profiles_oracle_sql(
+    n_top: int = 40, table: str = "documents",
+    lang_col: str = "lang", text_col: str = "text",
+) -> str:
+    """DuckDB twin of ``train_lang_profiles`` over ``table``."""
+    return f"""
+        WITH base AS (
+            SELECT {lang_col} AS lang, lower({text_col}) AS _lt
+            FROM {table}),
+        tgs AS (
+            SELECT lang, substr(_lt, i, 2) AS tg
+            FROM base, (SELECT unnest(range(1, length(_lt))) AS i)
+            WHERE length(_lt) >= 2
+            UNION ALL
+            SELECT lang, substr(_lt, i, 3) AS tg
+            FROM base, (SELECT unnest(range(1, length(_lt) - 1)) AS i)
+            WHERE length(_lt) >= 3),
+        counts AS (
+            SELECT lang, tg, count(*) AS cnt FROM tgs GROUP BY lang, tg),
+        ranked AS (
+            SELECT lang, tg, cnt,
+                   row_number() OVER (
+                       PARTITION BY lang ORDER BY cnt DESC, tg
+                   )::INT AS rank
+            FROM counts)
+        SELECT lang, tg, rank, cnt
+        FROM ranked WHERE rank <= {int(n_top)}
     """
 
 

@@ -7,6 +7,8 @@ from __future__ import annotations
 
 import pytest
 
+from search_engine_spark.functions.rounding import round6
+
 EMB = "/root/testdata/sf0.001"
 
 
@@ -122,7 +124,7 @@ def _pq_reference(X, m_sub, ksub, iters):
 
     dsub = X.shape[1] // m_sub
     C = (
-        np.round(X[:ksub].astype(np.float64), 6)
+        round6(X[:ksub].astype(np.float64))
         .reshape(ksub, m_sub, dsub)
         .transpose(1, 0, 2)
         .copy()
@@ -133,7 +135,7 @@ def _pq_reference(X, m_sub, ksub, iters):
         codes = np.empty((X.shape[0], m_sub), dtype=np.int64)
         for s in range(m_sub):
             d2 = ((Xs[:, s, None, :] - C[s][None, :, :]) ** 2).sum(axis=2)
-            codes[:, s] = np.argmin(np.round(d2, 6), axis=1)
+            codes[:, s] = np.argmin(round6(d2), axis=1)
         return codes
 
     for _ in range(iters):
@@ -142,7 +144,7 @@ def _pq_reference(X, m_sub, ksub, iters):
             for j in range(ksub):
                 m = codes[:, s] == j
                 if m.any():
-                    C[s][j] = np.round(Xs[m, s, :].mean(axis=0), 6)
+                    C[s][j] = round6(Xs[m, s, :].mean(axis=0))
     return C, assign()
 
 
@@ -254,15 +256,15 @@ def _kmeans_reference(X, k, iters):
     keeps its centroid)."""
     import numpy as np
 
-    C = np.round(X[:k].astype(np.float64), 6)
+    C = round6(X[:k].astype(np.float64))
     for _ in range(iters):
-        d2 = np.round(((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2), 6)
+        d2 = round6(((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2))
         a = np.argmin(d2, axis=1)
         C = np.vstack([
-            np.round(X[a == c].mean(axis=0), 6) if (a == c).any() else C[c]
+            round6(X[a == c].mean(axis=0)) if (a == c).any() else C[c]
             for c in range(k)
         ])
-    d2 = np.round(((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2), 6)
+    d2 = round6(((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2))
     return np.argmin(d2, axis=1), C
 
 

@@ -21,26 +21,26 @@ from search_engine_spark.operators.text import hashing_vectors
 DIM = 16
 
 
-def _hashed(text: str) -> dict[int, float]:
+def _hashed(text: str, dim: int = DIM) -> dict[int, float]:
     s: dict[int, int] = {}
     for t in re.findall(r"[a-z0-9]+", text.lower()):
         h = int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
-        b = (h // 2) % DIM
+        b = (h // 2) % dim
         s[b] = s.get(b, 0) + (1 if h % 2 == 0 else -1)
     s = {b: v for b, v in s.items() if v != 0}
     norm = math.sqrt(sum(v * v for v in s.values()))
     return {b: round(v / norm, 6) for b, v in s.items()}
 
 
-def _ref_train(texts, labels, iters, lr):
+def _ref_train(texts, labels, iters, lr, dim: int = DIM):
     X6 = {
-        i: {b: int(round(w * SCALE)) for b, w in _hashed(t).items()}
+        i: {b: int(round(w * SCALE)) for b, w in _hashed(t, dim).items()}
         for i, t in texts.items()
     }
-    w6 = [0] * DIM
+    w6 = [0] * dim
     n = len(labels)
     for _ in range(iters):
-        g = [0] * DIM
+        g = [0] * dim
         for i, y in labels.items():
             m12 = sum(x * w6[b] for b, x in X6[i].items())
             p6 = int(round(1.0 / (1.0 + math.exp(-(m12 / 1e12))) * SCALE))
@@ -48,7 +48,7 @@ def _ref_train(texts, labels, iters, lr):
                 g[b] += (p6 - y * SCALE) * x
         w6 = [
             w6[b] - math.floor(lr * g[b] / (n * SCALE) + 0.5)
-            for b in range(DIM)
+            for b in range(dim)
         ]
     return w6
 
@@ -86,6 +86,21 @@ def test_train_matches_reference(spark, corpus):
     db, ds = bucket_sign("delta")
     assert got[tb] * ts > 0
     assert got[db] * ds < 0
+
+
+def test_train_high_dim_no_plan_blowup(spark, corpus):
+    """dim=4096 trains through the broadcast-weights join — the earlier
+    ``element_at(array(<dim literals>))`` form exploded the expression
+    tree at production hashing dims. Weights must still match the
+    integer-exact reference bit-for-bit."""
+    dim = 4096
+    texts, labels = corpus
+    docs = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    feats = hashing_vectors(docs, dim=dim)
+    ldf = spark.createDataFrame(list(labels.items()), "doc_id long, label int")
+    got = train_linear(feats, ldf, dim, iters=2, lr=1.0)
+    assert got == _ref_train(texts, labels, 2, 1.0, dim=dim)
+    assert any(v != 0 for v in got)
 
 
 def test_predict_separates_classes(spark, corpus):

@@ -101,7 +101,7 @@ def test_hybrid_with_exclusion_and_cursor(srv, oracle_idx):
 def test_hybrid_cap_falls_back_distributed(spark, base_index_dir, oracle_idx):
     srv2 = QueryServer(
         spark, base_index_dir["index"], cache_blocks=False,
-        hybrid_max_candidates=0,
+        hybrid_max_fetch_blocks=0,
     )
     for qid, query, scope, k, offset in QUERY_CASES[:6]:
         budget = _force_hybrid_budget(srv2, query)
@@ -116,6 +116,77 @@ def test_hybrid_cap_falls_back_distributed(spark, base_index_dir, oracle_idx):
         ]
         assert srv2.search(query, scope=scope, k=k, offset=offset) == exp, qid
     assert not srv2._meta_cache  # venue disabled — never planned
+
+
+def _spy_hybrid(srv):
+    """Wrap srv._hybrid_blocks to record whether the venue actually
+    SERVED (returned a frame) vs declined to the distributed path."""
+    served = []
+    orig = srv._hybrid_blocks
+
+    def spy(*a, **kw):
+        r = orig(*a, **kw)
+        served.append(r is not None)
+        return r
+
+    srv._hybrid_blocks = spy
+    return served
+
+
+def _cooccurring_pair(oracle_idx, min_ratio=3):
+    """(rare, hot) analyzer-stable lemmas with df(hot) ≥ min_ratio ×
+    df(rare) and a non-empty posting intersection."""
+    posts = oracle_idx.postings
+    by_df = sorted(posts, key=lambda l: (len(posts[l]), l))
+    for rare in by_df[:60]:
+        if query_lemmas(rare) != [rare]:
+            continue
+        rd = set(posts[rare])
+        for hot in reversed(by_df):
+            if len(posts[hot]) < min_ratio * len(posts[rare]):
+                break
+            if hot == rare or query_lemmas(hot) != [hot]:
+                continue
+            if rd & set(posts[hot]):
+                return rare, hot
+    return None
+
+
+def test_hybrid_bool_rank_identity(spark, base_index_dir, oracle_idx):
+    """Boolean queries ride the hot∧rare venue: the tree's top-level
+    plain-term conjuncts bound the match set, OR-branch and negated
+    lemmas are candidate-fetched — rank/score-identical to
+    oracle.bool_search, and the venue demonstrably SERVES (not just
+    plans) at least one query."""
+    srv = QueryServer(spark, base_index_dir["index"], cache_blocks=False)
+    srv.hybrid_fetch_frac = 1.0  # small corpus: don't let the
+    # nothing-to-skip gate hide the venue from the test
+    pair = _cooccurring_pair(oracle_idx)
+    assert pair, "corpus has no co-occurring rare/hot pair"
+    rare, hot = pair
+    posts = oracle_idx.postings
+    others = sorted(
+        (l for l in posts
+         if l not in pair and query_lemmas(l) == [l]),
+        key=lambda l: -len(posts[l]),
+    )
+    hot2 = others[0]
+    srv.local_df_budget = srv._term_dfs([rare], None)[rare]
+    served = _spy_hybrid(srv)
+    queries = [
+        f"{rare} {hot}",             # implicit AND of plain terms
+        f"{rare} ({hot} | {hot2})",  # OR branch rides the candidate fetch
+        f"{rare} {hot} -{hot2}",     # negated lemma rides it too
+        f"({rare} | {hot2}) {hot}",  # no rare top-level term conjunct
+    ]
+    nonempty = 0
+    for q in queries:
+        exp = orc.bool_search(oracle_idx, q, k=10)
+        got = srv.bool_search(q, k=10)
+        assert got == [(d, s) for d, s in exp], q
+        nonempty += bool(exp)
+    assert nonempty >= 2
+    assert any(served), "hybrid venue never served a bool query"
 
 
 def test_hybrid_empty_intersection(spark, base_index_dir, oracle_idx, small_pdf):

@@ -8,21 +8,22 @@ from __future__ import annotations
 import numpy as np
 import pytest
 
+from search_engine_spark.functions.rounding import round6
 from search_engine_spark.operators.dedup import semdedup
 
 
 def _ref_kmeans_assign(X: np.ndarray, k: int, iters: int) -> np.ndarray:
-    C = np.round(X[:k], 6)
+    C = round6(X[:k])
 
     def assign(C):
         d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-        return np.argmin(np.round(d2, 6), axis=1)
+        return np.argmin(round6(d2), axis=1)
 
     for _ in range(iters):
         a = assign(C)
         C = np.array(
             [
-                np.round(X[a == c].mean(axis=0), 6) if (a == c).any() else C[c]
+                round6(X[a == c].mean(axis=0)) if (a == c).any() else C[c]
                 for c in range(k)
             ]
         )
@@ -42,7 +43,7 @@ def _ref_semdedup(X: np.ndarray, k: int, iters: int, tau: float):
                 dot += X[i, d] * X[j, d]
                 sq_i += X[i, d] * X[i, d]
                 sq_j += X[j, d] * X[j, d]
-            c = round(dot / (np.sqrt(sq_i) * np.sqrt(sq_j)), 6)
+            c = float(round6(dot / (np.sqrt(sq_i) * np.sqrt(sq_j))))
             if c >= tau:
                 keep[i] = False
                 break
@@ -74,6 +75,29 @@ def test_semdedup_matches_reference(spark, vecs):
         assert got[i] == (a[i], bool(keep[i])), i
     # the planted twins actually exercised the drop path
     assert sum(1 for _, kp in got.values() if not kp) >= 4
+
+
+def test_block_streaming_identical_to_single_block(spark, vecs):
+    """The bounded-memory row-block kernel (block_rows ≪ cluster size,
+    here forced with k=1 so one cluster holds all 40 vectors and a
+    7-row block ⇒ many block-pairs) must produce EXACTLY the keep
+    flags of the one-shot full-matrix form (block_rows ≥ n)."""
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    big = {
+        (r["vec_id"], r["centroid"], r["keep"])
+        for r in semdedup(
+            df, k=1, iters=1, threshold=0.9, block_rows=1_000_000
+        ).collect()
+    }
+    small = {
+        (r["vec_id"], r["centroid"], r["keep"])
+        for r in semdedup(df, k=1, iters=1, threshold=0.9, block_rows=7).collect()
+    }
+    assert small == big
+    assert any(not kp for (_, _, kp) in big)  # the drop path fired
 
 
 def test_lowest_id_survives_identical_vectors(spark):
