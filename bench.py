@@ -377,12 +377,21 @@ def main() -> None:
         queries[f"bm25_{name}"] = round(dt, 3)
     p50 = statistics.median(lat)
 
+    # bool hot∧rare (round-3 hybrid-venue extension): a rare required
+    # conjunct bounds the matches; the hot OR branch candidate-fetches.
+    # Not folded into p50 (keeps p50 comparable across rounds).
+    bq = f"{vocab[300]} ({HOT_TERM} | {hot_mid})"
+    server.bool_search(bq, k=10)  # warm (kernel + any cold block fetch)
+    t0 = time.perf_counter()
+    server.bool_search(bq, k=10)
+    queries["bool_q_hotrare"] = round(time.perf_counter() - t0, 3)
+
     contract = spark_queries()
     for name in [
         "tf", "df", "bm25_topk", "dedup_minhash_lsh", "ann_cosine_topk",
         "text_quality", "fingerprint", "events_sessions", "tpch_pricing",
         "hybrid_rrf_topk", "kmeans_assign", "significant_terms",
-        "hashing_vectors", "semdedup",
+        "hashing_vectors", "semdedup", "lang_id",
     ]:
         t0 = time.perf_counter()
         _noop(contract[name](spark, sf_dir))

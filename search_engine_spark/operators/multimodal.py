@@ -1,21 +1,33 @@
 """Multimodal columns: opaque binary media + typed metadata over Spark.
 
 Treats image/audio/video payloads as ``binary`` columns with a typed
-metadata struct, processed by Arrow-batched ``mapInPandas`` stages. The
-actual codec work (image decode, resampling, frame extraction) requires
-libraries not present in this container, so the codec boundary is
-STUBBED: ``decode_media`` raises ``NotImplementedError`` unless the
-deterministic fake decoder is requested. Everything Spark-side — schema,
-partitioning, UDF signatures, Arrow batch shapes, metadata propagation —
-is real and tested (tests/test_multimodal.py).
+metadata struct, processed by Arrow-batched ``mapInPandas`` stages.
+
+The codec boundary is REAL for self-describing uncompressed containers,
+implemented dependency-free on numpy/struct (round 3):
+
+- **WAV** (RIFF PCM, 8/16-bit, any channel count — downmixed to mono);
+- **PPM** (binary P6, maxval 255);
+- **BMP** (BITMAPINFOHEADER, 24-bit uncompressed BI_RGB, bottom-up or
+  top-down).
+
+Compressed formats (JPEG/PNG/MP3/H.264) still need PIL/ffmpeg, which are
+not in this container — for those ``decode_media`` raises
+``NotImplementedError`` unless the deterministic fake decoder is
+requested (``fake=True``: features from a content digest, preserving the
+exact downstream shape). Everything Spark-side — schema, partitioning,
+UDF signatures, Arrow batch shapes, metadata propagation — is identical
+between the real and fake paths.
 
 Pipeline stages (each a mapInPandas over MEDIA-schema batches):
 
 - ``decode_features``  — media bytes → fixed-dim float feature vector
-  (fake decoder: seeded from a stable content digest, so features are
-  deterministic and equality-testable without any codec library).
+  (real: pooled-grid + channel stats for images, RMS envelope + ZCR for
+  audio; fake: digest-seeded vector).
 - ``resize_meta``      — image resize planning: new (width, height)
   honoring aspect ratio; pure-metadata op, bytes passed through opaque.
+- ``resize_images``    — REAL resize: decode → nearest-neighbor resample
+  to the ``resize_meta`` plan → re-encode as PPM.
 - ``frame_sample``     — video frame sampling: explodes one row per
   sampled frame index given duration/fps metadata (1 row → N rows, the
   UDTF-ish shape done with mapInPandas).
@@ -80,19 +92,193 @@ FRAMES = StructType(
 )
 
 
-def decode_media(payload: bytes, kind: str, fake: bool = False) -> np.ndarray:
-    """Codec boundary. Real decoders (PIL/ffmpeg/soundfile) are not in
-    this container — the ``fake`` path derives a deterministic float32
-    vector from a content digest, preserving the exact downstream shape."""
-    if not fake:
-        raise NotImplementedError(
-            f"no {kind} codec in this environment; pass fake=True for the "
-            "deterministic stub (same output schema/shape as a real decoder)"
+# -- real codecs (dependency-free: numpy + struct) ---------------------------
+
+
+def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
+    """RIFF/WAVE PCM decode → (sample_rate, mono float64 samples in
+    [-1, 1]). Supports 8-bit unsigned and 16-bit signed little-endian
+    PCM, any channel count (downmixed by mean). Chunk walker honors the
+    RIFF word alignment, so extra chunks (LIST, cue) pass through."""
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are 2-byte aligned
+    if fmt is None or data is None or len(fmt) < 16:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_fmt, n_ch, rate, _br, _ba, bits = struct.unpack("<HHIIHH", fmt[:16])
+    if audio_fmt != 1 or bits not in (8, 16) or n_ch < 1:
+        raise ValueError(
+            f"unsupported WAV (fmt={audio_fmt}, bits={bits}); "
+            "uncompressed PCM 8/16-bit only"
         )
-    digest = hashlib.sha256(payload).digest()
-    seed = int.from_bytes(digest[:8], "little")
-    rng = np.random.default_rng(seed)
-    return rng.standard_normal(FEATURE_DIM).astype(np.float32)
+    if bits == 16:
+        usable = len(data) // (2 * n_ch) * 2 * n_ch
+        x = np.frombuffer(data[:usable], dtype="<i2").astype(np.float64)
+        x = x / 32768.0
+    else:
+        usable = len(data) // n_ch * n_ch
+        x = np.frombuffer(data[:usable], dtype=np.uint8).astype(np.float64)
+        x = (x - 128.0) / 128.0
+    if n_ch > 1:
+        x = x.reshape(-1, n_ch).mean(axis=1)
+    return int(rate), x
+
+
+def encode_wav(samples: np.ndarray, rate: int) -> bytes:
+    """Mono float [-1, 1] → 16-bit PCM RIFF/WAVE bytes (test/synthesis
+    twin of ``decode_wav``)."""
+    import struct
+
+    pcm = np.clip(np.asarray(samples, dtype=np.float64), -1.0, 1.0)
+    pcm = np.rint(pcm * 32767.0).astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, int(rate), int(rate) * 2, 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(pcm)) + pcm
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """PPM (binary P6) or BMP (24-bit uncompressed) → HxWx3 uint8 RGB."""
+    if payload[:2] == b"P6":
+        return _decode_ppm(payload)
+    if payload[:2] == b"BM":
+        return _decode_bmp(payload)
+    raise ValueError("not a P6 PPM or BMP payload")
+
+
+def _decode_ppm(payload: bytes) -> np.ndarray:
+    # header = "P6" then whitespace-separated width/height/maxval, with
+    # '#' comments allowed; a single whitespace byte precedes the raster
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # the single whitespace after maxval
+    w, h, maxval = fields
+    if maxval != 255:
+        raise ValueError(f"PPM maxval {maxval} unsupported (255 only)")
+    raster = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
+    return raster.reshape(h, w, 3).copy()
+
+
+def encode_ppm(arr: np.ndarray) -> bytes:
+    """HxWx3 uint8 RGB → binary P6 PPM bytes."""
+    h, w = arr.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + np.ascontiguousarray(
+        arr, dtype=np.uint8
+    ).tobytes()
+
+
+def _decode_bmp(payload: bytes) -> np.ndarray:
+    import struct
+
+    if len(payload) < 54:
+        raise ValueError("BMP too short")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size = struct.unpack_from("<I", payload, 14)[0]
+    if hdr_size < 40:
+        raise ValueError(f"BMP header size {hdr_size} unsupported")
+    w, h = struct.unpack_from("<ii", payload, 18)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    comp = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or comp != 0:
+        raise ValueError(
+            f"BMP bpp={bpp} compression={comp} unsupported "
+            "(24-bit BI_RGB only)"
+        )
+    flip = h > 0  # positive height = bottom-up row order
+    h = abs(h)
+    stride = (w * 3 + 3) // 4 * 4
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * h, offset=data_off
+    ).reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if flip:
+        rows = rows[::-1]
+    return rows[:, :, ::-1].copy()  # BGR → RGB
+
+
+def resize_image_array(arr: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resample (the deterministic, pinned kernel —
+    no interpolation-library variance)."""
+    h, w = arr.shape[:2]
+    ri = np.minimum((np.arange(int(out_h)) * h) // int(out_h), h - 1)
+    ci = np.minimum((np.arange(int(out_w)) * w) // int(out_w), w - 1)
+    return arr[ri][:, ci]
+
+
+def image_features(arr: np.ndarray) -> np.ndarray:
+    """HxWx3 uint8 → FEATURE_DIM float32: 5×5 point-sampled grayscale
+    grid (25) + per-channel means (3) + per-channel stds (3) + aspect
+    ratio (1)."""
+    a = arr.astype(np.float64) / 255.0
+    gray = a.mean(axis=2)
+    h, w = gray.shape
+    ri = np.minimum(((np.arange(5) * 2 + 1) * h) // 10, h - 1)
+    ci = np.minimum(((np.arange(5) * 2 + 1) * w) // 10, w - 1)
+    grid = gray[ri][:, ci].ravel()
+    means = a.reshape(-1, 3).mean(axis=0)
+    stds = a.reshape(-1, 3).std(axis=0)
+    aspect = np.array([w / h])
+    return np.concatenate([grid, means, stds, aspect]).astype(np.float32)
+
+
+def audio_features(samples: np.ndarray) -> np.ndarray:
+    """Mono samples → FEATURE_DIM float32: 29-bin RMS envelope + zero
+    crossing rate + mean |x| + std."""
+    x = np.asarray(samples, dtype=np.float64)
+    if x.size < 29:
+        x = np.concatenate([x, np.zeros(29 - x.size)])
+    env = np.array(
+        [np.sqrt(np.mean(c * c)) for c in np.array_split(x, 29)]
+    )
+    zcr = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1])))
+    return np.concatenate(
+        [env, [zcr, np.mean(np.abs(x)), np.std(x)]]
+    ).astype(np.float32)
+
+
+def decode_media(payload: bytes, kind: str, fake: bool = False) -> np.ndarray:
+    """Codec boundary → FEATURE_DIM float32 feature vector.
+
+    Real path: WAV-PCM audio and PPM/BMP images decode with the
+    dependency-free codecs above. Compressed formats and video need
+    PIL/ffmpeg (not in this container) and raise; the ``fake`` path
+    derives a deterministic vector from a content digest, preserving
+    the exact downstream shape for any payload."""
+    if fake:
+        digest = hashlib.sha256(payload).digest()
+        seed = int.from_bytes(digest[:8], "little")
+        rng = np.random.default_rng(seed)
+        return rng.standard_normal(FEATURE_DIM).astype(np.float32)
+    if kind == "image":
+        return image_features(decode_image(payload))
+    if kind == "audio":
+        _rate, samples = decode_wav(payload)
+        return audio_features(samples)
+    raise NotImplementedError(
+        f"no {kind} codec in this environment (PIL/ffmpeg absent; "
+        "real support: WAV-PCM audio, PPM/BMP images); pass fake=True "
+        "for the deterministic stub (same output schema/shape)"
+    )
 
 
 def decode_features(media: DataFrame, fake: bool = True) -> DataFrame:
@@ -133,6 +319,82 @@ def resize_meta(media: DataFrame, max_side: int) -> DataFrame:
             yield out
 
     return media.mapInPandas(run, schema=RESIZED)
+
+
+def resize_images(media: DataFrame, max_side: int) -> DataFrame:
+    """REAL image resize over the decodable formats (PPM/BMP): decode →
+    nearest-neighbor resample so the longer side is ≤ ``max_side``
+    (same clamp formula as ``resize_meta``, applied to the DECODED
+    dimensions) → re-encode as PPM. Non-image rows and undecodable
+    payloads raise — this operator is the real-codec stage, not the
+    metadata planner. Output: (media_id, payload, out_width,
+    out_height); one narrow mapInPandas, no shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                if r.kind != "image":
+                    raise ValueError(
+                        f"resize_images on kind={r.kind!r} (images only)"
+                    )
+                arr = decode_image(r.payload)
+                h, w = arr.shape[:2]
+                scale = min(1.0, max_side / max(w, h))
+                ow = int(np.round(w * scale))
+                oh = int(np.round(h * scale))
+                out = (
+                    arr if (ow, oh) == (w, h)
+                    else resize_image_array(arr, ow, oh)
+                )
+                rows.append((r.media_id, encode_ppm(out), ow, oh))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "payload", "out_width", "out_height"],
+            )
+
+    return media.select("media_id", "kind", "payload").mapInPandas(
+        run,
+        schema=(
+            "media_id long, payload binary, out_width int, out_height int"
+        ),
+    )
+
+
+def synthetic_real_media(spark, n: int, seed: int = 42) -> DataFrame:
+    """Deterministic media table whose image/audio payloads are REAL
+    encoded containers (PPM images, 16-bit PCM WAVs — built here with
+    the encoders above, no external data); video payloads stay opaque
+    bytes (no dependency-free video container)."""
+    rng = np.random.default_rng(seed)
+    kinds = ["image", "audio", "video"]
+    rows = []
+    for i in range(n):
+        kind = kinds[i % 3]
+        if kind == "image":
+            w = int(rng.integers(8, 64))
+            h = int(rng.integers(8, 64))
+            arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            rows.append((i, kind, encode_ppm(arr), w, h, None, None))
+        elif kind == "audio":
+            rate = 8000
+            dur = float(rng.uniform(0.05, 0.3))
+            t = np.arange(int(rate * dur)) / rate
+            freq = float(rng.uniform(100, 1000))
+            samples = 0.5 * np.sin(2 * np.pi * freq * t)
+            rows.append(
+                (i, kind, encode_wav(samples, rate), None, None, dur, None)
+            )
+        else:
+            payload = bytes(
+                rng.integers(0, 256, size=64 + (i % 5) * 32, dtype=np.uint8)
+            )
+            rows.append(
+                (i, kind, payload, int(rng.integers(64, 1920)),
+                 int(rng.integers(64, 1080)), float(rng.uniform(1, 30)),
+                 24.0)
+            )
+    return spark.createDataFrame(rows, schema=MEDIA)
 
 
 def frame_sample(media: DataFrame, every_s: float) -> DataFrame:
