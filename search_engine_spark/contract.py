@@ -151,6 +151,9 @@ from search_engine_spark.operators.text import (  # noqa: E402
     lang_id_oracle_sql as _lang_id_oracle_sql,
     train_lang_profiles_oracle_sql as _train_lang_profiles_oracle_sql,
 )
+from search_engine_spark.operators.sketch import (
+    sampled_quantiles_oracle_sql as _sampled_quantiles_oracle_sql,
+)
 
 _TOKHASH_DUCK = "(('0x' || substr(md5({col}), 1, 15))::BIGINT)"
 
@@ -1192,6 +1195,20 @@ def q_events_quantiles(spark, sf_dir):
         F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
         F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
         F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+    )
+
+
+def q_events_quantiles_sampled(spark, sf_dir):
+    """Approximate per-type quantiles from the DETERMINISTIC md5-hash
+    sample (library operator: operators/sketch.py sampled_quantiles) —
+    the 100-TB path beside the exact rollup: the aggregation state holds
+    only the sampled values, the sample is partition-invariant and the
+    predicate pushes to the scan."""
+    from search_engine_spark.operators.sketch import sampled_quantiles
+
+    return sampled_quantiles(
+        _read(spark, sf_dir, "events"), "value", "event_id",
+        ["event_type"], fraction=0.25,
     )
 
 
@@ -2519,6 +2536,9 @@ def _oracle_sql_map() -> dict[str, str]:
                    round(quantile_cont(value, 0.99), 6) AS p99
             FROM events GROUP BY event_type
         """,
+        "events_quantiles_sampled": _sampled_quantiles_oracle_sql(
+            "value", "event_id", ["event_type"], fraction=0.25
+        ),
         "top_docs_per_lang": """
             SELECT lang, doc_id, n_chars,
                    row_number() OVER (
@@ -2787,6 +2807,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "events_topic_shifts": q_events_topic_shifts,
         "events_quantiles": q_events_quantiles,
+        "events_quantiles_sampled": q_events_quantiles_sampled,
         "top_docs_per_lang": q_top_docs_per_lang,
         "events_date_filter": q_events_date_filter,
         "events_sessions": q_events_sessions,

@@ -232,3 +232,84 @@ def kmv_distinct_sql(
         FROM r
         WHERE rn = least(n, {k})
     """
+
+
+# ---------------------------------------------------------------------------
+# approximate quantiles via deterministic hash sampling
+# ---------------------------------------------------------------------------
+
+
+def sampled_quantiles(
+    df: DataFrame,
+    value_col: str,
+    key_col: str,
+    group_cols: list[str],
+    ps: tuple[float, ...] = (0.5, 0.9, 0.99),
+    fraction: float = 0.25,
+) -> DataFrame:
+    """Per-group approximate quantiles from a DETERMINISTIC hash sample —
+    the scale path next to the exact ``percentile`` rollup (contract
+    ``events_quantiles``): exact interpolated quantiles hold every group
+    value in the aggregation state, which at 10^12 rows is the memory
+    problem; sampling first caps the state at ~fraction·|group| and the
+    estimator error concentrates as O(1/sqrt(fraction·n)) (the classic
+    sample-quantile bound — the same accuracy/space dial as a KLL/
+    t-digest sketch, but with a pinned, partition-invariant sample).
+
+    Pins (the DuckDB twin reproduces every step):
+    - sample: keep iff ``substring(md5(key), 1, 8) < threshold(fraction)``
+      — the repo's md5-threshold Bernoulli device (curate.py): same
+      sample at ANY partitioning/cluster size, no RNG state; the filter
+      evaluates map-side AT the scan, so unsampled rows never reach the
+      aggregation (they are read — md5 of a column can't prune pages —
+      but neither shuffled nor held in state);
+    - quantiles ON the sample: the exact (n-1)p sorted-order
+      interpolation both engines share (Spark ``percentile`` ==
+      DuckDB ``quantile_cont``), rounded 6dp.
+
+    Output columns: group_cols + ``p<percent>`` per entry of ``ps``
+    (0.5 → p50) + ``n_sampled``."""
+    from search_engine_spark.operators.curate import _hex_threshold
+
+    h = F.substring(
+        F.md5(F.col(key_col).cast("string").cast("binary")), 1, 8
+    )
+    samp = df.filter(h < _hex_threshold(fraction))
+    aggs = [
+        F.round(
+            F.expr(f"percentile({value_col}, {p!r})"), 6
+        ).alias(_p_name(p))
+        for p in ps
+    ] + [F.count("*").alias("n_sampled")]
+    return samp.groupBy(*group_cols).agg(*aggs)
+
+
+def _p_name(p: float) -> str:
+    s = f"{p * 100:g}".replace(".", "_")
+    return f"p{s}"
+
+
+def sampled_quantiles_oracle_sql(
+    value_col: str,
+    key_col: str,
+    group_cols: list[str],
+    ps: tuple[float, ...] = (0.5, 0.9, 0.99),
+    fraction: float = 0.25,
+    table: str = "events",
+) -> str:
+    """DuckDB twin of ``sampled_quantiles`` (same md5-threshold sample,
+    same quantile_cont interpolation)."""
+    from search_engine_spark.operators.curate import _hex_threshold
+
+    g = ", ".join(group_cols)
+    qs = ", ".join(
+        f"round(quantile_cont({value_col}, {p!r}), 6) AS {_p_name(p)}"
+        for p in ps
+    )
+    return f"""
+        SELECT {g}, {qs}, count(*) AS n_sampled
+        FROM {table}
+        WHERE substring(md5({key_col}::VARCHAR), 1, 8)
+              < '{_hex_threshold(fraction)}'
+        GROUP BY {g}
+    """

@@ -10,6 +10,7 @@ import hashlib
 import duckdb
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from search_engine_spark.operators.sketch import kmv_distinct, kmv_distinct_sql
 
@@ -174,3 +175,65 @@ def test_frequent_items_share_guard(spark, skewed_pdf):
         frequent_items(spark.createDataFrame(skewed_pdf), "key", 0, 100)
     with pytest.raises(ValueError):
         frequent_items(spark.createDataFrame(skewed_pdf), "key", 5, 5)
+
+
+def test_sampled_quantiles_deterministic_and_close(spark):
+    """sampled_quantiles: identical at any partitioning (hash sample, no
+    RNG), matches its DuckDB twin exactly, and lands near the exact
+    quantiles (sample-quantile concentration)."""
+    import numpy as np
+    import pandas as pd
+
+    from search_engine_spark.operators.sketch import (
+        sampled_quantiles,
+        sampled_quantiles_oracle_sql,
+    )
+
+    rng = np.random.default_rng(11)
+    pdf = pd.DataFrame(
+        {
+            "event_id": np.arange(6000),
+            "event_type": np.repeat(["a", "b", "c"], 2000),
+            "value": np.concatenate(
+                [rng.normal(10, 2, 2000), rng.exponential(5, 2000),
+                 rng.uniform(0, 100, 2000)]
+            ),
+        }
+    )
+    df1 = spark.createDataFrame(pdf).repartition(1)
+    df8 = spark.createDataFrame(pdf).repartition(8, "event_id")
+    rows1 = sorted(
+        tuple(r) for r in sampled_quantiles(
+            df1, "value", "event_id", ["event_type"], fraction=0.3
+        ).collect()
+    )
+    rows8 = sorted(
+        tuple(r) for r in sampled_quantiles(
+            df8, "value", "event_id", ["event_type"], fraction=0.3
+        ).collect()
+    )
+    assert rows1 == rows8  # partition-invariant sample
+
+    con = duckdb.connect()
+    con.register("events", pdf)
+    want = sorted(
+        map(tuple, con.execute(
+            sampled_quantiles_oracle_sql(
+                "value", "event_id", ["event_type"], fraction=0.3
+            )
+        ).fetchall())
+    )
+    assert rows1 == want  # exact cross-engine twin
+
+    exact = {
+        r["event_type"]: (r["p50"], r["p90"])
+        for r in df1.groupBy("event_type").agg(
+            F.expr("percentile(value, 0.5)").alias("p50"),
+            F.expr("percentile(value, 0.9)").alias("p90"),
+        ).collect()
+    }
+    for et, p50, p90, _p99, n in rows1:
+        assert n > 400  # the sample actually fired
+        spread = exact[et][1] - exact[et][0] + 1e-9
+        assert abs(p50 - exact[et][0]) < 0.5 * spread, et
+        assert abs(p90 - exact[et][1]) < 0.5 * spread, et
