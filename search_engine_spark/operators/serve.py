@@ -286,16 +286,23 @@ class QueryServer:
         totals = self._term_dfs(sorted(set(lemmas)), None)
         return sum(totals.values()) <= self.local_df_budget
 
-    def _block_meta(self, lemma: str):
+    def _block_meta(self, lemma: str, source: str = "postings"):
         """Per-lemma block metadata (scope, shard, first, last arrays)
         from a metadata-ONLY scan — parquet is columnar, so the payload
-        byte columns are never read. ~40 B/block driver-side, LRU-capped."""
+        byte columns are never read. ~40 B/block driver-side, LRU-capped.
+        ``source``: "postings" (term blocks) or "filters" (the
+        attribute-filter family — same POSTINGS layout)."""
         import numpy as np
 
-        meta = self._meta_cache.get(lemma)
+        key = (source, lemma)
+        meta = self._meta_cache.get(key)
         if meta is None:
+            table = (
+                self.blocks if source == "postings"
+                else self._filters_table()
+            )
             pdf = (
-                self.blocks.filter(F.col("lemma") == lemma)
+                table.filter(F.col("lemma") == lemma)
                 .select("scope", "shard", "first_doc_id", "last_doc_id")
                 .toPandas()
             )
@@ -304,13 +311,14 @@ class QueryServer:
                 pdf["first_doc_id"].to_numpy(np.int64),
                 pdf["last_doc_id"].to_numpy(np.int64),
             )
-            self._meta_cache[lemma] = meta
+            self._meta_cache[key] = meta
             while len(self._meta_cache) > 256:
                 self._meta_cache.pop(next(iter(self._meta_cache)))
         return meta
 
     def _hybrid_blocks(self, required: list[str], others: list[str],
-                       scope: str | None, positional: bool = False):
+                       scope: str | None, positional: bool = False,
+                       filter_lemmas: tuple[str, ...] = ()):
         """Hot∧rare hybrid venue: when some REQUIRED lemma(s) fit the
         local budget but a hot partner does not, resolve the rare side
         from the driver block cache, decode its candidate doc_ids, and
@@ -336,6 +344,16 @@ class QueryServer:
         AT candidate docs, so candidate-fetched blocks suffice.
         ``positional=True`` carries the positions payload through both
         the cache and the point-fetch (the phrase kernel's layout).
+
+        ``filter_lemmas``: attribute-filter lemmas (operators/filters.py
+        groups, flattened) — candidate-fetched from the FILTER family
+        (same POSTINGS layout/sharding): filter postings are typically
+        HOT (an attribute value covers a large doc fraction), so the
+        venue never loads them whole; a candidate doc holding the
+        attribute necessarily lies in a fetched filter block, and a
+        shard whose filter group has no fetched rows correctly matches
+        nothing there (no candidate in that shard carries the
+        attribute — ``wand._gather_required``'s empty-group rule).
 
         Returns a collected kernel-ready blocks frame, or None to fall
         back to the distributed path. Rank/score-identical by
@@ -375,7 +393,8 @@ class QueryServer:
             local_side.append(e)
             cum += totals[e]
         hot = [l for l in lemmas if l not in set(local_side)]
-        if not hot:
+        flt = sorted(set(filter_lemmas))
+        if not hot and not flt:
             return None  # fully local — the local venue's case
         local_pdf = self._local_blocks(
             sorted(local_side), scope, positional=positional
@@ -395,31 +414,46 @@ class QueryServer:
         # skipped and the plain pruned scan is strictly better; a huge
         # IN-list also bloats planning. Both caps are per-decision,
         # not per-lemma, so one dense hot term vetoes the venue.
-        firsts: set[int] = set()
-        n_blocks_total = 0
-        for h in hot:
-            scopes, f, l = self._block_meta(h)
-            if scope is not None:
-                m = scopes == scope
-                scopes, f, l = scopes[m], f[m], l[m]
-            n_blocks_total += f.size
-            need = needed_first_docs(scopes, f, l, cand)
-            firsts.update(int(x) for x in need)
-        if len(firsts) > self.hybrid_max_fetch_blocks:
+        # Filter lemmas contribute to the same caps but fetch from the
+        # FILTER family with their own IN-list.
+        def _needed(lemma_list, source):
+            out: set[int] = set()
+            n_total = 0
+            for h in lemma_list:
+                scopes, f, l = self._block_meta(h, source)
+                if scope is not None:
+                    m = scopes == scope
+                    scopes, f, l = scopes[m], f[m], l[m]
+                n_total += f.size
+                need = needed_first_docs(scopes, f, l, cand)
+                out.update(int(x) for x in need)
+            return out, n_total
+
+        firsts, n_blocks_total = _needed(hot, "postings")
+        flt_firsts, flt_total = _needed(flt, "filters")
+        n_fetch = len(firsts) + len(flt_firsts)
+        if n_fetch > self.hybrid_max_fetch_blocks:
             return None  # IN-list would bloat — distributed wins
-        if n_blocks_total and len(firsts) > self.hybrid_fetch_frac * n_blocks_total:
+        if (n_blocks_total + flt_total) and n_fetch > self.hybrid_fetch_frac * (
+            n_blocks_total + flt_total
+        ):
             return None  # touching most blocks anyway — nothing to skip
+        parts = [local_pdf]
         if firsts:
-            hot_pdf = (
+            parts.append(
                 prune_blocks(
                     self.blocks, hot, scope, with_positions=positional
                 )
                 .filter(F.col("first_doc_id").isin(sorted(firsts)))
                 .toPandas()
             )
-        else:
-            hot_pdf = local_pdf.iloc[0:0]
-        return pd.concat([local_pdf, hot_pdf], ignore_index=True)
+        if flt_firsts:
+            parts.append(
+                prune_blocks(self._filters_table(), flt, scope)
+                .filter(F.col("first_doc_id").isin(sorted(flt_firsts)))
+                .toPandas()
+            )
+        return pd.concat(parts, ignore_index=True)
 
     # -- query ---------------------------------------------------------------
 
@@ -628,10 +662,14 @@ class QueryServer:
                 self._local_blocks(lemmas, scope), terms, idfs,
                 avg_len, k, offset, mode, combine, excl, after,
             )
-        if not groups and combine == "and":
+        if combine == "and":
             # hot∧rare hybrid: candidates from the local rare side,
-            # hot blocks point-fetched by candidate range
-            hyb = self._hybrid_blocks(terms, excl, scope)
+            # hot blocks point-fetched by candidate range; attribute
+            # filters ride as candidate-fetched FILTER-family blocks
+            hyb = self._hybrid_blocks(
+                terms, excl, scope,
+                filter_lemmas=tuple(l for g in groups for l in g),
+            )
             if hyb is not None:
                 from search_engine_spark.operators.wand import (
                     blocks_core_local,
@@ -639,7 +677,7 @@ class QueryServer:
 
                 return blocks_core_local(
                     hyb, terms, idfs, avg_len, k, offset, mode,
-                    combine, excl, after,
+                    combine, excl, after, req_groups=tuple(groups),
                 )
         rows = _blocks_core(
             blocks, terms, idfs, avg_len, k, offset, mode, combine, excl,
@@ -755,18 +793,20 @@ class QueryServer:
                 self._local_blocks(uniq, scope, positional=True),
                 kernel, k, offset,
             )
-        if not groups:
-            # hot∧rare hybrid: a phrase is conjunctive over ALL its
-            # terms, so every term is required and the rare side's
-            # candidates bound the matches; hot positional blocks
-            # point-fetch by candidate range
-            hyb = self._hybrid_blocks(uniq, [], scope, positional=True)
-            if hyb is not None:
-                from search_engine_spark.operators.wand import (
-                    run_kernel_local,
-                )
+        # hot∧rare hybrid: a phrase is conjunctive over ALL its terms,
+        # so every term is required and the rare side's candidates
+        # bound the matches; hot positional blocks point-fetch by
+        # candidate range, attribute filters as filter-family blocks
+        hyb = self._hybrid_blocks(
+            uniq, [], scope, positional=True,
+            filter_lemmas=tuple(l for g in groups for l in g),
+        )
+        if hyb is not None:
+            from search_engine_spark.operators.wand import (
+                run_kernel_local,
+            )
 
-                return run_kernel_local(hyb, kernel, k, offset)
+            return run_kernel_local(hyb, kernel, k, offset)
         per_shard = blocks.groupBy("shard").applyInPandas(
             kernel, schema=SEARCH_RESULT
         )
@@ -849,15 +889,17 @@ class QueryServer:
             return run_kernel_local(
                 self._local_blocks(lemmas, scope), kernel, k, offset
             )
-        if not groups and tree[0] == "and":
+        if tree[0] == "and":
             # hot∧rare hybrid: the tree's top-level plain-term positive
             # conjuncts upper-bound the match set (every match contains
             # each of them), so candidates resolve from the rare ones
             # and hot blocks point-fetch by candidate range; OR-branch
-            # and negated lemmas only need candidate membership
+            # and negated lemmas only need candidate membership, and
+            # attribute filters ride as candidate-fetched filter blocks
             req = sorted({c[1] for c in tree[1] if c[0] == "term"})
             hyb = self._hybrid_blocks(
-                req, sorted(set(lemmas) - set(req)), scope
+                req, sorted(set(lemmas) - set(req)), scope,
+                filter_lemmas=tuple(l for g in groups for l in g),
             )
             if hyb is not None:
                 from search_engine_spark.operators.wand import (

@@ -818,6 +818,7 @@ def blocks_core_local(
     combine: str,
     excl_terms: list[str] | None = None,
     after: tuple[float, int] | None = None,
+    req_groups: tuple = (),
 ) -> list[tuple[int, float]]:
     """Driver-local twin of ``_blocks_core``: the SAME per-shard kernel
     closures run over an already-collected blocks frame (grouped by
@@ -825,7 +826,9 @@ def blocks_core_local(
     total order. Rank/score-identical to the distributed path by
     construction — one code path for the math, two execution venues.
     Serving uses this for small posting sets (see QueryServer), where a
-    distributed barrier costs more than the postings themselves."""
+    distributed barrier costs more than the postings themselves.
+    ``req_groups``: attribute-filter lemma groups — their (filter-family)
+    block rows must be present in ``blocks_pdf``."""
     m = offset + k
     kernels = {
         ("and", "wand"): _shard_wand_kernel,
@@ -834,7 +837,8 @@ def blocks_core_local(
         ("or", "exact"): _shard_or_exact_kernel,
     }
     kernel = kernels[(combine, mode)](
-        terms, idfs, avg_len, m, tuple(excl_terms or ()), (), after
+        terms, idfs, avg_len, m, tuple(excl_terms or ()), tuple(req_groups),
+        after,
     )
     return run_kernel_local(blocks_pdf, kernel, k, offset)
 

@@ -189,6 +189,41 @@ def test_hybrid_bool_rank_identity(spark, base_index_dir, oracle_idx):
     assert any(served), "hybrid venue never served a bool query"
 
 
+def test_hybrid_with_filters_rank_identity(spark, base_index_dir, oracle_idx):
+    """Attribute-filtered queries ride the hybrid venue (round-3
+    extension): filter lemmas are candidate-fetched from the FILTER
+    family — never loaded whole (they are hot by nature) — and results
+    stay identical to oracle.search/bool_search(filters=...) on both
+    the term and bool paths."""
+    srv = QueryServer(spark, base_index_dir["index"], cache_blocks=False)
+    srv.hybrid_fetch_frac = 1.0
+    pair = _cooccurring_pair(oracle_idx)
+    assert pair
+    rare, hot = pair
+    srv.local_df_budget = srv._term_dfs([rare], None)[rare]
+    served = _spy_hybrid(srv)
+    filter_cases = [
+        {"role": "user"},
+        {"role": "assistant"},
+        {"role": ["user", "assistant"]},
+        {"date": {"from": "2025-01-02", "to": "2025-01-07"}},
+    ]
+    q = f"{rare} {hot}"
+    nonempty = bites = 0
+    base = orc.search(oracle_idx, q, k=10)
+    for filters in filter_cases:
+        exp = orc.search(oracle_idx, q, k=10, filters=filters)
+        got = srv.search(q, k=10, filters=filters)
+        assert got == exp, filters
+        bexp = orc.bool_search(oracle_idx, q, k=10, filters=filters)
+        bgot = srv.bool_search(q, k=10, filters=filters)
+        assert bgot == bexp, ("bool", filters)
+        nonempty += bool(exp)
+        bites += exp != base
+    assert nonempty and bites  # filters really constrained something
+    assert any(served), "hybrid venue never served a filtered query"
+
+
 def test_hybrid_empty_intersection(spark, base_index_dir, oracle_idx, small_pdf):
     """Two terms that never co-occur: the hybrid venue short-circuits
     on an empty candidate set without fetching any hot block."""

@@ -376,20 +376,26 @@ def test_query_server_phrase(
 
 
 def test_query_server_phrase_hybrid_venue(
-    spark, pos_tables, small_pdf, oracle_idx, tmp_path_factory
+    spark, pos_tables, engine_tables, small_pdf, oracle_idx,
+    tmp_path_factory,
 ):
     """Phrase queries ride the hot∧rare hybrid venue: every phrase term
     is required (a phrase is conjunctive), so the rare side's candidates
     bound the matches and hot POSITIONAL blocks point-fetch by candidate
-    range — identical to oracle.phrase_search at slop 0 and 1, and the
-    venue demonstrably serves (not just plans) at least one query."""
+    range — identical to oracle.phrase_search at slop 0 and 1 and under
+    attribute filters (filter blocks candidate-fetched, round-3
+    extension), and the venue demonstrably serves (not just plans)."""
     from search_engine_spark.functions.analyze import analyze
+    from search_engine_spark.operators.filters import build_filter_blocks
     from search_engine_spark.operators.serve import QueryServer
 
     d = str(tmp_path_factory.mktemp("pos_srv_hyb"))
     pos_tables["blocks"].write.parquet(f"{d}/postings")
     pos_tables["lemma_stats"].write.parquet(f"{d}/lemma_stats")
     pos_tables["doc_stats"].write.parquet(f"{d}/doc_stats")
+    build_filter_blocks(engine_tables["docs"], range_size=512).write.parquet(
+        f"{d}/filters"
+    )
     srv = QueryServer(spark, d, cache_blocks=False)
     srv.hybrid_fetch_frac = 1.0  # small corpus: keep the
     # nothing-to-skip gate from hiding the venue
@@ -416,6 +422,11 @@ def test_query_server_phrase_hybrid_venue(
             exp = orc.phrase_search(oracle_idx, q, k=10, slop=slop)
             got = srv.phrase(q, k=10, slop=slop)
             assert got == exp, (q, slop)
+            checked += bool(exp)
+        for filters in ({"role": "user"}, {"role": "assistant"}):
+            exp = orc.phrase_search(oracle_idx, q, k=10, filters=filters)
+            got = srv.phrase(q, k=10, filters=filters)
+            assert got == exp, (q, filters)
             checked += bool(exp)
     assert checked >= 2
     assert any(served), "hybrid venue never served a phrase query"
