@@ -152,6 +152,7 @@ from search_engine_spark.operators.text import (  # noqa: E402
     train_lang_profiles_oracle_sql as _train_lang_profiles_oracle_sql,
 )
 from search_engine_spark.operators.sketch import (
+    loghist_oracle_sql as _loghist_oracle_sql,
     sampled_quantiles_oracle_sql as _sampled_quantiles_oracle_sql,
 )
 
@@ -1209,6 +1210,21 @@ def q_events_quantiles_sampled(spark, sf_dir):
     return sampled_quantiles(
         _read(spark, sf_dir, "events"), "value", "event_id",
         ["event_type"], fraction=0.25,
+    )
+
+
+def q_events_quantiles_loghist(spark, sf_dir):
+    """Per-type quantiles from the MERGEABLE log-linear bucket sketch
+    (library operator: operators/sketch.py loghist_quantiles_from —
+    HdrHistogram layout, DDSketch-family guarantees): integer bucket
+    counts merge bucket-wise (associative/commutative, so shards and
+    days sketch independently and combine exactly), the bucket
+    expression is native SQL at the scan, and the read-off is a bounded
+    theta-join cumsum — no window, no per-value state."""
+    from search_engine_spark.operators.sketch import loghist_quantiles_from
+
+    return loghist_quantiles_from(
+        _read(spark, sf_dir, "events"), "value", ["event_type"]
     )
 
 
@@ -2539,6 +2555,9 @@ def _oracle_sql_map() -> dict[str, str]:
         "events_quantiles_sampled": _sampled_quantiles_oracle_sql(
             "value", "event_id", ["event_type"], fraction=0.25
         ),
+        "events_quantiles_loghist": _loghist_oracle_sql(
+            "value", ["event_type"], table="events"
+        ),
         "top_docs_per_lang": """
             SELECT lang, doc_id, n_chars,
                    row_number() OVER (
@@ -2808,6 +2827,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_topic_shifts": q_events_topic_shifts,
         "events_quantiles": q_events_quantiles,
         "events_quantiles_sampled": q_events_quantiles_sampled,
+        "events_quantiles_loghist": q_events_quantiles_loghist,
         "top_docs_per_lang": q_top_docs_per_lang,
         "events_date_filter": q_events_date_filter,
         "events_sessions": q_events_sessions,

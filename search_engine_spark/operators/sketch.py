@@ -313,3 +313,284 @@ def sampled_quantiles_oracle_sql(
               < '{_hex_threshold(fraction)}'
         GROUP BY {g}
     """
+
+
+# ---------------------------------------------------------------------------
+# Mergeable log-linear quantile sketch (HdrHistogram layout / DDSketch family)
+# ---------------------------------------------------------------------------
+
+LOGHIST_SCALE = 1_000_000  # fixed-point scale: v = floor(|x|*scale + 0.5)
+LOGHIST_K = 32             # linear sub-buckets per octave (rel. err <= 1/k)
+
+
+def _shl(e: str, engine: str) -> str:
+    """2^e as an EXACT bigint (never float pow): shiftleft both engines."""
+    if engine == "spark":
+        return f"shiftleft(cast(1 as bigint), cast({e} as int))"
+    return f"(CAST(1 AS BIGINT) << CAST({e} AS BIGINT))"
+
+
+def _idiv(a: str, b: str, engine: str) -> str:
+    """Exact integer division (both operands non-negative bigints)."""
+    if engine == "spark":
+        return f"(({a}) div ({b}))"
+    return f"(({a}) // ({b}))"
+
+
+def loghist_rep_sql(b: str, engine: str,
+                    scale: int = LOGHIST_SCALE, k: int = LOGHIST_K) -> str:
+    """Representative value (bucket LOWER edge, signed) for bucket id
+    ``b`` — integer-exact until one cast + one IEEE division + round6,
+    so Spark and DuckDB agree bit-for-bit."""
+    m = f"(abs({b}) - 1)"
+    e = _idiv(m, str(k), engine)
+    i = f"({m} - {e} * {k})"
+    pe = _shl(e, engine)
+    lo = f"({pe} + {_idiv(f'({i} * {pe})', str(k), engine)})"
+    sgn = f"(case when ({b}) < 0 then -1.0 else 1.0 end)"
+    return (
+        f"case when ({b}) = 0 then cast(0.0 as double) "
+        f"else round({sgn} * cast({lo} as double) / {scale}.0, 6) end"
+    )
+
+
+def loghist_sketch(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+    scale: int = LOGHIST_SCALE,
+    k: int = LOGHIST_K,
+) -> DataFrame:
+    """Mergeable quantile sketch: per-group integer counts over
+    LOG-LINEAR value buckets (HdrHistogram's layout — Tene,
+    github.com/HdrHistogram; the mergeability/accuracy contract of
+    DDSketch, Masson et al., VLDB 2019). Complements the pinned-sample
+    ``sampled_quantiles``: this one is MERGEABLE (bucket-wise integer
+    add — associative, commutative, partition- and order-invariant), so
+    shards/partitions/days sketch independently and combine exactly.
+
+    Determinism pin (the DuckDB twin reproduces every step):
+    - fixed-point: ``v = floor(|x|*scale + 0.5)`` — one IEEE multiply,
+      exact add, exact floor (the repo's floor(x+0.5) device);
+    - octave: e0 = floor(log2(v)) is only a GUESS (log/log2 is not
+      correctly rounded and differs across libm implementations); it is
+      then corrected by EXACT integer comparisons against shiftleft
+      powers of two, after which e is engine-independent;
+    - sub-bucket: ``i = ((v - 2^e) * k) div 2^e`` — pure int64;
+    - bucket id: 0 for v==0, sign(x)*(1 + e*k + i) otherwise — bucket
+      order == value order; counts are int64.
+
+    Accuracy: bucket width is 2^e/k at magnitude >= 2^e, so any
+    quantile read off bucket edges has relative error <= 1/k plus the
+    1/scale fixed-point quantization. Domain: |x|*scale < 2^55 (with
+    defaults, |x| <= 3.6e10).
+
+    Scale shape: the bucket expression is native SQL at the scan
+    (whole-stage codegen, no UDF), the only shuffle is the groupBy on
+    (group, bucket) with map-side partial counts, and the sketch size
+    is structurally bounded (<= ~56*k + 1 buckets per sign per group)
+    regardless of row count — the property that makes it a sketch.
+
+    Returns group_cols + (bucket, cnt)."""
+    engine = "spark"
+    e0 = "cast(floor(log2(cast(greatest(_v, 1) as double))) as bigint)"
+    df = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(
+            *group_cols,
+            F.col(value_col).cast("double").alias("_x"),
+        )
+        .withColumn(
+            "_v",
+            F.expr(f"cast(floor(abs(_x) * {scale}.0 + 0.5) as bigint)"),
+        )
+        .withColumn("_vv", F.expr("greatest(_v, 1)"))  # octave math never sees 0
+        .withColumn("_e0", F.expr(e0))
+        .withColumn(
+            "_e",
+            F.expr(
+                f"case when _vv < {_shl('_e0', engine)} then _e0 - 1 "
+                f"when _e0 < 62 and _vv >= {_shl('_e0 + 1', engine)} "
+                f"then _e0 + 1 else _e0 end"
+            ),
+        )
+        .withColumn("_pe", F.expr(_shl("_e", engine)))
+        .withColumn("_i", F.expr(_idiv(f"(_vv - _pe) * {k}", "_pe", engine)))
+        .withColumn(
+            "bucket",
+            F.expr(
+                f"case when _v = 0 then cast(0 as bigint) "
+                f"when _x < 0 then -(1 + _e * {k} + _i) "
+                f"else 1 + _e * {k} + _i end"
+            ),
+        )
+    )
+    return df.groupBy(*group_cols, "bucket").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+
+
+def loghist_merge(
+    sketches: Sequence[DataFrame], group_cols: Sequence[str] = ()
+) -> DataFrame:
+    """Combine sketches by bucket-wise integer add — exact under ANY
+    split of the input (associative + commutative), the property KLL /
+    t-digest only approximate. ``merge(sketch(parts)) == sketch(whole)``
+    bit-for-bit (tests/test_loghist.py pins it)."""
+    if not sketches:
+        raise ValueError("loghist_merge needs at least one sketch")
+    u = sketches[0]
+    for s in sketches[1:]:
+        u = u.unionByName(s)
+    return u.groupBy(*group_cols, "bucket").agg(
+        F.sum("cnt").cast("long").alias("cnt")
+    )
+
+
+def loghist_quantiles(
+    sketch: DataFrame,
+    group_cols: Sequence[str] = (),
+    ps: tuple[float, ...] = (0.5, 0.9, 0.99),
+    scale: int = LOGHIST_SCALE,
+    k: int = LOGHIST_K,
+) -> DataFrame:
+    """Read quantiles off a ``loghist_sketch``: rank pin
+    ``r = floor((n-1)*p) + 1`` (lower-rank selection, one IEEE multiply
+    + exact floor), answer = representative (lower edge) of the first
+    bucket whose cumulative count reaches r.
+
+    The cumulative sum is a bounded THETA-JOIN (b.bucket <= a.bucket),
+    never a window: per group the histogram is structurally <= ~2*56*k+1
+    rows no matter the data size, so the join is O(buckets^2) tiny work
+    and stays fully parallel — same device as rrf_fuse / the docs.py
+    terminal cumsum (no single-partition WindowExec, pinned repo-wide).
+
+    Output: group_cols + p<percent> per entry of ``ps`` + n_rows."""
+    g = list(group_cols)
+    a = sketch.select(
+        *[F.col(c).alias(f"_g_{c}") for c in g],
+        F.col("bucket").alias("_b"),
+    )
+    b = sketch.select(
+        *[F.col(c).alias(f"_g2_{c}") for c in g],
+        F.col("bucket").alias("_b2"),
+        F.col("cnt").alias("_c2"),
+    )
+    cond = F.col("_b2") <= F.col("_b")
+    for c in g:
+        cond = cond & (F.col(f"_g_{c}") == F.col(f"_g2_{c}"))
+    cum = (
+        a.join(F.broadcast(b), cond)
+        .groupBy(*[f"_g_{c}" for c in g], "_b")
+        .agg(F.sum("_c2").alias("_cum"))
+    )
+    n = sketch.groupBy(
+        *[F.col(c).alias(f"_gn_{c}") for c in g]
+    ).agg(F.sum("cnt").alias("_n"))
+    if g:
+        ncond = None
+        for c in g:
+            eq = F.col(f"_g_{c}") == F.col(f"_gn_{c}")
+            ncond = eq if ncond is None else (ncond & eq)
+        cum = cum.join(F.broadcast(n), ncond)
+    else:
+        cum = cum.crossJoin(F.broadcast(n))
+    aggs = []
+    for p in ps:
+        r = f"cast(floor((_n - 1) * {p!r}) as bigint) + 1"
+        aggs.append(
+            F.expr(
+                f"min(case when _cum >= {r} then _b end)"
+            ).alias(f"_qb_{_p_name(p)}")
+        )
+    out = cum.groupBy(*[f"_g_{c}" for c in g]).agg(
+        *aggs, F.max("_n").alias("n_rows")
+    )
+    sel = [F.col(f"_g_{c}").alias(c) for c in g]
+    for p in ps:
+        nm = _p_name(p)
+        sel.append(
+            F.expr(
+                loghist_rep_sql(f"_qb_{nm}", "spark", scale, k)
+            ).alias(nm)
+        )
+    sel.append(F.col("n_rows"))
+    return out.select(*sel)
+
+
+def loghist_quantiles_from(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+    ps: tuple[float, ...] = (0.5, 0.9, 0.99),
+    scale: int = LOGHIST_SCALE,
+    k: int = LOGHIST_K,
+) -> DataFrame:
+    """sketch + read-off in one call (the common non-incremental use)."""
+    return loghist_quantiles(
+        loghist_sketch(df, value_col, group_cols, scale, k),
+        group_cols, ps, scale, k,
+    )
+
+
+def loghist_oracle_sql(
+    value_col: str,
+    group_cols: Sequence[str] = (),
+    ps: tuple[float, ...] = (0.5, 0.9, 0.99),
+    scale: int = LOGHIST_SCALE,
+    k: int = LOGHIST_K,
+    table: str = "events",
+) -> str:
+    """DuckDB twin of ``loghist_quantiles_from`` — same fixed-point
+    scaler, same exact-corrected octave, same integer sub-bucket, same
+    rank pin and lower-edge representative (DuckDB may use a windowed
+    cumsum: the no-unpartitioned-window rule is a Spark-executor
+    concern, not an oracle one)."""
+    engine = "duck"
+    g = ", ".join(group_cols)
+    gcomma = f"{g}, " if g else ""
+    part = f"PARTITION BY {g} " if g else ""
+    qs, reps = [], []
+    for p in ps:
+        nm = _p_name(p)
+        r = f"CAST(floor((n - 1) * {p!r}) AS BIGINT) + 1"
+        qs.append(
+            f"min(CASE WHEN cum >= {r} THEN bucket END) AS qb_{nm}"
+        )
+        reps.append(f"{loghist_rep_sql(f'qb_{nm}', engine, scale, k)} AS {nm}")
+    return f"""
+        WITH s1 AS (
+            SELECT {gcomma}CAST({value_col} AS DOUBLE) AS x,
+                   CAST(floor(abs({value_col}) * {scale}.0 + 0.5) AS BIGINT) AS v
+            FROM {table} WHERE {value_col} IS NOT NULL
+        ), s2 AS (
+            SELECT *, CAST(floor(log2(CAST(greatest(v, 1) AS DOUBLE))) AS BIGINT) AS e0
+            FROM s1
+        ), s3 AS (
+            SELECT *, CASE WHEN greatest(v, 1) < {_shl('e0', engine)} THEN e0 - 1
+                           WHEN e0 < 62 AND greatest(v, 1) >= {_shl('e0 + 1', engine)} THEN e0 + 1
+                           ELSE e0 END AS e
+            FROM s2
+        ), s4 AS (
+            SELECT *, {_shl('e', engine)} AS pe FROM s3
+        ), s5 AS (
+            SELECT *, {_idiv(f'(greatest(v, 1) - pe) * {k}', 'pe', engine)} AS i FROM s4
+        ), h AS (
+            SELECT {gcomma}
+                   CASE WHEN v = 0 THEN CAST(0 AS BIGINT)
+                        WHEN x < 0 THEN -(1 + e * {k} + i)
+                        ELSE 1 + e * {k} + i END AS bucket,
+                   count(*) AS cnt
+            FROM s5 GROUP BY ALL
+        ), c AS (
+            SELECT {gcomma}bucket,
+                   sum(cnt) OVER ({part}ORDER BY bucket) AS cum,
+                   sum(cnt) OVER ({part}) AS n
+            FROM h
+        ), q AS (
+            SELECT {gcomma}{', '.join(qs)}, max(n) AS n_rows
+            FROM c GROUP BY ALL
+        )
+        SELECT {gcomma}{', '.join(reps)}, CAST(n_rows AS BIGINT) AS n_rows
+        FROM q
+    """
