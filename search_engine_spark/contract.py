@@ -149,6 +149,7 @@ _SHINGLES_FLAT_DUCK = f"""
 from search_engine_spark.operators.dedup import TOKHASH_SQL as _TOKHASH_SPARK  # noqa: E402
 from search_engine_spark.operators.text import (  # noqa: E402
     lang_id_oracle_sql as _lang_id_oracle_sql,
+    lang_id_pipeline_oracle_sql as _lang_id_pipeline_oracle_sql,
     train_lang_profiles_oracle_sql as _train_lang_profiles_oracle_sql,
 )
 from search_engine_spark.operators.sketch import (
@@ -1091,6 +1092,19 @@ def q_lang_profiles(spark, sf_dir):
     from search_engine_spark.operators.text import train_lang_profiles
 
     return train_lang_profiles(_read(spark, sf_dir, "documents"), n_top=10)
+
+
+def q_lang_id_e2e(spark, sf_dir):
+    """Train-then-score language ID as ONE composed distributed plan
+    (operators/text.py lang_id_pipeline): profiles trained from the
+    documents table's lang labels feed the n-gram scorer as a broadcast
+    DataFrame — no driver collect between the stages. Argmax pin:
+    min(struct(-cnt, lang)), field-order struct comparison in both
+    engines."""
+    from search_engine_spark.operators.text import lang_id_pipeline
+
+    docs = _read(spark, sf_dir, "documents")
+    return lang_id_pipeline(docs, docs, n_top=10)
 
 
 def q_fingerprint(spark, sf_dir):
@@ -2475,6 +2489,7 @@ def _oracle_sql_map() -> dict[str, str]:
         """,
         "lang_id": _lang_id_oracle_sql(),
         "lang_profiles": _train_lang_profiles_oracle_sql(n_top=10),
+        "lang_id_e2e": _lang_id_pipeline_oracle_sql(n_top=10),
         "fingerprint": f"""
             WITH t AS (SELECT doc_id, {TOKS_DUCK} AS _t FROM documents)
             SELECT doc_id,
@@ -2817,6 +2832,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "lang_profiles": q_lang_profiles,
+        "lang_id_e2e": q_lang_id_e2e,
         "fingerprint": q_fingerprint,
         "lm_logppl": q_lm_logppl,
         "textrank_keywords": q_textrank,

@@ -240,6 +240,124 @@ def train_lang_profiles(
     )
 
 
+def lang_id_pipeline(
+    labeled: DataFrame,
+    corpus: DataFrame,
+    lang_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    corpus_text_col: str = "text",
+    n_top: int = 40,
+) -> DataFrame:
+    """Train-then-score language ID as ONE distributed pipeline
+    (CLAUDE.md round-4 candidate (c)): ``train_lang_profiles`` over the
+    labeled frame feeds the scorer directly as a DataFrame — the
+    profile table never collects to the driver, so the composed plan is
+    scan(labeled) → bounded profile agg → broadcast → scan(corpus) →
+    n-gram counts → argmax. Returns (id_col, lang, match_ratio) like
+    ``lang_id_ngram``.
+
+    Argmax pin (simpler than lang_id_ngram's index-free twin): best =
+    ``min(struct(-cnt, lang))`` — struct comparison is field-order in
+    BOTH engines, so max count wins and ties go to the lexicographically
+    smaller language; integers only until the one final round6 ratio.
+    Docs with no profile match → ('und', 0.0)."""
+    prof = train_lang_profiles(labeled, lang_col, text_col, n_top).select(
+        "lang", "tg"
+    )
+    base = corpus.select(
+        F.col(id_col), F.lower(F.col(corpus_text_col)).alias("_lt")
+    )
+    tgs = base.select(id_col, F.explode(F.expr(_NGRAMS_SQL)).alias("tg"))
+    totals = tgs.groupBy(id_col).agg(F.count("*").alias("_total"))
+    counts = (
+        tgs.join(F.broadcast(prof), "tg")
+        .groupBy(id_col, "lang")
+        .agg(F.count("*").alias("_cnt"))
+    )
+    best = counts.groupBy(id_col).agg(
+        F.min(
+            F.struct(
+                (-F.col("_cnt")).alias("nc"), F.col("lang").alias("lg")
+            )
+        ).alias("_b")
+    )
+    return (
+        corpus.select(id_col)
+        .join(best, id_col, "left")
+        .join(totals, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("_b.lg"), F.lit("und")).alias("lang"),
+            F.round(
+                F.coalesce(
+                    (-F.col("_b.nc")).cast("double") / F.col("_total"),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("match_ratio"),
+        )
+    )
+
+
+def lang_id_pipeline_oracle_sql(
+    n_top: int = 40,
+    labeled_table: str = "documents",
+    corpus_table: str = "documents",
+    lang_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    corpus_text_col: str = "text",
+) -> str:
+    """DuckDB twin of ``lang_id_pipeline`` — same trainer CTEs, same
+    struct-min argmax (DuckDB struct comparison is field-order too)."""
+    return f"""
+        WITH base_l AS (
+            SELECT {lang_col} AS lang, lower({text_col}) AS _lt
+            FROM {labeled_table}),
+        tgs_l AS (
+            SELECT lang, substr(_lt, i, 2) AS tg
+            FROM base_l, (SELECT unnest(range(1, length(_lt))) AS i)
+            WHERE length(_lt) >= 2
+            UNION ALL
+            SELECT lang, substr(_lt, i, 3) AS tg
+            FROM base_l, (SELECT unnest(range(1, length(_lt) - 1)) AS i)
+            WHERE length(_lt) >= 3),
+        counts_l AS (
+            SELECT lang, tg, count(*) AS cnt FROM tgs_l GROUP BY lang, tg),
+        prof AS (
+            SELECT lang, tg FROM counts_l
+            QUALIFY row_number() OVER (
+                PARTITION BY lang ORDER BY cnt DESC, tg) <= {int(n_top)}),
+        base AS (
+            SELECT {id_col}, lower({corpus_text_col}) AS _lt
+            FROM {corpus_table}),
+        tgs AS (
+            SELECT {id_col}, substr(_lt, i, 2) AS tg
+            FROM base, (SELECT unnest(range(1, length(_lt))) AS i)
+            WHERE length(_lt) >= 2
+            UNION ALL
+            SELECT {id_col}, substr(_lt, i, 3) AS tg
+            FROM base, (SELECT unnest(range(1, length(_lt) - 1)) AS i)
+            WHERE length(_lt) >= 3),
+        totals AS (
+            SELECT {id_col}, count(*) AS _total FROM tgs GROUP BY {id_col}),
+        counts AS (
+            SELECT {id_col}, lang, count(*) AS _cnt
+            FROM tgs JOIN prof USING (tg) GROUP BY {id_col}, lang),
+        best AS (
+            SELECT {id_col}, min({{'nc': -_cnt, 'lg': lang}}) AS b
+            FROM counts GROUP BY {id_col})
+        SELECT d.{id_col},
+               coalesce(b.lg, 'und') AS lang,
+               round(coalesce((-b.nc)::DOUBLE / totals._total, 0.0), 6)
+                   AS match_ratio
+        FROM {corpus_table} d
+        LEFT JOIN best USING ({id_col})
+        LEFT JOIN totals USING ({id_col})
+    """
+
+
 def profiles_from_table(rows) -> dict[str, list[str]]:
     """Collected ``train_lang_profiles`` rows → the ``{lang: [tg]}``
     mapping ``lang_id_ngram`` takes (grams in rank order)."""

@@ -107,3 +107,52 @@ def test_trainer_duckdb_twin():
         for lang, pairs in got.items()
     }
     assert table == TRAINED_LANG_PROFILES
+
+
+def test_pipeline_twin_and_heldout_accuracy(spark):
+    """lang_id_pipeline (train-then-score, one composed plan, no driver
+    collect): DuckDB twin bit-identical, and scoring the HELD-OUT
+    sentences with profiles trained on the train split stays >= 90%
+    accurate — the same bar as the collected-profile path."""
+    import duckdb
+    import pandas as pd
+
+    from search_engine_spark.operators.text import (
+        lang_id_pipeline,
+        lang_id_pipeline_oracle_sql,
+    )
+
+    train_pdf = pd.DataFrame(
+        [(lang, s) for lang, ss in TRAIN_SENTENCES.items() for s in ss],
+        columns=["lang", "text"],
+    )
+    held = [
+        (i, lang, s)
+        for i, (lang, s) in enumerate(
+            (lang, s)
+            for lang in sorted(HELDOUT_SENTENCES)
+            for s in HELDOUT_SENTENCES[lang]
+        )
+    ]
+    corpus_pdf = pd.DataFrame(held, columns=["doc_id", "true_lang", "text"])
+
+    labeled = spark.createDataFrame(train_pdf)
+    corpus = spark.createDataFrame(corpus_pdf[["doc_id", "text"]])
+    got = (
+        lang_id_pipeline(labeled, corpus, n_top=40)
+        .orderBy("doc_id").toPandas().reset_index(drop=True)
+    )
+
+    con = duckdb.connect()
+    con.register("train_t", train_pdf)
+    con.register("corpus_t", corpus_pdf[["doc_id", "text"]])
+    want = con.execute(
+        lang_id_pipeline_oracle_sql(
+            n_top=40, labeled_table="train_t", corpus_table="corpus_t"
+        )
+        + " ORDER BY doc_id"
+    ).df().reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    acc = (got.lang == corpus_pdf.true_lang).mean()
+    assert acc >= 0.9, acc
