@@ -398,6 +398,27 @@ def main() -> None:
         queries[name] = round(time.perf_counter() - t0, 3)
     spark.stop()
 
+    # Amdahl fit (BASELINE.md round-3 note: the raw pair number is
+    # window-dominated on this VM, so report the serial-share view too).
+    # Two parallelism levels determine Amdahl's law exactly:
+    # T_lo = S + P, T_hi = S + P/R  =>  serial share s = S/T_lo =
+    # (R*T_hi - T_lo) / (T_lo*(R-1)), a monotone transform of pair
+    # efficiency (eff = 1/(R*s + 1 - s)) that separates "code is
+    # serial" from "box was contended": a contended window inflates s
+    # the same way it deflates eff, but s extrapolates — the projected
+    # efficiency at a 1000-executor cluster's per-node core count is
+    # 1/(C*s + 1 - s), the number the two-cluster-size north rule
+    # actually asks about.
+    r_ratio = hi_cpus / lo_cpus
+
+    def _serial_share(e: float) -> float:
+        s = (1.0 / max(e, 1e-9) - 1.0) / (r_ratio - 1.0)
+        return min(1.0, max(0.0, s))
+
+    s_pairs = [_serial_share(e) for e in effs]
+    s_head = _serial_share(eff)
+    proj32 = 1.0 / (32.0 * s_head + (1.0 - s_head))
+
     total = round(sum(queries.values()), 3)
     print(
         json.dumps(
@@ -417,6 +438,11 @@ def main() -> None:
                         statistics.median(effs), 3
                     ),
                     "pair_efficiencies": [round(e, 3) for e in effs],
+                    "amdahl_serial_share": round(s_head, 4),
+                    "amdahl_serial_share_pairs": [
+                        round(s, 4) for s in s_pairs
+                    ],
+                    "amdahl_projected_eff_at_32": round(proj32, 3),
                     "parallelism_ratio": hi_cpus // lo_cpus,
                     "env_probes": probes,
                 },
