@@ -66,6 +66,8 @@ class QueryServer:
         local_df_budget: int = 200_000,
         local_cache_bytes: int = 256 << 20,
         hybrid_max_fetch_blocks: int = 4096,
+        hot_df_budget: int = 4_000_000,
+        fuse_cache_bytes: int = 256 << 20,
     ):
         self.spark = spark
         self.index_dir = index_dir.rstrip("/")
@@ -133,6 +135,22 @@ class QueryServer:
         # (nothing left to skip — the plain pruned scan wins)
         self.hybrid_fetch_frac = 0.25
         self._meta_cache: dict[str, object] = {}
+        # HOT serving venue (the both-hot conjunction answer): queries
+        # whose lemma df-sum exceeds the local budget but fits
+        # ``hot_df_budget`` ALSO run driver-side — first use pays one
+        # pushed point-scan into the bytes-capped block cache plus one
+        # fused decode, memoized per (scope → shard, lemma) in the FUSE
+        # MEMO below; warm both-hot conjunctions then cost a couple of
+        # searchsorted passes (~ms) instead of a Spark job that re-scans
+        # and re-decodes a stopword-grade term's postings every query
+        # (measured 1.2 s at 1M turns). This is the classic serving-node
+        # postings RAM cache; at 100-TB corpus scale a hot term's df
+        # exceeds the budget and the query stays on the distributed
+        # path, which is untouched. =0 disables (as does
+        # local_df_budget=0 — the master off-switch for driver venues).
+        self.hot_df_budget = int(hot_df_budget)
+        self._fuse_cache_cap = int(fuse_cache_bytes)
+        self._fuse_memos: dict[object, dict] = {}
 
     def refresh(self) -> None:
         """Re-open the index after an external mutation (upsert /
@@ -161,6 +179,8 @@ class QueryServer:
             local_df_budget=self.local_df_budget,
             local_cache_bytes=self._block_cache_cap,
             hybrid_max_fetch_blocks=self.hybrid_max_fetch_blocks,
+            hot_df_budget=self.hot_df_budget,
+            fuse_cache_bytes=self._fuse_cache_cap,
         )
         self.__dict__.update(fresh.__dict__)  # atomic epoch switch
         if old_blocks is not None:
@@ -285,6 +305,44 @@ class QueryServer:
             return False
         totals = self._term_dfs(sorted(set(lemmas)), None)
         return sum(totals.values()) <= self.local_df_budget
+
+    def _hot_venue(self, lemmas: list[str]) -> bool:
+        """Second-tier venue decision: lemma df-sum over the LOCAL
+        budget but under the HOT budget still serves driver-side (block
+        cache + fuse memo). Disabled together with the local venue
+        (local_df_budget=0) so a forced-distributed caller gets the
+        distributed plan."""
+        if self.hot_df_budget <= 0 or self.local_df_budget <= 0:
+            return False
+        totals = self._term_dfs(sorted(set(lemmas)), None)
+        return sum(totals.values()) <= self.hot_df_budget
+
+    def _fuse_memo(self, scope: str | None) -> dict:
+        """Per-scope decoded-postings memo for the driver venues (keys
+        (shard, lemma) → sorted fused arrays; wand._memo_gather). Scoped
+        and unscoped fuses differ (frames are scope-filtered), hence one
+        memo per scope value."""
+        memo = self._fuse_memos.get(scope)
+        if memo is None:
+            memo = self._fuse_memos[scope] = {}
+        return memo
+
+    def _trim_fuse(self) -> None:
+        """Bound the fuse memos: evict oldest-inserted entries across
+        all scopes until under ``fuse_cache_bytes``."""
+        def entry_bytes(v) -> int:
+            return int(sum(a.nbytes for a in v))
+
+        total = sum(
+            entry_bytes(v) for m in self._fuse_memos.values()
+            for v in m.values()
+        )
+        for memo in list(self._fuse_memos.values()):
+            while total > self._fuse_cache_cap and memo:
+                k = next(iter(memo))
+                total -= entry_bytes(memo.pop(k))
+            if total <= self._fuse_cache_cap:
+                break
 
     def _block_meta(self, lemma: str, source: str = "postings"):
         """Per-lemma block metadata (scope, shard, first, last arrays)
@@ -658,14 +716,34 @@ class QueryServer:
         if not groups and self._local_venue(lemmas):
             from search_engine_spark.operators.wand import blocks_core_local
 
-            return blocks_core_local(
+            out = blocks_core_local(
                 self._local_blocks(lemmas, scope), terms, idfs,
                 avg_len, k, offset, mode, combine, excl, after,
+                fuse_memo=self._fuse_memo(scope),
             )
+            self._trim_fuse()
+            return out
+        if not groups and self._hot_venue(lemmas):
+            # HOT venue (the both-hot conjunction answer): over the
+            # local budget but inside the serving cache — fetch whole,
+            # fuse once into the memo, answer every later query from
+            # RAM with zero Spark jobs. Preferred over the hybrid
+            # venue when both fit: hybrid point-fetches per QUERY,
+            # this venue per EPOCH.
+            from search_engine_spark.operators.wand import blocks_core_local
+
+            out = blocks_core_local(
+                self._local_blocks(lemmas, scope), terms, idfs,
+                avg_len, k, offset, mode, combine, excl, after,
+                fuse_memo=self._fuse_memo(scope),
+            )
+            self._trim_fuse()
+            return out
         if combine == "and":
-            # hot∧rare hybrid: candidates from the local rare side,
-            # hot blocks point-fetched by candidate range; attribute
-            # filters ride as candidate-fetched FILTER-family blocks
+            # hot∧rare hybrid (df-sum past even the hot budget):
+            # candidates from the local rare side, hot blocks
+            # point-fetched by candidate range; attribute filters ride
+            # as candidate-fetched FILTER-family blocks
             hyb = self._hybrid_blocks(
                 terms, excl, scope,
                 filter_lemmas=tuple(l for g in groups for l in g),
@@ -786,7 +864,14 @@ class QueryServer:
         kernel = _shard_phrase_kernel(
             seq, uniq, idfs, avg_len, offset + k, slop, tuple(groups), after
         )
-        if not groups and self._local_venue(uniq):
+        if not groups and (
+            self._local_venue(uniq) or self._hot_venue(uniq)
+        ):
+            # hot tier included: a phrase with a stopword-grade member
+            # pays one positional fetch into the bytes-capped cache,
+            # then serves driver-side (no fuse memo — the positional
+            # gather has its own layout; the per-query decode is still
+            # far under a distributed barrier)
             from search_engine_spark.operators.wand import run_kernel_local
 
             return run_kernel_local(
@@ -883,12 +968,25 @@ class QueryServer:
             tree, terms, idfs, avg_len, offset + k, tuple(groups), after
         )
         lemmas = sorted(set(all_lemmas(tree)))
-        if not groups and self._local_venue(lemmas):
+        if not groups and (
+            self._local_venue(lemmas) or self._hot_venue(lemmas)
+        ):
+            # the hot tier rides the same driver venue: bool trees mix
+            # hot OR-branches with rare conjuncts, and the fuse memo
+            # makes the hot side a one-time decode (hybrid still wins
+            # when it applies, but it only fires below, on decline of
+            # this branch — order: cheapest venue that fits)
             from search_engine_spark.operators.wand import run_kernel_local
 
-            return run_kernel_local(
-                self._local_blocks(lemmas, scope), kernel, k, offset
+            kernel_m = _shard_bool_kernel(
+                tree, terms, idfs, avg_len, offset + k, tuple(groups),
+                after, fuse_memo=self._fuse_memo(scope),
             )
+            out = run_kernel_local(
+                self._local_blocks(lemmas, scope), kernel_m, k, offset
+            )
+            self._trim_fuse()
+            return out
         if tree[0] == "and":
             # hot∧rare hybrid: the tree's top-level plain-term positive
             # conjuncts upper-bound the match set (every match contains

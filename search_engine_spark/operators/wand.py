@@ -95,6 +95,26 @@ def _gather_term(pdf: pd.DataFrame) -> tuple[np.ndarray, np.ndarray, np.ndarray]
     return ids[order], tfs[order], dls[order]
 
 
+def _memo_gather(tp: pd.DataFrame, memo, lemma: str):
+    """``_gather_term`` through the serving-layer FUSE MEMO: a
+    dict keyed (shard, lemma) holding the sorted fused (ids, tfs, dls)
+    triple, owned by the QueryServer and passed ONLY on the driver-local
+    venue over FULL per-lemma frames (the hybrid venue's frames are
+    partial point-fetches and must never populate it; the distributed
+    path never sees it, so nothing extra pickles into executors). The
+    memo turns the per-query decode of a hot term — the dominant cost
+    of a warm both-hot conjunction — into a one-time cost per epoch;
+    arrays are identical to a fresh decode, so rank identity is free."""
+    if memo is None:
+        return _gather_term(tp)
+    key = (tp["shard"].iloc[0], lemma)
+    hit = memo.get(key)
+    if hit is None:
+        hit = _gather_term(tp)
+        memo[key] = hit
+    return hit
+
+
 def _intersect_score(
     per_term: list[tuple[np.ndarray, np.ndarray, np.ndarray]],
     idfs: list[float],
@@ -239,7 +259,8 @@ def _heap_frame(heap: list) -> pd.DataFrame:
 
 
 def _shard_or_exact_kernel(
-    terms, idfs, avg_len, m, excl_terms=(), req_groups=(), after=None
+    terms, idfs, avg_len, m, excl_terms=(), req_groups=(), after=None,
+    fuse_memo=None,
 ):
     """Per-shard grouped-map fn: exact disjunctive scoring, local top-m."""
 
@@ -253,7 +274,7 @@ def _shard_or_exact_kernel(
                 z = np.empty(0, dtype=np.int64)
                 per_term.append((z, z, z))
             else:
-                per_term.append(_gather_term(tp))
+                per_term.append(_memo_gather(tp, fuse_memo, t))
         cand, scores = _union_score(per_term, idfs, avg_len)
         cand, scores = _drop_excluded(cand, excl, scores)
         cand, scores = _keep_required(cand, req, scores)
@@ -267,7 +288,8 @@ def _shard_or_exact_kernel(
 
 
 def _shard_or_wand_kernel(
-    terms, idfs, avg_len, m, excl_terms=(), req_groups=(), after=None
+    terms, idfs, avg_len, m, excl_terms=(), req_groups=(), after=None,
+    fuse_memo=None,
 ):
     """Per-shard grouped-map fn: block-max WEAK-AND (disjunctive WAND,
     Broder et al.): sweep doc-id SEGMENTS (the partition induced by all
@@ -307,8 +329,34 @@ def _shard_or_wand_kernel(
                     "tfs_b": tp["tfs"].to_numpy(object),
                     "dls_b": tp["doc_lens"].to_numpy(object),
                     "decoded": {},
+                    # serving fuse memo: the whole-term sorted triple
+                    # replaces the per-segment active-block concat with
+                    # one [lo, hi] slice — identical arrays (postings in
+                    # the segment all lie in blocks overlapping it, ids
+                    # unique per term), one-time decode per epoch
+                    "full": None
+                    if (fuse_memo is None or len(tp) == 0)
+                    else _memo_gather(tp, fuse_memo, t),
                 }
             )
+        if fuse_memo is not None:
+            # serving venue, everything fused: the weak-AND segment
+            # sweep degenerates into a Python loop over ~2×blocks
+            # segments that saves no decode (all decoded once into the
+            # memo) — the vectorized exact union is strictly faster and
+            # rank-identical (weak-AND is pinned safe-up-to-m vs the
+            # exact OR scorer).
+            per_term = [m_["full"] or (np.empty(0, np.int64),) * 3
+                        for m_ in metas]
+            cand, scores = _union_score(per_term, idfs, avg_len)
+            cand, scores = _drop_excluded(cand, excl, scores)
+            cand, scores = _keep_required(cand, req, scores)
+            cand, scores = _after_cut(cand, scores, after)
+            if cand.size > m:
+                sel = np.lexsort((cand, -scores))[:m]
+                cand, scores = cand[sel], scores[sel]
+            return pd.DataFrame({"doc_id": cand, "score": scores})
+
         bounds = np.unique(
             np.concatenate(
                 [m_["first"] for m_ in metas] + [m_["last"] + 1 for m_ in metas]
@@ -339,6 +387,12 @@ def _shard_or_wand_kernel(
                 if idxs.size == 0:
                     z = np.empty(0, dtype=np.int64)
                     per_term.append((z, z, z))
+                    continue
+                if m_["full"] is not None:
+                    ids, tfs, dls = m_["full"]
+                    a = np.searchsorted(ids, lo, side="left")
+                    b = np.searchsorted(ids, hi, side="right")
+                    per_term.append((ids[a:b], tfs[a:b], dls[a:b]))
                     continue
                 parts = []
                 for ri in idxs:
@@ -377,7 +431,8 @@ def _shard_or_wand_kernel(
 
 
 def _shard_exact_kernel(
-    terms, idfs, avg_len, m, excl_terms=(), req_groups=(), after=None
+    terms, idfs, avg_len, m, excl_terms=(), req_groups=(), after=None,
+    fuse_memo=None,
 ):
     """Per-shard grouped-map fn: exact conjunctive scoring, local top-m."""
 
@@ -391,7 +446,7 @@ def _shard_exact_kernel(
                 return pd.DataFrame({"doc_id": [], "score": []}).astype(
                     {"doc_id": "int64", "score": "float64"}
                 )
-            per_term.append(_gather_term(tp))
+            per_term.append(_memo_gather(tp, fuse_memo, t))
         cand, scores = _intersect_score(per_term, idfs, avg_len)
         cand, scores = _drop_excluded(cand, excl, scores)
         cand, scores = _keep_required(cand, req, scores)
@@ -406,7 +461,8 @@ def _shard_exact_kernel(
 
 
 def _shard_wand_kernel(
-    terms, idfs, avg_len, m, excl_terms=(), req_groups=(), after=None
+    terms, idfs, avg_len, m, excl_terms=(), req_groups=(), after=None,
+    fuse_memo=None,
 ):
     """Per-shard grouped-map fn: conjunctive block-max WAND, local top-m."""
     n_terms = len(terms)
@@ -440,12 +496,50 @@ def _shard_wand_kernel(
                     "decoded": {},  # block row idx -> (ids, tfs, dls)
                 }
             )
+        shard_key = pdf["shard"].iloc[0] if fuse_memo is not None else None
         rarest = min(range(n_terms), key=lambda i: metas[i]["count"])
         others = [i for i in range(n_terms) if i != rarest]
         excl = _gather_excluded(pdf, excl_terms)
         req = _gather_required(pdf, req_groups)
         if req is not None and req.size == 0:
             return empty  # a filter group is absent from this shard
+
+        def full_term_memo(ti: int):
+            hit = fuse_memo.get((shard_key, terms[ti]))
+            if hit is None:
+                meta = metas[ti]
+                ids = delta_decode_segmented(
+                    varbyte_decode(b"".join(meta["doc_ids_b"])),
+                    meta["counts"],
+                ).astype(np.int64)
+                tfs = varbyte_decode(b"".join(meta["tfs_b"])).astype(
+                    np.int64
+                )
+                dls = varbyte_decode(b"".join(meta["dls_b"])).astype(
+                    np.int64
+                )
+                order = np.argsort(ids, kind="stable")
+                hit = (ids[order], tfs[order], dls[order])
+                fuse_memo[(shard_key, terms[ti])] = hit
+            return hit
+
+        if fuse_memo is not None:
+            # serving venue with the fuse memo: every term's sorted
+            # fused triple is (or becomes) a one-time decode per epoch,
+            # after which the vectorized exact intersection beats the
+            # block-max sweep (whose skips only save DECODE work — all
+            # decoded here — while its per-block Python loop costs
+            # ~0.1 s on a 100-block term). Rank/score-identical: WAND
+            # is pinned safe-up-to-m vs the exact scorer everywhere.
+            per_term = [full_term_memo(ti) for ti in range(n_terms)]
+            cand, scores = _intersect_score(per_term, idfs, avg_len)
+            cand, scores = _drop_excluded(cand, excl, scores)
+            cand, scores = _keep_required(cand, req, scores)
+            cand, scores = _after_cut(cand, scores, after)
+            if cand.size > m:
+                sel = np.lexsort((cand, -scores))[:m]
+                cand, scores = cand[sel], scores[sel]
+            return pd.DataFrame({"doc_id": cand, "score": scores})
 
         def decode_block(ti: int, ri: int):
             meta = metas[ti]
@@ -464,9 +558,15 @@ def _shard_wand_kernel(
         def full_term(ti: int):
             """Whole-term fused decode (sorted): one varbyte pass per
             column + segmented delta cumsum — O(total postings), no
-            per-block numpy-call overhead. Cached on the meta."""
+            per-block numpy-call overhead. Cached on the meta, and —
+            on the serving venue — in the cross-query fuse memo, so a
+            warm hot term never decodes again this epoch."""
             meta = metas[ti]
             full = meta.get("full")
+            if full is None and fuse_memo is not None:
+                full = fuse_memo.get((shard_key, terms[ti]))
+                if full is not None:
+                    meta["full"] = full
             if full is None:
                 ids = delta_decode_segmented(
                     varbyte_decode(b"".join(meta["doc_ids_b"])),
@@ -481,6 +581,8 @@ def _shard_wand_kernel(
                 order = np.argsort(ids, kind="stable")
                 full = (ids[order], tfs[order], dls[order])
                 meta["full"] = full
+                if fuse_memo is not None:
+                    fuse_memo[(shard_key, terms[ti])] = full
             return full
 
         # hot∧rare fast path: when the rare term's candidate count
@@ -819,6 +921,7 @@ def blocks_core_local(
     excl_terms: list[str] | None = None,
     after: tuple[float, int] | None = None,
     req_groups: tuple = (),
+    fuse_memo: dict | None = None,
 ) -> list[tuple[int, float]]:
     """Driver-local twin of ``_blocks_core``: the SAME per-shard kernel
     closures run over an already-collected blocks frame (grouped by
@@ -828,7 +931,9 @@ def blocks_core_local(
     Serving uses this for small posting sets (see QueryServer), where a
     distributed barrier costs more than the postings themselves.
     ``req_groups``: attribute-filter lemma groups — their (filter-family)
-    block rows must be present in ``blocks_pdf``."""
+    block rows must be present in ``blocks_pdf``. ``fuse_memo``: the
+    server's cross-query decoded-postings memo (see ``_memo_gather``) —
+    pass it ONLY with full per-lemma frames, never hybrid point-fetches."""
     m = offset + k
     kernels = {
         ("and", "wand"): _shard_wand_kernel,
@@ -838,7 +943,7 @@ def blocks_core_local(
     }
     kernel = kernels[(combine, mode)](
         terms, idfs, avg_len, m, tuple(excl_terms or ()), tuple(req_groups),
-        after,
+        after, fuse_memo=fuse_memo,
     )
     return run_kernel_local(blocks_pdf, kernel, k, offset)
 
@@ -864,7 +969,10 @@ def run_kernel_local(
     return [(int(ids[i]), float(scores[i])) for i in order]
 
 
-def _shard_bool_kernel(tree, terms, idfs, avg_len, m, req_groups=(), after=None):
+def _shard_bool_kernel(
+    tree, terms, idfs, avg_len, m, req_groups=(), after=None,
+    fuse_memo=None,
+):
     """Per-shard grouped-map fn: boolean-AST matching + exact scoring.
 
     Shards partition docs by id range, so every lemma of a given doc —
@@ -887,7 +995,7 @@ def _shard_bool_kernel(tree, terms, idfs, avg_len, m, req_groups=(), after=None)
         per = {}
         for t in lemmas:
             tp = pdf[pdf["lemma"] == t]
-            per[t] = (z, z, z) if tp.empty else _gather_term(tp)
+            per[t] = (z, z, z) if tp.empty else _memo_gather(tp, fuse_memo, t)
 
         def ev(node) -> np.ndarray:
             if node[0] == "term":

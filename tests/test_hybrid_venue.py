@@ -15,7 +15,10 @@ from tests.test_spark_engine import QUERY_CASES
 
 @pytest.fixture(scope="module")
 def srv(spark, base_index_dir):
-    return QueryServer(spark, base_index_dir["index"], cache_blocks=False)
+    s = QueryServer(spark, base_index_dir["index"], cache_blocks=False)
+    s.hot_df_budget = 0  # the HOT tier would otherwise serve first —
+    # these tests pin the HYBRID venue specifically
+    return s
 
 
 def _force_hybrid_budget(srv, query) -> int | None:
@@ -101,7 +104,7 @@ def test_hybrid_with_exclusion_and_cursor(srv, oracle_idx):
 def test_hybrid_cap_falls_back_distributed(spark, base_index_dir, oracle_idx):
     srv2 = QueryServer(
         spark, base_index_dir["index"], cache_blocks=False,
-        hybrid_max_fetch_blocks=0,
+        hybrid_max_fetch_blocks=0, hot_df_budget=0,
     )
     for qid, query, scope, k, offset in QUERY_CASES[:6]:
         budget = _force_hybrid_budget(srv2, query)
@@ -159,6 +162,7 @@ def test_hybrid_bool_rank_identity(spark, base_index_dir, oracle_idx):
     oracle.bool_search, and the venue demonstrably SERVES (not just
     plans) at least one query."""
     srv = QueryServer(spark, base_index_dir["index"], cache_blocks=False)
+    srv.hot_df_budget = 0  # pin the hybrid venue (hot tier serves first)
     srv.hybrid_fetch_frac = 1.0  # small corpus: don't let the
     # nothing-to-skip gate hide the venue from the test
     pair = _cooccurring_pair(oracle_idx)
@@ -196,6 +200,7 @@ def test_hybrid_with_filters_rank_identity(spark, base_index_dir, oracle_idx):
     stay identical to oracle.search/bool_search(filters=...) on both
     the term and bool paths."""
     srv = QueryServer(spark, base_index_dir["index"], cache_blocks=False)
+    srv.hot_df_budget = 0  # pin the hybrid venue (hot tier serves first)
     srv.hybrid_fetch_frac = 1.0
     pair = _cooccurring_pair(oracle_idx)
     assert pair
@@ -228,6 +233,7 @@ def test_hybrid_empty_intersection(spark, base_index_dir, oracle_idx, small_pdf)
     """Two terms that never co-occur: the hybrid venue short-circuits
     on an empty candidate set without fetching any hot block."""
     srv2 = QueryServer(spark, base_index_dir["index"], cache_blocks=False)
+    srv2.hot_df_budget = 0  # pin the hybrid venue (hot tier serves first)
     # find a (rare, hot) lemma pair with empty intersection via oracle
     posts = orc.build_index(small_pdf).postings
     by_df = sorted(posts, key=lambda l: len(posts[l]))

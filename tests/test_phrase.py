@@ -399,6 +399,7 @@ def test_query_server_phrase_hybrid_venue(
     srv = QueryServer(spark, d, cache_blocks=False)
     srv.hybrid_fetch_frac = 1.0  # small corpus: keep the
     # nothing-to-skip gate from hiding the venue
+    srv.hot_df_budget = 0  # pin the HYBRID venue (hot tier serves first)
     served = []
     orig = srv._hybrid_blocks
 
@@ -430,3 +431,39 @@ def test_query_server_phrase_hybrid_venue(
             checked += bool(exp)
     assert checked >= 2
     assert any(served), "hybrid venue never served a phrase query"
+
+
+def test_query_server_phrase_hot_venue(
+    spark, pos_tables, engine_tables, small_pdf, oracle_idx,
+    tmp_path_factory,
+):
+    """Phrases with stopword-grade members ride the HOT venue: when the
+    terms' df-sum fits ``hot_df_budget`` the positional blocks fetch
+    whole into the driver cache and the shared phrase kernel runs
+    in-process — identical to oracle.phrase_search across slop values,
+    and the repeat serves without the hybrid/distributed paths."""
+    from search_engine_spark.operators.filters import build_filter_blocks
+    from search_engine_spark.operators.serve import QueryServer
+
+    d = str(tmp_path_factory.mktemp("pos_srv_hot"))
+    pos_tables["blocks"].write.parquet(f"{d}/postings")
+    pos_tables["lemma_stats"].write.parquet(f"{d}/lemma_stats")
+    pos_tables["doc_stats"].write.parquet(f"{d}/doc_stats")
+    build_filter_blocks(engine_tables["docs"], range_size=512).write.parquet(
+        f"{d}/filters"
+    )
+    srv = QueryServer(spark, d, cache_blocks=False)
+    srv.local_df_budget = 1      # local venue off for real queries
+    srv.hot_df_budget = 10 ** 9  # everything fits the hot tier
+    # the hybrid venue must never fire: hot serves first
+    srv._hybrid_blocks = lambda *a, **kw: (_ for _ in ()).throw(
+        AssertionError("hybrid fired despite the hot venue")
+    )
+    checked = 0
+    for q in _phrases_from_corpus(small_pdf)[:3]:
+        for kwargs in ({}, {"slop": 1}):
+            exp = orc.phrase_search(oracle_idx, q, k=10, **kwargs)
+            assert srv.phrase(q, k=10, **kwargs) == exp, (q, kwargs)
+            assert srv.phrase(q, k=10, **kwargs) == exp  # warm repeat
+            checked += bool(exp)
+    assert checked
