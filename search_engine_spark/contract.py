@@ -1344,6 +1344,46 @@ def q_tpch_top_customers(spark, sf_dir):
     return rev.orderBy(F.desc("revenue"), F.asc("custkey")).limit(10)
 
 
+def q_tpch_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: orders ⋈ lineitem on the order key with date
+    predicates PUSHED to both parquet scans, revenue = Σ extendedprice·
+    (1−discount) per (orderkey, orderdate, priority), top-10. Float pin:
+    each revenue term is ONE IEEE multiply then a cast to decimal(18,4)
+    (deterministic HALF_UP at 4dp both engines), and the SUM runs in
+    decimal — exact and order-free under any partitioning (the
+    classifier's integer-gradient trick); one final round6 double. Plan:
+    both sides filter at the scan, partial aggs map-side, TakeOrdered
+    for the top-k — no global sort."""
+    o = _read(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1998-01-01"
+    )
+    li = _read(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > "1998-01-01"
+    )
+    rev = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(
+                    F.expr(
+                        "cast(l_extendedprice * (1.0 - l_discount) "
+                        "as decimal(18,4))"
+                    )
+                ).cast("double"),
+                6,
+            ).alias("revenue")
+        )
+        .select(
+            F.col("l_orderkey").alias("orderkey"),
+            F.col("o_orderdate").alias("orderdate"),
+            F.col("o_orderpriority").alias("priority"),
+            "revenue",
+        )
+    )
+    return rev.orderBy(F.desc("revenue"), F.asc("orderkey")).limit(10)
+
+
 # ---------------------------------------------------------------------------
 # curation suite: cluster resolution, packing, sampling, funnel
 # ---------------------------------------------------------------------------
@@ -2609,6 +2649,21 @@ def _oracle_sql_map() -> dict[str, str]:
             JOIN nation ON c_nationkey = n_nationkey
             ORDER BY revenue DESC, c_custkey ASC LIMIT 10
         """,
+        "tpch_shipping_priority": """
+            SELECT l_orderkey AS orderkey,
+                   o_orderdate AS orderdate,
+                   o_orderpriority AS priority,
+                   round(CAST(sum(
+                       CAST(l_extendedprice * (1.0 - l_discount)
+                            AS DECIMAL(18,4))
+                   ) AS DOUBLE), 6) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            WHERE o_orderdate < TIMESTAMP '1998-01-01'
+              AND l_shipdate > TIMESTAMP '1998-01-01'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, l_orderkey ASC LIMIT 10
+        """,
         "pack_bins": f"""
             WITH t AS (
                 SELECT doc_id,
@@ -2849,6 +2904,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": q_events_sessions,
         "tpch_pricing": q_tpch_pricing,
         "tpch_top_customers": q_tpch_top_customers,
+        "tpch_shipping_priority": q_tpch_shipping_priority,
         "dedup_clusters": q_dedup_clusters,
         "pack_bins": q_pack_bins,
         "stratified_sample": q_stratified_sample,

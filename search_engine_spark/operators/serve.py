@@ -331,7 +331,12 @@ class QueryServer:
         """Bound the fuse memos: evict oldest-inserted entries across
         all scopes until under ``fuse_cache_bytes``."""
         def entry_bytes(v) -> int:
-            return int(sum(a.nbytes for a in v))
+            # non-positional entries are array triples; positional ones
+            # carry a list of per-posting position arrays as element 4
+            return int(sum(
+                sum(x.nbytes for x in a) if isinstance(a, list) else a.nbytes
+                for a in v
+            ))
 
         total = sum(
             entry_bytes(v) for m in self._fuse_memos.values()
@@ -868,16 +873,21 @@ class QueryServer:
             self._local_venue(uniq) or self._hot_venue(uniq)
         ):
             # hot tier included: a phrase with a stopword-grade member
-            # pays one positional fetch into the bytes-capped cache,
-            # then serves driver-side (no fuse memo — the positional
-            # gather has its own layout; the per-query decode is still
-            # far under a distributed barrier)
+            # pays one positional fetch into the bytes-capped cache and
+            # one positional gather into the fuse memo ((shard, lemma,
+            # "pos") keys); warm repeats skip both
             from search_engine_spark.operators.wand import run_kernel_local
 
-            return run_kernel_local(
-                self._local_blocks(uniq, scope, positional=True),
-                kernel, k, offset,
+            kernel_m = _shard_phrase_kernel(
+                seq, uniq, idfs, avg_len, offset + k, slop,
+                tuple(groups), after, fuse_memo=self._fuse_memo(scope),
             )
+            out = run_kernel_local(
+                self._local_blocks(uniq, scope, positional=True),
+                kernel_m, k, offset,
+            )
+            self._trim_fuse()
+            return out
         # hot∧rare hybrid: a phrase is conjunctive over ALL its terms,
         # so every term is required and the rare side's candidates
         # bound the matches; hot positional blocks point-fetch by

@@ -1181,8 +1181,24 @@ def _gather_term_positional(pdf: pd.DataFrame):
     )
 
 
+def _memo_gather_positional(tp: pd.DataFrame, memo, lemma: str):
+    """``_gather_term_positional`` through the serving fuse memo —
+    3-tuple keys (shard, lemma, "pos") keep positional entries disjoint
+    from the non-positional layout's (shard, lemma) keys in the same
+    per-scope memo. Same rules as ``_memo_gather``: full frames only."""
+    if memo is None:
+        return _gather_term_positional(tp)
+    key = (tp["shard"].iloc[0], lemma, "pos")
+    hit = memo.get(key)
+    if hit is None:
+        hit = _gather_term_positional(tp)
+        memo[key] = hit
+    return hit
+
+
 def _shard_phrase_kernel(
-    seq_terms, uniq_terms, idfs, avg_len, m, slop, req_groups=(), after=None
+    seq_terms, uniq_terms, idfs, avg_len, m, slop, req_groups=(), after=None,
+    fuse_memo=None,
 ):
     """Per-shard grouped-map fn: conjunctive candidates → positional
     phrase verify (ordered chain, ≤ slop lemmas between consecutive
@@ -1204,7 +1220,7 @@ def _shard_phrase_kernel(
             tp = pdf[pdf["lemma"] == t]
             if tp.empty:
                 return empty
-            gathered[t] = _gather_term_positional(tp)
+            gathered[t] = _memo_gather_positional(tp, fuse_memo, t)
         per_term = [gathered[t][:3] for t in uniq_terms]
         # conjunctive intersection (ascending-size, as _intersect_score)
         order = sorted(
