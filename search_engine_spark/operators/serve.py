@@ -798,10 +798,32 @@ class QueryServer:
                 self._filters_table(), [l for g in groups for l in g], scope
             )
             blocks = blocks.unionByName(flt)
-        results = _blocks_core(
-            blocks, terms, idfs, avg_len, depth, 0, "wand", combine, excl,
-            groups, None,
-        )
+        lemmas = sorted(set(terms) | set(excl))
+        if not groups and (
+            self._local_venue(lemmas) or self._hot_venue(lemmas)
+        ):
+            # first stage on the driver venues: the ≤depth (doc, score)
+            # rows broadcast back into the facet-values docs join — one
+            # Spark job instead of two
+            from search_engine_spark.operators.wand import blocks_core_local
+
+            pairs = blocks_core_local(
+                self._local_blocks(lemmas, scope), terms, idfs, avg_len,
+                depth, 0, "wand", combine, excl, None,
+                fuse_memo=self._fuse_memo(scope),
+            )
+            self._trim_fuse()
+            if not pairs:
+                return []
+            results = self.spark.createDataFrame(
+                [(int(d), float(s)) for d, s in pairs],
+                "doc_id bigint, score double",
+            )
+        else:
+            results = _blocks_core(
+                blocks, terms, idfs, avg_len, depth, 0, "wand", combine,
+                excl, groups, None,
+            )
         rows = facet_counts(
             results, self._docs_table(), list(facet_cols)
         ).collect()
@@ -1079,11 +1101,14 @@ class QueryServer:
         if not terms:
             return []
         idfs = [weights[t] * bm25_idf(dfs[t], n_docs) for t in terms]
-        if self._local_venue(terms):
-            return blocks_core_local(
+        if self._local_venue(terms) or self._hot_venue(terms):
+            out = blocks_core_local(
                 self._local_blocks(terms, scope), terms, idfs,
                 avg_len, k, offset, mode, "or",
+                fuse_memo=self._fuse_memo(scope),
             )
+            self._trim_fuse()
+            return out
         rows2 = _blocks_core(
             prune_blocks(self.blocks, terms, scope), terms, idfs,
             avg_len, k, offset, mode, "or",
@@ -1129,13 +1154,15 @@ class QueryServer:
         if not terms:
             return []
         idfs = [bm25_idf(dfs[t], n_docs) for t in terms]
-        if self._local_venue(terms):
+        if self._local_venue(terms) or self._hot_venue(terms):
             from search_engine_spark.operators.wand import blocks_core_local
 
             rows_l = blocks_core_local(
                 self._local_blocks(terms, scope), terms, idfs, avg_len,
                 k + 1, 0, "wand", "or", [], None,
+                fuse_memo=self._fuse_memo(scope),
             )
+            self._trim_fuse()
             return [(d, s) for d, s in rows_l if d != int(doc_id)][:k]
         blocks = prune_blocks(self.blocks, terms, scope)
         rows = _blocks_core(
