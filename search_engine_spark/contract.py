@@ -1242,6 +1242,30 @@ def q_events_quantiles_loghist(spark, sf_dir):
     )
 
 
+def q_events_quantiles_loghist_merged(spark, sf_dir):
+    """MERGE path of the log-linear sketch, proven in the correctness
+    gate: the events table splits into 3 arbitrary parts, each part
+    sketches independently, the sketches combine by bucket-wise integer
+    add (loghist_merge), and the read-off must equal the UNSPLIT DuckDB
+    oracle exactly — the mergeability contract (shards/days sketch
+    independently, combine exactly) as a driver-checked row."""
+    from search_engine_spark.operators.sketch import (
+        loghist_merge,
+        loghist_quantiles,
+        loghist_sketch,
+    )
+
+    ev = _read(spark, sf_dir, "events")
+    parts = [
+        loghist_sketch(ev.filter(f"event_id % 3 = {i}"), "value",
+                       ["event_type"])
+        for i in range(3)
+    ]
+    return loghist_quantiles(
+        loghist_merge(parts, ["event_type"]), ["event_type"]
+    )
+
+
 def q_top_docs_per_lang(spark, sf_dir):
     """Per-group top-k via a PARTITIONED window (the scale-correct
     grouped-top-k shape — rank within lang, never a global sort): the 3
@@ -2613,6 +2637,11 @@ def _oracle_sql_map() -> dict[str, str]:
         "events_quantiles_loghist": _loghist_oracle_sql(
             "value", ["event_type"], table="events"
         ),
+        # merged partial sketches must equal the UNSPLIT oracle — the
+        # merge-invariance contract is itself driver-checked
+        "events_quantiles_loghist_merged": _loghist_oracle_sql(
+            "value", ["event_type"], table="events"
+        ),
         "top_docs_per_lang": """
             SELECT lang, doc_id, n_chars,
                    row_number() OVER (
@@ -2899,6 +2928,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_quantiles": q_events_quantiles,
         "events_quantiles_sampled": q_events_quantiles_sampled,
         "events_quantiles_loghist": q_events_quantiles_loghist,
+        "events_quantiles_loghist_merged": q_events_quantiles_loghist_merged,
         "top_docs_per_lang": q_top_docs_per_lang,
         "events_date_filter": q_events_date_filter,
         "events_sessions": q_events_sessions,
