@@ -152,6 +152,35 @@ class QueryServer:
         self._fuse_cache_cap = int(fuse_cache_bytes)
         self._fuse_memos: dict[object, dict] = {}
 
+    @classmethod
+    def at_snapshot(
+        cls,
+        spark: SparkSession,
+        index_dir: str,
+        snapshot_id: int | None = None,
+        **kwargs,
+    ) -> "QueryServer":
+        """Time-travel SERVING: a server rooted at a snapshot tree
+        (operators/snapshots.py — the snapshot mirrors the live index
+        layout, so every venue — local, hot, hybrid, distributed — and
+        every cache works unchanged over the immutable point-in-time
+        files). ``snapshot_id=None`` pins the CURRENT snapshot at open
+        time: unlike a server on the live directory, later commits can
+        never change what this server answers (the repeatable-read
+        serving mode; ``refresh()`` on it re-opens the same snapshot).
+        The SearchEngine twin is ``SearchEngine.at_snapshot``."""
+        from search_engine_spark.operators.snapshots import (
+            current_snapshot_id,
+            snapshot_dir,
+        )
+
+        root = index_dir.rstrip("/")
+        if snapshot_id is None:
+            snapshot_id = current_snapshot_id(root)
+            if snapshot_id is None:
+                raise ValueError(f"{root} has no snapshots")
+        return cls(spark, snapshot_dir(root, snapshot_id), **kwargs)
+
     def refresh(self) -> None:
         """Re-open the index after an external mutation (upsert /
         rebalance / merge / snapshot rollback committed by another

@@ -79,6 +79,28 @@ def test_time_travel_reads_pre_upsert_state(upserted, spark):
     assert not any("zanzibar" in t for t in texts1)
 
 
+def test_time_travel_serving(upserted, spark):
+    """QueryServer.at_snapshot: the serving session time-travels too —
+    v1 serves the pre-upsert ranking (zanzibar unknown), v2/live serve
+    the post-upsert one, across the local AND distributed venues, and a
+    pinned-current server is immune to later commits. (Runs before the
+    rollback/expire tests below, which rewrite the shared history.)"""
+    from search_engine_spark.operators.serve import QueryServer
+
+    idx = upserted["index"]
+    past = QueryServer.at_snapshot(spark, idx, 1, cache_blocks=False)
+    now = QueryServer.at_snapshot(spark, idx, None, cache_blocks=False)
+    live = QueryServer(spark, idx, cache_blocks=False)
+    assert past.search("zanzibar", k=10) == []
+    got_now = now.search("zanzibar", k=10)
+    assert got_now and got_now == live.search("zanzibar", k=10)
+    # distributed venue over the snapshot tree answers identically
+    past.local_df_budget = 0
+    assert past.search("unique0", k=10) == []
+    now.local_df_budget = 0
+    assert now.search("zanzibar", k=10) == got_now
+
+
 def test_snapshot_view_is_readonly(upserted, spark):
     past = SearchEngine.at_snapshot(spark, upserted["index"], 1)
     with pytest.raises(RuntimeError, match="read-only snapshot"):
@@ -131,3 +153,4 @@ def test_manual_snapshot_and_crash_tmp_cleanup(spark, copy_index):
     with open(os.path.join(snapshot_dir(idx, m["snapshot_id"]),
                            "manifest.json")) as f:
         assert json.load(f)["operation"] == "manual"
+
