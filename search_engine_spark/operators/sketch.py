@@ -392,12 +392,28 @@ def loghist_sketch(
     regardless of row count — the property that makes it a sketch.
 
     Returns group_cols + (bucket, cnt)."""
+    return loghist_bucketize(df, value_col, group_cols, scale, k).groupBy(
+        *group_cols, "bucket"
+    ).agg(F.count("*").cast("long").alias("cnt"))
+
+
+def loghist_bucketize(
+    df: DataFrame,
+    value_col: str,
+    keep_cols: Sequence[str] = (),
+    scale: int = LOGHIST_SCALE,
+    k: int = LOGHIST_K,
+) -> DataFrame:
+    """The sketch's bucket mapping alone: keep_cols + ``bucket`` per
+    input row (null values dropped) — shared by the batch sketch and
+    the streaming windowed sketch (streaming/quantiles.py), so the
+    determinism pin lives in exactly one place."""
     engine = "spark"
     e0 = "cast(floor(log2(cast(greatest(_v, 1) as double))) as bigint)"
-    df = (
+    return (
         df.filter(F.col(value_col).isNotNull())
         .select(
-            *group_cols,
+            *keep_cols,
             F.col(value_col).cast("double").alias("_x"),
         )
         .withColumn(
@@ -424,9 +440,7 @@ def loghist_sketch(
                 f"else 1 + _e * {k} + _i end"
             ),
         )
-    )
-    return df.groupBy(*group_cols, "bucket").agg(
-        F.count("*").cast("long").alias("cnt")
+        .select(*keep_cols, "bucket")
     )
 
 
