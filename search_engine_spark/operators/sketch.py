@@ -383,7 +383,10 @@ def loghist_sketch(
     Accuracy: bucket width is 2^e/k at magnitude >= 2^e, so any
     quantile read off bucket edges has relative error <= 1/k plus the
     1/scale fixed-point quantization. Domain: |x|*scale < 2^55 (with
-    defaults, |x| <= 3.6e10).
+    defaults, |x| <= 3.6e10); values past it — including inf and NaN —
+    CLAMP deterministically into the top (e=55, i=0) bucket in both
+    engines instead of overflowing int64 and failing the job (one
+    outlier row must never kill a 100-TB aggregation).
 
     Scale shape: the bucket expression is native SQL at the scan
     (whole-stage codegen, no UDF), the only shuffle is the groupBy on
@@ -418,7 +421,19 @@ def loghist_bucketize(
         )
         .withColumn(
             "_v",
-            F.expr(f"cast(floor(abs(_x) * {scale}.0 + 0.5) as bigint)"),
+            # clamp into the top octave: one outlier row past the 2^55
+            # domain (|x| > ~3.6e10 at the default scale) lands in the
+            # top bucket instead of overflowing int64 in the sub-bucket
+            # multiply and killing a 100-TB job; the clamp is exact
+            # integer math, identical in the DuckDB twin
+            # the clamp runs in DOUBLE space so the bigint cast never
+            # sees inf/overflow (NaN loses a least() in both engines'
+            # NaN-is-greatest total order, so NaN also clamps); 2^55 is
+            # exactly representable and its bucket is (e=55, i=0)
+            F.expr(
+                f"cast(floor(least(abs(_x) * {scale}.0 + 0.5, "
+                f"{float(1 << 55)!r})) as bigint)"
+            ),
         )
         .withColumn("_vv", F.expr("greatest(_v, 1)"))  # octave math never sees 0
         .withColumn("_e0", F.expr(e0))
@@ -575,7 +590,8 @@ def loghist_oracle_sql(
     return f"""
         WITH s1 AS (
             SELECT {gcomma}CAST({value_col} AS DOUBLE) AS x,
-                   CAST(floor(abs({value_col}) * {scale}.0 + 0.5) AS BIGINT) AS v
+                   CAST(floor(least(abs({value_col}) * {scale}.0 + 0.5,
+                                    {float(1 << 55)!r})) AS BIGINT) AS v
             FROM {table} WHERE {value_col} IS NOT NULL
         ), s2 AS (
             SELECT *, CAST(floor(log2(CAST(greatest(v, 1) AS DOUBLE))) AS BIGINT) AS e0

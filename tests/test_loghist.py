@@ -149,3 +149,25 @@ def test_ordering_with_negatives_and_zero(spark):
     assert q.n_rows == len(vals)
     assert q.p0 == pytest.approx(-100.0, rel=1.0 / LOGHIST_K)
     assert q.p100 == pytest.approx(100.0, rel=1.0 / LOGHIST_K)
+
+
+def test_out_of_domain_values_clamp_not_crash(spark):
+    """Values past the 2^55 fixed-point domain — including inf — clamp
+    into the top bucket identically in both engines instead of raising
+    an int64 overflow (ANSI mode) and killing the job."""
+    vals = [1e30, -1e30, 1e308, 3.7e10, -3.7e10, 5.0, float("inf")]
+    pdf = pd.DataFrame({"value": vals, "g": ["a"] * len(vals)})
+    sk = (
+        loghist_sketch(spark.createDataFrame(pdf), "value", ["g"])
+        .toPandas()
+    )
+    spark_hist = sorted(map(tuple, sk[["bucket", "cnt"]].itertuples(index=False)))
+    con = duckdb.connect()
+    con.register("t", pdf)
+    sql = loghist_oracle_sql("value", ["g"], table="t")
+    head = sql.split("), c AS")[0] + ") SELECT bucket, cnt FROM h"
+    duck_hist = sorted(map(tuple, con.execute(head).df().itertuples(index=False)))
+    assert spark_hist == duck_hist
+    top = 1 + 55 * LOGHIST_K  # the (e=55, i=0) clamp bucket
+    assert (top, 4) in spark_hist  # 1e30, 1e308, 3.7e10(*scale>2^55), inf
+    assert (-top, 2) in spark_hist

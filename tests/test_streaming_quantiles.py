@@ -18,7 +18,8 @@ from search_engine_spark.operators.sketch import LOGHIST_K, LOGHIST_SCALE
 
 
 def _py_bucket(x: float, scale: int = LOGHIST_SCALE, k: int = LOGHIST_K) -> int:
-    v = int(math.floor(abs(x) * float(scale) + 0.5))
+    xv = abs(x) * float(scale) + 0.5
+    v = int(math.floor(xv)) if xv <= float(1 << 55) else (1 << 55)
     if v == 0:
         return 0
     e = v.bit_length() - 1  # exact floor(log2(v)) for integers
