@@ -321,6 +321,8 @@ def main() -> None:
     # blocks cached (operators/serve.py) — steady-state latency is ONE
     # Spark job per query
     server = QueryServer(spark, _index_dir(hi_cpus))
+    server.result_cache_size = 0  # measure the ENGINE on repeats (the
+    # venue/fuse-memo steady state), not the result-cache dict lookup
     server.blocks.count()  # warm cache so latency measures query work, not IO
 
     vocab = _build_vocab(np.random.default_rng(0))

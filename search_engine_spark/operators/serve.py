@@ -68,6 +68,7 @@ class QueryServer:
         hybrid_max_fetch_blocks: int = 4096,
         hot_df_budget: int = 4_000_000,
         fuse_cache_bytes: int = 256 << 20,
+        result_cache_size: int = 256,
     ):
         self.spark = spark
         self.index_dir = index_dir.rstrip("/")
@@ -151,6 +152,15 @@ class QueryServer:
         self.hot_df_budget = int(hot_df_budget)
         self._fuse_cache_cap = int(fuse_cache_bytes)
         self._fuse_memos: dict[object, dict] = {}
+        # repeated-query RESULT cache (the reference's last-result cache,
+        # SearchServiceImpl.java:45-51, generalized to an LRU over the
+        # full call signature): an identical repeat costs a dict lookup.
+        # Always sound within one epoch — every venue is deterministic
+        # over immutable files — and refresh() swaps in a fresh server,
+        # so an epoch switch empties it by construction. =0 disables
+        # (bench does, to measure the engine rather than memoization).
+        self.result_cache_size = int(result_cache_size)
+        self._result_cache: dict[tuple, list] = {}
 
     @classmethod
     def at_snapshot(
@@ -210,6 +220,7 @@ class QueryServer:
             hybrid_max_fetch_blocks=self.hybrid_max_fetch_blocks,
             hot_df_budget=self.hot_df_budget,
             fuse_cache_bytes=self._fuse_cache_cap,
+            result_cache_size=self.result_cache_size,
         )
         self.__dict__.update(fresh.__dict__)  # atomic epoch switch
         if old_blocks is not None:
@@ -334,6 +345,28 @@ class QueryServer:
             return False
         totals = self._term_dfs(sorted(set(lemmas)), None)
         return sum(totals.values()) <= self.local_df_budget
+
+    def _cached(self, key: tuple, fn):
+        """LRU result-cache wrapper for the public query methods."""
+        if self.result_cache_size <= 0:
+            return fn()
+        hit = self._result_cache.get(key)
+        if hit is not None:
+            self._result_cache[key] = self._result_cache.pop(key)  # bump
+            return list(hit)
+        out = fn()
+        self._result_cache[key] = list(out)
+        while len(self._result_cache) > self.result_cache_size:
+            self._result_cache.pop(next(iter(self._result_cache)))
+        return out
+
+    @staticmethod
+    def _freeze(d: dict | None):
+        if not d:
+            return None
+        import json
+
+        return json.dumps(d, sort_keys=True, default=str)
 
     def _hot_venue(self, lemmas: list[str]) -> bool:
         """Second-tier venue decision: lemma df-sum over the LOCAL
@@ -678,6 +711,30 @@ class QueryServer:
         collapse: str | None = None,
         collapse_limit: int = 1,
     ) -> list[tuple[int, float]]:
+        key = ("search", query, scope, k, offset, mode, combine, fuzzy,
+               fuzzy_dist, self._freeze(filters), after, rescore_window,
+               collapse, collapse_limit)
+        return self._cached(key, lambda: self._search_impl(
+            query, scope, k, offset, mode, combine, fuzzy, fuzzy_dist,
+            filters, after, rescore_window, collapse, collapse_limit,
+        ))
+
+    def _search_impl(
+        self,
+        query: str,
+        scope: str | None = None,
+        k: int = 10,
+        offset: int = 0,
+        mode: str = "wand",
+        combine: str = "and",
+        fuzzy: bool = False,
+        fuzzy_dist: int = 1,
+        filters: dict | None = None,
+        after: tuple[float, int] | None = None,
+        rescore_window: int = 0,
+        collapse: str | None = None,
+        collapse_limit: int = 1,
+    ) -> list[tuple[int, float]]:
         from search_engine_spark.operators.filters import filter_groups
 
         groups = filter_groups(filters)
@@ -873,6 +930,22 @@ class QueryServer:
         filters: dict | None = None,
         after: tuple[float, int] | None = None,
     ) -> list[tuple[int, float]]:
+        key = ("phrase", query, scope, k, offset, slop,
+               self._freeze(filters), after)
+        return self._cached(key, lambda: self._phrase_impl(
+            query, scope, k, offset, slop, filters, after,
+        ))
+
+    def _phrase_impl(
+        self,
+        query: str,
+        scope: str | None = None,
+        k: int = 10,
+        offset: int = 0,
+        slop: int = 0,
+        filters: dict | None = None,
+        after: tuple[float, int] | None = None,
+    ) -> list[tuple[int, float]]:
         """Phrase/proximity search from the serving session — the same
         pinned semantics as ``wand.phrase_search_blocks`` (oracle
         ``phrase_search`` twin) but stats come from the cached
@@ -960,6 +1033,22 @@ class QueryServer:
         return [(r["doc_id"], r["score"]) for r in rows]
 
     def bool_search(
+        self,
+        query: str,
+        scope: str | None = None,
+        k: int = 10,
+        offset: int = 0,
+        filters: dict | None = None,
+        after: tuple[float, int] | None = None,
+        synonyms: dict | None = None,
+    ) -> list[tuple[int, float]]:
+        key = ("bool", query, scope, k, offset, self._freeze(filters),
+               after, self._freeze(synonyms))
+        return self._cached(key, lambda: self._bool_search_impl(
+            query, scope, k, offset, filters, after, synonyms,
+        ))
+
+    def _bool_search_impl(
         self,
         query: str,
         scope: str | None = None,

@@ -21,6 +21,7 @@ def srv(spark, base_index_dir):
     s = QueryServer(spark, base_index_dir["index"], cache_blocks=False)
     s.local_df_budget = 1       # below any real query -> local venue off
     s.hot_df_budget = 10 ** 9   # everything fits the hot venue
+    s.result_cache_size = 0     # repeats must exercise the KERNEL path
     return s
 
 
@@ -100,3 +101,38 @@ def test_local_budget_zero_disables_all_driver_venues(
     exp = orc.search(oracle_idx, q, k=10)
     assert s.search(q, k=10) == exp
     assert not s._fuse_memos  # distributed path: memo untouched
+
+
+def test_result_cache_repeats_and_isolation(spark, base_index_dir, oracle_idx):
+    """Repeated-query result cache (the reference's last-result cache,
+    SearchServiceImpl.java:45-51, as an LRU over the full signature):
+    identical repeats return the same rows without re-running kernels;
+    different params never collide; the returned list is a COPY (caller
+    mutation can't poison the cache); =0 disables."""
+    from search_engine_spark.operators.serve import QueryServer
+
+    srv = QueryServer(spark, base_index_dir["index"], cache_blocks=False)
+    assert srv.result_cache_size > 0
+    a = srv.search(MID, k=10)
+    assert ("search", MID, None, 10, 0, "wand", "and", False, 1, None,
+            None, 0, None, 1) in srv._result_cache
+    calls = {"n": 0}
+    orig = srv._search_impl
+
+    def spy(*args, **kw):
+        calls["n"] += 1
+        return orig(*args, **kw)
+
+    srv._search_impl = spy
+    b = srv.search(MID, k=10)
+    assert b == a and calls["n"] == 0  # served from the cache
+    b.append((0, 0.0))
+    assert srv.search(MID, k=10) == a  # cached copy unharmed
+    c = srv.search(MID, k=5)
+    assert calls["n"] == 1 and c == a[:5]  # different params = new entry
+    exp = orc.search(oracle_idx, MID, k=10)
+    assert a == exp
+    # bool/phrase key namespaces never collide with term search
+    srv.bool_search(MID, k=10)
+    kinds = {k2[0] for k2 in srv._result_cache}
+    assert kinds == {"search", "bool"}

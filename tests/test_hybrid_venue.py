@@ -18,6 +18,7 @@ def srv(spark, base_index_dir):
     s = QueryServer(spark, base_index_dir["index"], cache_blocks=False)
     s.hot_df_budget = 0  # the HOT tier would otherwise serve first —
     # these tests pin the HYBRID venue specifically
+    s.result_cache_size = 0  # repeats must exercise the venue
     return s
 
 

@@ -455,6 +455,7 @@ def test_query_server_phrase_hot_venue(
     srv = QueryServer(spark, d, cache_blocks=False)
     srv.local_df_budget = 1      # local venue off for real queries
     srv.hot_df_budget = 10 ** 9  # everything fits the hot tier
+    srv.result_cache_size = 0    # repeats must exercise the kernels
     # the hybrid venue must never fire: hot serves first
     srv._hybrid_blocks = lambda *a, **kw: (_ for _ in ()).throw(
         AssertionError("hybrid fired despite the hot venue")
