@@ -596,6 +596,30 @@ def _shard_wand_kernel(
             if metas[rarest]["count"] >= metas[oi]["first"].size:
                 full_term(oi)
 
+        # dense-conjunction fast path (the distributed BOTH-HOT answer):
+        # when EVERY partner term pre-fused (the rare side's candidates
+        # blanket their block ranges) and the rare side itself spans
+        # many blocks, block-max skipping has nothing left to save —
+        # partner decode is already paid, and θ rarely clears the upper
+        # bounds of dense blocks — while the sweep still pays a Python
+        # loop + heap per rare block. Fuse the rare side too and take
+        # the vectorized exact-intersect tail; rank/score-identical
+        # (WAND is pinned safe-up-to-m vs the exact scorer).
+        if (
+            others
+            and all(metas[oi].get("full") is not None for oi in others)
+            and metas[rarest]["first"].size > 64
+        ):
+            per_term = [full_term(ti) for ti in range(n_terms)]
+            cand, scores = _intersect_score(per_term, idfs, avg_len)
+            cand, scores = _drop_excluded(cand, excl, scores)
+            cand, scores = _keep_required(cand, req, scores)
+            cand, scores = _after_cut(cand, scores, after)
+            if cand.size > m:
+                sel = np.lexsort((cand, -scores))[:m]
+                cand, scores = cand[sel], scores[sel]
+            return pd.DataFrame({"doc_id": cand, "score": scores})
+
         def scope_groups(ti: int):
             """Per-scope (firsts, lasts, row_idx) triples, each sorted by
             first_doc_id. Within one (term, scope) block ranges are
