@@ -27,3 +27,54 @@ def write_table(df: DataFrame, name_or_path: str, mode: str = "overwrite") -> No
         df.writeTo(name_or_path).createOrReplace()
     else:
         df.write.mode(mode).parquet(name_or_path)
+
+
+def read_transcripts(
+    spark: SparkSession,
+    path: str,
+    fmt: str | None = None,
+) -> DataFrame:
+    """Ingest the transcripts table from any of the supported batch
+    formats, normalized to the pinned ``schemas.TRANSCRIPTS`` shape
+    (column order, names, types — including the microsecond timestamp).
+
+    ``fmt=None`` infers from the extension (.parquet/.orc/.json/.jsonl/
+    .csv — a directory defaults to parquet, Spark's native layout).
+    JSON/CSV read with the EXPLICIT transcripts schema, never inference:
+    at 100 TB a schema-inference pass is a full extra scan, and a
+    drifting inferred type (ts as string) would poison every downstream
+    pin. CSV expects a header and reads timestamps as
+    ``yyyy-MM-dd HH:mm:ss[.SSSSSS]``. ORC/parquet are the columnar
+    production paths (predicate pushdown + column pruning at the scan);
+    JSON/CSV are interchange paths — ingest once, write parquet, index
+    from that."""
+    from search_engine_spark.schemas import TRANSCRIPTS
+
+    if fmt is None:
+        low = path.lower().rstrip("/")
+        for ext, f in ((".parquet", "parquet"), (".orc", "orc"),
+                       (".jsonl", "json"), (".json", "json"),
+                       (".csv", "csv")):
+            if low.endswith(ext):
+                fmt = f
+                break
+        else:
+            fmt = "parquet"
+    fmt = fmt.lower()
+    if fmt == "parquet":
+        df = spark.read.schema(TRANSCRIPTS).parquet(path)
+    elif fmt == "orc":
+        df = spark.read.schema(TRANSCRIPTS).orc(path)
+    elif fmt == "json":
+        df = spark.read.schema(TRANSCRIPTS).json(path)
+    elif fmt == "csv":
+        df = (
+            spark.read.schema(TRANSCRIPTS)
+            .option("header", "true")
+            .option("timestampFormat", "yyyy-MM-dd HH:mm:ss[.SSSSSS]")
+            .csv(path)
+        )
+    else:
+        raise ValueError(f"unsupported transcripts format: {fmt}")
+    # pinned column order regardless of source column order
+    return df.select(*[f.name for f in TRANSCRIPTS.fields])
