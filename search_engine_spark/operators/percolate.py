@@ -40,25 +40,44 @@ _TOKEN_RE = re.compile(r"[a-z0-9]+")
 
 def compile_queries(
     queries: Sequence[tuple[int, str]],
-) -> list[tuple[int, frozenset, frozenset]]:
-    """``(query_id, "a b -c")`` → ``(query_id, required, excluded)``
-    token sets under the pinned tokenizer. Raises on duplicate ids and
-    on queries with no required token."""
+) -> list[tuple[int, frozenset, tuple, frozenset]]:
+    """``(query_id, "a (b | c) -d")`` → ``(query_id, required, groups,
+    excluded)`` under the pinned tokenizer: plain atoms are required
+    (AND), a parenthesized group matches when ≥1 of its tokens is
+    present (OR — the engine's bool-tree conjunct-of-disjunctions
+    mirrored), ``-tok`` excludes. Raises on duplicate ids, on queries
+    with neither a required atom nor a group (exclusion-only would
+    match almost everything), on empty groups, and on negated groups
+    (not supported — negate tokens individually)."""
     seen: set[int] = set()
     out = []
     for qid, q in queries:
         if qid in seen:
             raise ValueError(f"duplicate query_id {qid}")
         seen.add(qid)
+        if re.search(r"-\s*\(", q):
+            raise ValueError(
+                f"query {qid!r}: negated groups are not supported: {q!r}"
+            )
+        groups: list[frozenset] = []
+        for body in re.findall(r"\(([^)]*)\)", q):
+            g = frozenset(_TOKEN_RE.findall(body.lower()))
+            if not g:
+                raise ValueError(f"query {qid!r} has an empty group: {q!r}")
+            groups.append(g)
+        rest = re.sub(r"\([^)]*\)", " ", q)
         req: set[str] = set()
         exc: set[str] = set()
-        for atom in q.split():
+        for atom in rest.split():
             neg = atom.startswith("-")
             toks = _TOKEN_RE.findall(atom.lower())
             (exc if neg else req).update(toks)
-        if not req:
+        if not req and not groups:
             raise ValueError(f"query {qid!r} has no required token: {q!r}")
-        out.append((qid, frozenset(req), frozenset(exc)))
+        out.append((
+            qid, frozenset(req),
+            tuple(sorted(groups, key=sorted)), frozenset(exc),
+        ))
     return out
 
 
@@ -72,12 +91,15 @@ def percolate(
     the document. Works identically on batch and streaming inputs (the
     kernel is a stateless narrow map)."""
     compiled = compile_queries(queries)
-    # registration index: each query files under its smallest required
-    # token; a doc lacking that token cannot match, so candidates per doc
-    # are the union over its PRESENT tokens — O(candidates), not O(|Q|)
+    # registration index: a query with a plain required atom files under
+    # its smallest one (a doc lacking it cannot match); a groups-only
+    # query files under EVERY token of its first group — any match holds
+    # ≥1 of them, so candidates per doc stay the union over its PRESENT
+    # tokens — O(candidates), not O(|Q|)
     index: dict[str, list[int]] = {}
-    for i, (_qid, req, _exc) in enumerate(compiled):
-        index.setdefault(min(req), []).append(i)
+    for i, (_qid, req, groups, _exc) in enumerate(compiled):
+        for t in ([min(req)] if req else sorted(groups[0])):
+            index.setdefault(t, []).append(i)
     id_field = docs.schema[id_col]
 
     def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -96,8 +118,12 @@ def percolate(
                 for t in toks:
                     cand.update(index.get(t, ()))
                 for i in cand:
-                    qid, req, exc = compiled[i]
-                    if req <= toks and not (exc & toks):
+                    qid, req, groups, exc = compiled[i]
+                    if (
+                        req <= toks
+                        and all(g & toks for g in groups)
+                        and not (exc & toks)
+                    ):
                         ids_out.append(doc_id)
                         qids_out.append(qid)
             yield pd.DataFrame({id_col: ids_out, "query_id": qids_out})
@@ -117,13 +143,17 @@ def percolate_oracle_sql(
     """DuckDB twin of ``percolate`` (same tokenizer, same AND+NOT
     semantics), generated from the SAME compiled query set so the two
     sides cannot drift."""
-    def lit(toks: frozenset) -> str:
+    def lit(toks) -> str:
         items = ", ".join(f"'{t}'" for t in sorted(toks))
         return f"[{items}]::VARCHAR[]"
 
+    def glit(groups: tuple) -> str:
+        items = ", ".join(lit(g) for g in groups)
+        return f"[{items}]::VARCHAR[][]"
+
     rows = ",\n            ".join(
-        f"({qid}, {lit(req)}, {lit(exc)})"
-        for qid, req, exc in compile_queries(queries)
+        f"({qid}, {lit(req)}, {glit(groups)}, {lit(exc)})"
+        for qid, req, groups, exc in compile_queries(queries)
     )
     return f"""
         WITH d AS (
@@ -132,11 +162,13 @@ def percolate_oracle_sql(
                        lower({text_col}), '[a-z0-9]+', 0)) AS toks
             FROM {table_expr}
         ),
-        q(query_id, req, exc) AS (VALUES
+        q(query_id, req, grps, exc) AS (VALUES
             {rows}
         )
         SELECT d.{id_col}, q.query_id::BIGINT AS query_id
         FROM d CROSS JOIN q
         WHERE list_has_all(d.toks, q.req)
+          AND len(list_filter(q.grps, gl -> list_has_any(d.toks, gl)))
+              = len(q.grps)
           AND NOT list_has_any(d.toks, q.exc)
     """

@@ -23,15 +23,19 @@ QUERIES = [
     (3, "customer -slow"),
     (4, "vector group table"),
     (5, "query key -agg"),
+    (6, "spark (window | batch)"),      # AND + OR group
+    (7, "(merge | vector) -slow"),      # groups-only + exclusion
+    (8, "(query | key) (table | group)"),  # two groups, no plain atom
 ]
 
 
 def _ref(pdf: pd.DataFrame, queries) -> set:
     out = set()
-    for qid, req, exc in compile_queries(queries):
+    for qid, req, groups, exc in compile_queries(queries):
         for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
             toks = set(re.findall(r"[a-z0-9]+", str(text).lower()))
-            if req <= toks and not (exc & toks):
+            if (req <= toks and all(g & toks for g in groups)
+                    and not (exc & toks)):
                 out.add((doc_id, qid))
     return out
 
@@ -45,8 +49,17 @@ def docs_pdf():
 
 def test_compile_guards():
     assert compile_queries([(1, "A b -C")]) == [
-        (1, frozenset({"a", "b"}), frozenset({"c"}))
+        (1, frozenset({"a", "b"}), (), frozenset({"c"}))
     ]
+    assert compile_queries([(2, "a (B | c) -d")]) == [
+        (2, frozenset({"a"}), (frozenset({"b", "c"}),), frozenset({"d"}))
+    ]
+    # groups-only queries are legal (the OR bounds the match set)
+    assert compile_queries([(3, "(x | y)")])[0][1] == frozenset()
+    with pytest.raises(ValueError, match="empty group"):
+        compile_queries([(4, "a ( | )")])
+    with pytest.raises(ValueError, match="negated groups"):
+        compile_queries([(5, "a -(b | c)")])
     with pytest.raises(ValueError, match="no required"):
         compile_queries([(1, "-only -negs")])
     with pytest.raises(ValueError, match="duplicate"):
@@ -85,7 +98,7 @@ def test_exclusion_and_candidate_index(spark):
         (r["doc_id"], r["query_id"])
         for r in percolate(spark.createDataFrame(pdf), QUERIES).collect()
     }
-    assert got == {(1, 3), (3, 1)}
+    assert got == {(1, 3), (3, 1), (3, 6)}  # q6: spark + (window|batch)
 
 
 def test_streaming_equals_batch(spark, docs_pdf, tmp_path):
