@@ -69,6 +69,9 @@ class QueryServer:
         hot_df_budget: int = 4_000_000,
         fuse_cache_bytes: int = 256 << 20,
         result_cache_size: int = 256,
+        selective_max_fetch_blocks: int = 16_384,
+        selective_meta_max_rows: int = 262_144,
+        selective_min_blocks: int = 64,
     ):
         self.spark = spark
         self.index_dir = index_dir.rstrip("/")
@@ -136,6 +139,20 @@ class QueryServer:
         # (nothing left to skip — the plain pruned scan wins)
         self.hybrid_fetch_frac = 0.25
         self._meta_cache: dict[str, object] = {}
+        # DISTRIBUTED selective-fetch venue (round 4 — the sub-O(df_hot)
+        # answer when postings exceed every driver budget): conjunctions
+        # compute candidates IN the cluster (wand.needed_hot_blocks
+        # cogroup) and fetch only candidate-holding hot blocks;
+        # single-term top-k selects blocks by the (max_tf, min_dl)
+        # score bound from a metadata-only scan with an exact
+        # residual-θ check (wand.select_blocks_by_bound), escalating
+        # to the full scan when the check fails. =0 disables both.
+        self.selective_max_fetch_blocks = int(selective_max_fetch_blocks)
+        self.selective_meta_max_rows = int(selective_meta_max_rows)
+        self.selective_min_blocks = int(selective_min_blocks)
+        # single-term selection keeps ≥ max(2m, this) postings per shard
+        # before skipping; raising it trades fetch for fewer escalations
+        self.selective_floor_postings = 256
         # HOT serving venue (the both-hot conjunction answer): queries
         # whose lemma df-sum exceeds the local budget but fits
         # ``hot_df_budget`` ALSO run driver-side — first use pays one
@@ -580,6 +597,221 @@ class QueryServer:
             )
         return pd.concat(parts, ignore_index=True)
 
+    # -- distributed selective-fetch venue (round 4) -------------------------
+
+    def _selective_and(
+        self, terms, excl, groups, scope, idfs, avg_len, k, offset,
+        mode, combine, after,
+    ):
+        """Distributed hybrid for conjunctions whose RARE side exceeds
+        every driver budget (at 10^12 docs even a mid-df term does):
+        job 1 cogroups the rarest required term's block rows with the
+        hot lemmas' block METADATA by shard (wand.needed_hot_blocks) —
+        candidates never leave the cluster; only the ≤|candidates|
+        needed-block KEYS collect — then job 2 runs the ordinary
+        per-shard kernels over (rare blocks ∪ candidate-holding hot
+        blocks), fetched via a pushed ``first_doc_id IN (...)``
+        point-scan exactly like the driver hybrid venue. EXACT with no
+        residual check: a dropped hot block holds no candidate, and
+        every AND match is a candidate (excluded / attribute-filter
+        lemmas only ever matter AT candidates, so their blocks
+        candidate-fetch the same way — filters from the FILTER family
+        with their own IN-list; wand._gather_required's empty-group
+        rule stays correct per shard as in ``_hybrid_blocks``).
+
+        Gates mirror the hybrid venue but on df ESTIMATES (the exact
+        hot block count is what we refuse to collect at scale):
+        est_blocks(t) = ceil(df_t / BLOCK_SIZE); decline when the
+        estimated needed-block count exceeds ``selective_max_fetch_
+        blocks`` or ``hybrid_fetch_frac`` of the hot side. Returns
+        [(doc_id, score)] or None to fall through."""
+        import numpy as np
+
+        from search_engine_spark.operators.compress import BLOCK_SIZE
+        from search_engine_spark.operators.wand import needed_hot_blocks
+
+        if self.selective_max_fetch_blocks <= 0:
+            return None
+        if combine != "and" and len(terms) > 1:
+            return None
+        totals = self._term_dfs(sorted(set(terms) | set(excl)), scope)
+        flt = sorted({l for g in groups for l in g})
+        rarest = min(terms, key=lambda t: (totals[t], t))
+        df_rare = totals[rarest]
+        if df_rare <= 0:
+            return None
+        hot_post = sorted(
+            (set(terms) - {rarest}) | set(excl), key=str
+        )
+        if not hot_post and not flt:
+            return None
+        est_blocks = {
+            h: -(-totals[h] // BLOCK_SIZE) for h in hot_post
+        }
+        # filter lemmas have no lemma_stats rows; their exact block
+        # count comes from the hybrid venue's metadata cache (attribute
+        # vocabularies are bounded, so this stays driver-affordable)
+        for h in flt:
+            scopes_f, f_first, _ = self._block_meta(h, "filters")
+            est_blocks[("f", h)] = (
+                int((scopes_f == scope).sum()) if scope is not None
+                else f_first.size
+            )
+        total_est = sum(est_blocks.values())
+        if total_est < self.selective_min_blocks:
+            return None  # hot side too small for selection to matter
+        needed_est = sum(min(df_rare, b) for b in est_blocks.values())
+        if needed_est > self.selective_max_fetch_blocks:
+            return None
+        if needed_est > self.hybrid_fetch_frac * total_est:
+            return None  # touching most blocks anyway
+        rare_blocks = prune_blocks(self.blocks, [rarest], scope)
+        meta_cols = ["shard", "scope", "lemma", "first_doc_id",
+                     "last_doc_id"]
+        metas = []
+        if hot_post:
+            mp = self.blocks.filter(F.col("lemma").isin(hot_post))
+            if scope is not None:
+                mp = mp.filter(F.col("scope") == scope)
+            metas.append(
+                mp.select(*meta_cols).withColumn("family", F.lit("postings"))
+            )
+        if flt:
+            mf = self._filters_table().filter(F.col("lemma").isin(flt))
+            if scope is not None:
+                mf = mf.filter(F.col("scope") == scope)
+            metas.append(
+                mf.select(*meta_cols).withColumn("family", F.lit("filters"))
+            )
+        hot_meta = metas[0]
+        for m_ in metas[1:]:
+            hot_meta = hot_meta.unionByName(m_)
+        needed = needed_hot_blocks(rare_blocks, hot_meta, [rarest]).collect()
+        if len(needed) > self.selective_max_fetch_blocks:
+            return None  # estimate was optimistic — IN-list would bloat
+        post_firsts = sorted(
+            {int(r["first_doc_id"]) for r in needed
+             if r["family"] == "postings"}
+        )
+        flt_firsts = sorted(
+            {int(r["first_doc_id"]) for r in needed
+             if r["family"] == "filters"}
+        )
+        parts = [rare_blocks]
+        if post_firsts:
+            parts.append(
+                prune_blocks(self.blocks, hot_post, scope).filter(
+                    F.col("first_doc_id").isin(post_firsts)
+                )
+            )
+        if flt_firsts:
+            parts.append(
+                prune_blocks(self._filters_table(), flt, scope).filter(
+                    F.col("first_doc_id").isin(flt_firsts)
+                )
+            )
+        blocks = parts[0]
+        for p in parts[1:]:
+            blocks = blocks.unionByName(p)
+        rows = _blocks_core(
+            blocks, terms, idfs, avg_len, k, offset, mode, combine,
+            excl, groups, after,
+        ).collect()
+        return [(r["doc_id"], r["score"]) for r in rows]
+
+    def _block_meta_bounds(self, lemma: str, scope: str | None):
+        """One term's block metadata incl. the WAND bound inputs
+        (shard, first, count, max_tf, min_dl arrays) from a
+        metadata-only columnar scan; None when the term's block count
+        exceeds ``selective_meta_max_rows`` (at that scale the
+        selection itself must go distributed — the documented
+        follow-up). Cached per (lemma, scope)."""
+        import numpy as np
+
+        key = ("bounds", lemma, scope)
+        meta = self._meta_cache.get(key)
+        if meta is None:
+            t = self.blocks.filter(F.col("lemma") == lemma)
+            if scope is not None:
+                t = t.filter(F.col("scope") == scope)
+            t = t.select("shard", "first_doc_id", "count", "max_tf",
+                         "min_dl")
+            pdf = t.limit(self.selective_meta_max_rows + 1).toPandas()
+            if len(pdf) > self.selective_meta_max_rows:
+                meta = "over"
+            else:
+                meta = (
+                    pdf["shard"].to_numpy(np.int64),
+                    pdf["first_doc_id"].to_numpy(np.int64),
+                    pdf["count"].to_numpy(np.int64),
+                    pdf["max_tf"].to_numpy(np.int64),
+                    pdf["min_dl"].to_numpy(np.int64),
+                )
+            self._meta_cache[key] = meta
+            while len(self._meta_cache) > 256:
+                self._meta_cache.pop(next(iter(self._meta_cache)))
+        return None if meta == "over" else meta
+
+    def _selective_single(
+        self, term, scope, idfs, avg_len, k, offset, mode, after,
+    ):
+        """Impact-selective distributed top-k for ONE term (round 4):
+        select the blocks whose (max_tf, min_dl) score bound can reach
+        the top-m from a metadata-only scan (wand.select_blocks_by_
+        bound), fetch and score only those, and accept the merged
+        result iff its m-th score strictly beats the best skipped
+        bound — otherwise return None and the caller's full scan runs
+        (exactness by escalation, never by hope). Single-positive-term
+        only: with several OR terms a partially-fetched doc would get
+        a PARTIAL score sum, which no residual argument repairs."""
+        import numpy as np
+
+        from search_engine_spark.operators.wand import (
+            _shard_exact_kernel,
+            _shard_wand_kernel,
+            select_blocks_by_bound,
+        )
+        from search_engine_spark.schemas import SEARCH_RESULT
+
+        if self.selective_max_fetch_blocks <= 0:
+            return None
+        meta = self._block_meta_bounds(term, scope)
+        if meta is None:
+            return None
+        shards, firsts, counts, mtf, mdl = meta
+        if firsts.size < self.selective_min_blocks:
+            return None
+        m = offset + k
+        sel_firsts, residual = select_blocks_by_bound(
+            shards, firsts, counts, mtf, mdl, idfs[0], avg_len, m,
+            floor_postings=self.selective_floor_postings,
+        )
+        if (
+            sel_firsts.size >= firsts.size
+            or sel_firsts.size > self.selective_max_fetch_blocks
+            or sel_firsts.size > self.hybrid_fetch_frac * firsts.size
+        ):
+            return None
+        blocks = prune_blocks(self.blocks, [term], scope).filter(
+            F.col("first_doc_id").isin([int(x) for x in sel_firsts])
+        )
+        kern = {"wand": _shard_wand_kernel, "exact": _shard_exact_kernel}[
+            mode
+        ]([term], idfs, avg_len, m, (), (), after)
+        rows = (
+            blocks.groupBy("shard")
+            .applyInPandas(kern, schema=SEARCH_RESULT)
+            .collect()
+        )
+        ids = np.array([r["doc_id"] for r in rows], dtype=np.int64)
+        scores = np.array([r["score"] for r in rows], dtype=np.float64)
+        order = np.lexsort((ids, -scores))[:m]
+        if order.size < m or not (float(scores[order[-1]]) > residual):
+            return None  # a skipped block could still reach the top-m
+        return [
+            (int(ids[i]), float(scores[i])) for i in order[offset:]
+        ]
+
     # -- query ---------------------------------------------------------------
 
     def _variants(self, max_dist: int = 1):
@@ -848,6 +1080,23 @@ class QueryServer:
                     hyb, terms, idfs, avg_len, k, offset, mode,
                     combine, excl, after, req_groups=tuple(groups),
                 )
+        # distributed selective-fetch venues (round 4): same kernels,
+        # candidate- or bound-restricted block FETCH; rank-identical —
+        # _selective_and by construction, _selective_single by its
+        # residual-θ check (None → fall through to the full scan)
+        if len(terms) == 1 and not excl and not groups:
+            sel = self._selective_single(
+                terms[0], scope, idfs, avg_len, k, offset, mode, after,
+            )
+            if sel is not None:
+                return sel
+        elif combine == "and" or len(terms) == 1:
+            sel = self._selective_and(
+                terms, excl, groups, scope, idfs, avg_len, k, offset,
+                mode, combine, after,
+            )
+            if sel is not None:
+                return sel
         rows = _blocks_core(
             blocks, terms, idfs, avg_len, k, offset, mode, combine, excl,
             groups, after,

@@ -1377,6 +1377,107 @@ def decoded_doc_ids(pdf: pd.DataFrame, lemma: str) -> np.ndarray:
     return ids
 
 
+def needed_hot_blocks(
+    rare_blocks: DataFrame,
+    hot_meta: DataFrame,
+    rare_terms: list[str],
+) -> DataFrame:
+    """Distributed candidate→block mapping for the SELECTIVE-FETCH
+    distributed venue (serve.QueryServer._selective_and): cogroup the
+    rare (bounding) terms' full block rows with the hot lemmas'
+    block METADATA by shard; each task decodes its shard's candidate
+    set (intersection of the rare terms' postings) and emits the
+    (family, lemma, first_doc_id) keys of exactly the hot blocks whose
+    range holds a candidate — ``needed_first_docs``, the same mapping
+    the hybrid venue computes driver-side, executed where the rare
+    postings already are. Nothing wide ever moves: the metadata side
+    is ~40 B/block (byte payloads pruned at the scan) and the output
+    is one row per NEEDED block.
+
+    A shard where some rare term is absent (or the intersection is
+    empty) emits nothing — conjunctive semantics make its matches
+    empty, so no hot block of that shard is needed."""
+    out_schema = "family string, lemma string, first_doc_id long"
+
+    def fn(rare_pdf: pd.DataFrame, meta_pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"family": [], "lemma": [], "first_doc_id": []}
+        ).astype({"family": "object", "lemma": "object",
+                  "first_doc_id": "int64"})
+        if rare_pdf.empty or meta_pdf.empty:
+            return empty
+        cand = None
+        for t in rare_terms:
+            ids = decoded_doc_ids(rare_pdf, t)
+            if ids.size == 0:
+                return empty
+            cand = ids if cand is None else np.intersect1d(
+                cand, ids, assume_unique=True
+            )
+            if cand.size == 0:
+                return empty
+        parts = []
+        for (fam, lem), sub in meta_pdf.groupby(["family", "lemma"]):
+            firsts = needed_first_docs(
+                sub["scope"].to_numpy(object),
+                sub["first_doc_id"].to_numpy(np.int64),
+                sub["last_doc_id"].to_numpy(np.int64),
+                cand,
+            )
+            if firsts.size:
+                parts.append(pd.DataFrame(
+                    {"family": fam, "lemma": lem, "first_doc_id": firsts}
+                ))
+        if not parts:
+            return empty
+        return pd.concat(parts, ignore_index=True)
+
+    return (
+        rare_blocks.groupBy("shard")
+        .cogroup(hot_meta.groupBy("shard"))
+        .applyInPandas(fn, schema=out_schema)
+    )
+
+
+def select_blocks_by_bound(
+    shards: np.ndarray,
+    firsts: np.ndarray,
+    counts: np.ndarray,
+    max_tfs: np.ndarray,
+    min_dls: np.ndarray,
+    idf: float,
+    avg_len: float,
+    m: int,
+    floor_postings: int = 256,
+) -> tuple[np.ndarray, float]:
+    """Impact selection over one term's block metadata (the round-4
+    sub-O(df) single-term path): per shard, order blocks by score
+    upper bound ``_term_scores(max_tf, min_dl)`` descending (tiebreak
+    first_doc_id asc — deterministic) and keep blocks until the
+    selected posting count reaches ``max(2*m, floor_postings)``;
+    everything else is skipped. Returns (selected firsts, residual)
+    where ``residual`` is the max bound over ALL skipped blocks (-inf
+    if none): every unexamined doc scores ≤ its block bound ≤ residual
+    (the pinned (max_tf, min_dl) WAND bound), so a merged result whose
+    m-th score strictly exceeds ``residual`` is provably the exact
+    top-m — the caller escalates to the full scan otherwise."""
+    bounds = _term_scores(
+        max_tfs.astype(np.int64), min_dls.astype(np.int64), idf, avg_len
+    )
+    target = max(2 * m, floor_postings)
+    keep = np.zeros(firsts.size, dtype=bool)
+    residual = -np.inf
+    for sh in np.unique(shards):
+        idx = np.flatnonzero(shards == sh)
+        order = idx[np.lexsort((firsts[idx], -bounds[idx]))]
+        cum = np.cumsum(counts[order])
+        n_take = int(np.searchsorted(cum, target, side="left")) + 1
+        keep[order[:n_take]] = True
+        if n_take < order.size:
+            residual = max(residual, float(bounds[order[n_take:]].max()))
+    return firsts[keep], residual
+
+
 def needed_first_docs(
     scopes: np.ndarray,
     firsts: np.ndarray,

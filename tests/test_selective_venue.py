@@ -1,0 +1,148 @@
+"""Distributed selective-fetch venues (round 4): conjunctions fetch only
+candidate-holding hot blocks via the cogrouped candidate→block mapping
+(wand.needed_hot_blocks); single-term top-k fetches only blocks whose
+(max_tf, min_dl) bound can reach the top-m, with the exact residual-θ
+escalation. Rank/score-identical to the oracle and the full distributed
+scan in every outcome (served OR escalated)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from oracle import oracle as orc
+from search_engine_spark.functions.analyze import query_lemmas
+from search_engine_spark.operators.serve import QueryServer
+from search_engine_spark.operators.wand import select_blocks_by_bound
+from tests.test_spark_engine import QUERY_CASES
+
+
+@pytest.fixture(scope="module")
+def srv(spark, base_index_dir):
+    s = QueryServer(spark, base_index_dir["index"], cache_blocks=False)
+    # disable every driver venue so queries reach the distributed
+    # dispatch; loosen the selective gates so the tiny test index
+    # (few blocks per term) can still exercise the venues
+    s.local_df_budget = 0
+    s.hot_df_budget = 0
+    s.result_cache_size = 0
+    s.selective_min_blocks = 1
+    s.hybrid_fetch_frac = 1.0
+    s.selective_floor_postings = 4
+    return s
+
+
+def _spy(srv, name):
+    """Wrap srv.<name>; returns a list collecting non-None outcomes."""
+    hits = []
+    orig = getattr(srv, name)
+
+    def wrapper(*a, **k):
+        out = orig(*a, **k)
+        hits.append(out is not None)
+        return out
+
+    setattr(srv, name, wrapper)
+    return hits
+
+
+def test_selective_and_rank_identity(srv, oracle_idx):
+    hits = _spy(srv, "_selective_and")
+    exercised = 0
+    for qid, query, scope, k, offset in QUERY_CASES:
+        if len(set(query_lemmas(query))) < 2:
+            continue
+        exp = [
+            (d, s)
+            for d, s in orc.search(
+                oracle_idx, query, scope=scope, k=k, offset=offset
+            )
+        ]
+        for mode in ("wand", "exact"):
+            got = srv.search(
+                query, scope=scope, k=k, offset=offset, mode=mode
+            )
+            assert got == exp, (qid, mode)
+        exercised += 1
+    assert exercised >= 2
+    assert any(hits), "the selective AND venue never served a query"
+
+
+def test_selective_single_rank_identity(srv, oracle_idx):
+    hits = _spy(srv, "_selective_single")
+    exercised = 0
+    for qid, query, scope, k, offset in QUERY_CASES:
+        if len(set(query_lemmas(query))) != 1:
+            continue
+        exp = [
+            (d, s)
+            for d, s in orc.search(
+                oracle_idx, query, scope=scope, k=k, offset=offset
+            )
+        ]
+        for mode in ("wand", "exact"):
+            got = srv.search(
+                query, scope=scope, k=k, offset=offset, mode=mode
+            )
+            assert got == exp, (qid, mode)
+        exercised += 1
+    assert exercised >= 3
+    # the venue must at least have been attempted (selection on a tiny
+    # index may legitimately escalate — identity holds either way)
+    assert hits, "the single-term selective venue was never attempted"
+
+
+def test_selective_matches_full_distributed(srv, spark, base_index_dir):
+    """Enable/disable A/B: the selective venues and the full scan agree
+    on every query class, including exclusions (candidate-fetched)."""
+    full = QueryServer(spark, base_index_dir["index"], cache_blocks=False)
+    full.local_df_budget = 0
+    full.hot_df_budget = 0
+    full.result_cache_size = 0
+    full.selective_max_fetch_blocks = 0  # selective OFF → pure scan
+    from tests.test_spark_engine import HOT_TERM, MID, RARE
+
+    queries = [
+        (f"{HOT_TERM} {RARE}", None),
+        (f"{MID} {RARE}", None),
+        (f"{MID} -{RARE}", None),
+        (MID, "scope-1"),
+        (HOT_TERM, None),
+    ]
+    for q, scope in queries:
+        a = srv.search(q, scope=scope, k=10)
+        b = full.search(q, scope=scope, k=10)
+        assert a == b, q
+
+
+def test_select_blocks_by_bound_unit():
+    """Selection keeps the best-bound blocks per shard until the target
+    posting count; residual is the max skipped bound (the exactness
+    certificate the caller checks θ against)."""
+    shards = np.array([0, 0, 0, 1, 1], dtype=np.int64)
+    firsts = np.array([10, 200, 400, 1000, 1200], dtype=np.int64)
+    counts = np.array([50, 50, 50, 50, 50], dtype=np.int64)
+    # bounds rise with max_tf (same min_dl): block order by bound desc
+    max_tfs = np.array([1, 9, 3, 2, 7], dtype=np.int64)
+    min_dls = np.array([5, 5, 5, 5, 5], dtype=np.int64)
+    idf, avg_len = 1.5, 6.0
+    sel, residual = select_blocks_by_bound(
+        shards, firsts, counts, max_tfs, min_dls, idf, avg_len,
+        m=10, floor_postings=4,
+    )
+    # m=10 → target 20 < 50 → ONE block per shard: the max-bound one
+    assert sorted(sel.tolist()) == [200, 1200]
+    from search_engine_spark.operators.wand import _term_scores
+
+    skipped = [0, 2, 3]
+    exp_res = max(
+        _term_scores(max_tfs[[i]], min_dls[[i]], idf, avg_len)[0]
+        for i in skipped
+    )
+    assert residual == pytest.approx(exp_res, rel=0, abs=0)
+    # selecting everything → nothing skipped → residual -inf
+    sel_all, res_all = select_blocks_by_bound(
+        shards, firsts, counts, max_tfs, min_dls, idf, avg_len,
+        m=100, floor_postings=4,
+    )
+    assert sel_all.size == 5 and res_all == -np.inf
