@@ -154,6 +154,7 @@ from search_engine_spark.operators.text import (  # noqa: E402
 )
 from search_engine_spark.operators.sketch import (
     loghist_oracle_sql as _loghist_oracle_sql,
+    loghist_refined_oracle_sql as _loghist_refined_oracle_sql,
     sampled_quantiles_oracle_sql as _sampled_quantiles_oracle_sql,
 )
 
@@ -1263,6 +1264,32 @@ def q_events_quantiles_loghist_merged(spark, sf_dir):
     ]
     return loghist_quantiles(
         loghist_merge(parts, ["event_type"]), ["event_type"]
+    )
+
+
+def q_events_quantiles_loghist_refined(spark, sf_dir):
+    """REFINED read-off of the log-linear sketch (round 4 — CLAUDE.md
+    #9d): the sums sketch carries a per-bucket HUGEINT/decimal(38,0)
+    fixed-point value sum, and the quantile answers with the chosen
+    bucket's MEAN instead of its lower edge — error well under one
+    bucket width in practice, exact when the bucket holds one distinct
+    value, while the merge contract stays bucket-wise integer add.
+    Split-merge composed here too, so the driver row also re-proves
+    mergeability of the refined columns."""
+    from search_engine_spark.operators.sketch import (
+        loghist_merge_sums,
+        loghist_quantiles_refined,
+        loghist_sketch_sums,
+    )
+
+    ev = _read(spark, sf_dir, "events")
+    parts = [
+        loghist_sketch_sums(ev.filter(f"event_id % 3 = {i}"), "value",
+                            ["event_type"])
+        for i in range(3)
+    ]
+    return loghist_quantiles_refined(
+        loghist_merge_sums(parts, ["event_type"]), ["event_type"]
     )
 
 
@@ -2642,6 +2669,9 @@ def _oracle_sql_map() -> dict[str, str]:
         "events_quantiles_loghist_merged": _loghist_oracle_sql(
             "value", ["event_type"], table="events"
         ),
+        "events_quantiles_loghist_refined": _loghist_refined_oracle_sql(
+            "value", ["event_type"], table="events"
+        ),
         "top_docs_per_lang": """
             SELECT lang, doc_id, n_chars,
                    row_number() OVER (
@@ -2929,6 +2959,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_quantiles_sampled": q_events_quantiles_sampled,
         "events_quantiles_loghist": q_events_quantiles_loghist,
         "events_quantiles_loghist_merged": q_events_quantiles_loghist_merged,
+        "events_quantiles_loghist_refined": q_events_quantiles_loghist_refined,
         "top_docs_per_lang": q_top_docs_per_lang,
         "events_date_filter": q_events_date_filter,
         "events_sessions": q_events_sessions,

@@ -406,11 +406,15 @@ def loghist_bucketize(
     keep_cols: Sequence[str] = (),
     scale: int = LOGHIST_SCALE,
     k: int = LOGHIST_K,
+    with_value: bool = False,
 ) -> DataFrame:
     """The sketch's bucket mapping alone: keep_cols + ``bucket`` per
     input row (null values dropped) — shared by the batch sketch and
     the streaming windowed sketch (streaming/quantiles.py), so the
-    determinism pin lives in exactly one place."""
+    determinism pin lives in exactly one place. ``with_value=True``
+    additionally keeps the clamped fixed-point magnitude ``_v`` (the
+    refined sums sketch aggregates it; the plain sketch never pays the
+    column)."""
     engine = "spark"
     e0 = "cast(floor(log2(cast(greatest(_v, 1) as double))) as bigint)"
     return (
@@ -455,7 +459,7 @@ def loghist_bucketize(
                 f"else 1 + _e * {k} + _i end"
             ),
         )
-        .select(*keep_cols, "bucket")
+        .select(*keep_cols, "bucket", *(["_v"] if with_value else []))
     )
 
 
@@ -560,6 +564,213 @@ def loghist_quantiles_from(
         loghist_sketch(df, value_col, group_cols, scale, k),
         group_cols, ps, scale, k,
     )
+
+
+def loghist_sketch_sums(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+    scale: int = LOGHIST_SCALE,
+    k: int = LOGHIST_K,
+) -> DataFrame:
+    """Refined sketch (CLAUDE.md round-4 #9d): ``loghist_sketch`` plus a
+    per-bucket SUM of the clamped fixed-point magnitudes, so read-off
+    can answer with the bucket MEAN instead of the lower edge. The
+    merge contract stays bucket-wise integer add — (cnt, vsum) both add
+    exactly under any input split — and the sum is WIDENED to
+    decimal(38,0) (DuckDB's native HUGEINT sum in the twin, the logreg
+    gradient device) so 2^38 rows of 2^55-magnitude values can't
+    overflow an int64 at 100-TB scale.
+
+    Returns group_cols + (bucket, cnt, vsum)."""
+    return (
+        loghist_bucketize(df, value_col, group_cols, scale, k,
+                          with_value=True)
+        .groupBy(*group_cols, "bucket")
+        .agg(
+            F.count("*").cast("long").alias("cnt"),
+            F.sum(F.col("_v").cast("decimal(38,0)")).alias("vsum"),
+        )
+    )
+
+
+def loghist_merge_sums(
+    sketches: Sequence[DataFrame], group_cols: Sequence[str] = ()
+) -> DataFrame:
+    """Bucket-wise (cnt, vsum) add — same exact-merge property as
+    ``loghist_merge``, refined columns included."""
+    if not sketches:
+        raise ValueError("loghist_merge_sums needs at least one sketch")
+    u = sketches[0]
+    for s in sketches[1:]:
+        u = u.unionByName(s)
+    return u.groupBy(*group_cols, "bucket").agg(
+        F.sum("cnt").cast("long").alias("cnt"),
+        F.sum("vsum").cast("decimal(38,0)").alias("vsum"),
+    )
+
+
+def loghist_quantiles_refined(
+    sketch: DataFrame,
+    group_cols: Sequence[str] = (),
+    ps: tuple[float, ...] = (0.5, 0.9, 0.99),
+    scale: int = LOGHIST_SCALE,
+    k: int = LOGHIST_K,
+) -> DataFrame:
+    """Read quantiles off a ``loghist_sketch_sums`` with WITHIN-BUCKET
+    refinement: the bucket is chosen by the SAME rank pin as
+    ``loghist_quantiles`` (r = floor((n-1)*p)+1, first bucket whose
+    cumulative count reaches r, bounded theta-join cumsum — no window),
+    but the answer is the bucket's mean value ``round6(sgn · (vsum/cnt)
+    / scale)`` instead of its lower edge. The mean lies inside the
+    bucket, so the error bound ≤ one bucket width (2^e/k) is kept, and
+    when a bucket holds a single distinct value — the common case for
+    integer-ish metrics at small magnitudes — the refined answer is
+    EXACT. Determinism pin: one decimal→double cast per operand, one
+    IEEE division, one round6; DuckDB twin identical
+    (``loghist_refined_oracle_sql``)."""
+    g = list(group_cols)
+    a = sketch.select(
+        *[F.col(c).alias(f"_g_{c}") for c in g],
+        F.col("bucket").alias("_b"),
+    )
+    b = sketch.select(
+        *[F.col(c).alias(f"_g2_{c}") for c in g],
+        F.col("bucket").alias("_b2"),
+        F.col("cnt").alias("_c2"),
+    )
+    cond = F.col("_b2") <= F.col("_b")
+    for c in g:
+        cond = cond & (F.col(f"_g_{c}") == F.col(f"_g2_{c}"))
+    cum = (
+        a.join(F.broadcast(b), cond)
+        .groupBy(*[f"_g_{c}" for c in g], "_b")
+        .agg(F.sum("_c2").alias("_cum"))
+    )
+    n = sketch.groupBy(
+        *[F.col(c).alias(f"_gn_{c}") for c in g]
+    ).agg(F.sum("cnt").alias("_n"))
+    if g:
+        ncond = None
+        for c in g:
+            eq = F.col(f"_g_{c}") == F.col(f"_gn_{c}")
+            ncond = eq if ncond is None else (ncond & eq)
+        cum = cum.join(F.broadcast(n), ncond)
+    else:
+        cum = cum.crossJoin(F.broadcast(n))
+    aggs = []
+    for p in ps:
+        r = f"cast(floor((_n - 1) * {p!r}) as bigint) + 1"
+        aggs.append(
+            F.expr(f"min(case when _cum >= {r} then _b end)").alias(
+                f"_qb_{_p_name(p)}"
+            )
+        )
+    out = cum.groupBy(*[f"_g_{c}" for c in g]).agg(
+        *aggs, F.max("_n").alias("n_rows")
+    )
+    # join each chosen bucket back to its (cnt, vsum) for the mean rep
+    for p in ps:
+        nm = _p_name(p)
+        side = sketch.select(
+            *[F.col(c).alias(f"_s_{nm}_{c}") for c in g],
+            F.col("bucket").alias(f"_sb_{nm}"),
+            F.col("cnt").alias(f"_sc_{nm}"),
+            F.col("vsum").alias(f"_sv_{nm}"),
+        )
+        jcond = F.col(f"_qb_{nm}") == F.col(f"_sb_{nm}")
+        for c in g:
+            jcond = jcond & (F.col(f"_g_{c}") == F.col(f"_s_{nm}_{c}"))
+        out = out.join(F.broadcast(side), jcond, "left")
+    sel = [F.col(f"_g_{c}").alias(c) for c in g]
+    for p in ps:
+        nm = _p_name(p)
+        sel.append(
+            F.expr(
+                f"case when _qb_{nm} is null then cast(null as double) "
+                f"when _qb_{nm} = 0 then cast(0.0 as double) else "
+                f"round((case when _qb_{nm} < 0 then -1.0 else 1.0 end)"
+                f" * (cast(_sv_{nm} as double) / cast(_sc_{nm} as double))"
+                f" / {scale}.0, 6) end"
+            ).alias(nm)
+        )
+    sel.append(F.col("n_rows"))
+    return out.select(*sel)
+
+
+def loghist_refined_oracle_sql(
+    value_col: str,
+    group_cols: Sequence[str] = (),
+    ps: tuple[float, ...] = (0.5, 0.9, 0.99),
+    scale: int = LOGHIST_SCALE,
+    k: int = LOGHIST_K,
+    table: str = "events",
+) -> str:
+    """DuckDB twin of ``loghist_sketch_sums`` → ``loghist_quantiles_
+    refined``: same bucket pin, rank pin, HUGEINT vsum, and mean
+    representative (one cast per operand, one division, one round)."""
+    engine = "duck"
+    g = ", ".join(group_cols)
+    gcomma = f"{g}, " if g else ""
+    part = f"PARTITION BY {g} " if g else ""
+    gq = ", ".join(f"q.{c}" for c in group_cols)
+    gqcomma = f"{gq}, " if gq else ""
+    qs, reps, joins = [], [], []
+    for p in ps:
+        nm = _p_name(p)
+        r = f"CAST(floor((n - 1) * {p!r}) AS BIGINT) + 1"
+        qs.append(f"min(CASE WHEN cum >= {r} THEN bucket END) AS qb_{nm}")
+        on = " AND ".join(
+            [f"h_{nm}.bucket = q.qb_{nm}"]
+            + [f"h_{nm}.{c} = q.{c}" for c in group_cols]
+        )
+        joins.append(f"LEFT JOIN h AS h_{nm} ON {on}")
+        reps.append(
+            f"CASE WHEN q.qb_{nm} IS NULL THEN CAST(NULL AS DOUBLE) "
+            f"WHEN q.qb_{nm} = 0 THEN CAST(0.0 AS DOUBLE) ELSE "
+            f"round((CASE WHEN q.qb_{nm} < 0 THEN -1.0 ELSE 1.0 END)"
+            f" * (CAST(h_{nm}.vsum AS DOUBLE) / CAST(h_{nm}.cnt AS DOUBLE))"
+            f" / {scale}.0, 6) END AS {nm}"
+        )
+    return f"""
+        WITH s1 AS (
+            SELECT {gcomma}CAST({value_col} AS DOUBLE) AS x,
+                   CAST(floor(least(abs({value_col}) * {scale}.0 + 0.5,
+                                    {float(1 << 55)!r})) AS BIGINT) AS v
+            FROM {table} WHERE {value_col} IS NOT NULL
+        ), s2 AS (
+            SELECT *, CAST(floor(log2(CAST(greatest(v, 1) AS DOUBLE))) AS BIGINT) AS e0
+            FROM s1
+        ), s3 AS (
+            SELECT *, CASE WHEN greatest(v, 1) < {_shl('e0', engine)} THEN e0 - 1
+                           WHEN e0 < 62 AND greatest(v, 1) >= {_shl('e0 + 1', engine)} THEN e0 + 1
+                           ELSE e0 END AS e
+            FROM s2
+        ), s4 AS (
+            SELECT *, {_shl('e', engine)} AS pe FROM s3
+        ), s5 AS (
+            SELECT *, {_idiv(f'(greatest(v, 1) - pe) * {k}', 'pe', engine)} AS i FROM s4
+        ), h AS (
+            SELECT {gcomma}
+                   CASE WHEN v = 0 THEN CAST(0 AS BIGINT)
+                        WHEN x < 0 THEN -(1 + e * {k} + i)
+                        ELSE 1 + e * {k} + i END AS bucket,
+                   count(*) AS cnt, sum(v) AS vsum
+            FROM s5 GROUP BY ALL
+        ), c AS (
+            SELECT {gcomma}bucket,
+                   sum(cnt) OVER ({part}ORDER BY bucket) AS cum,
+                   sum(cnt) OVER ({part}) AS n
+            FROM h
+        ), q AS (
+            SELECT {gcomma}{', '.join(qs)}, max(n) AS n_rows
+            FROM c GROUP BY ALL
+        )
+        SELECT * FROM (
+            SELECT {gqcomma}{', '.join(reps)}, q.n_rows
+            FROM q {' '.join(joins)}
+        )
+    """
 
 
 def loghist_oracle_sql(

@@ -171,3 +171,92 @@ def test_out_of_domain_values_clamp_not_crash(spark):
     top = 1 + 55 * LOGHIST_K  # the (e=55, i=0) clamp bucket
     assert (top, 4) in spark_hist  # 1e30, 1e308, 3.7e10(*scale>2^55), inf
     assert (-top, 2) in spark_hist
+
+
+def test_refined_quantiles_twin_error_and_exactness(spark):
+    """Round-4 refined read-off (loghist_sketch_sums →
+    loghist_quantiles_refined): Spark == DuckDB twin bit-for-bit; the
+    refined estimate keeps the ≤ 1-bucket-width bound AND is strictly
+    no further from the exact rank statistic (in aggregate) than the
+    lower-edge answer; a bucket holding one distinct value answers
+    EXACTLY; merge invariance holds for the (cnt, vsum) columns."""
+    import duckdb
+
+    from search_engine_spark.operators.sketch import (
+        loghist_merge_sums,
+        loghist_quantiles_refined,
+        loghist_refined_oracle_sql,
+        loghist_sketch_sums,
+    )
+
+    rng = np.random.RandomState(11)
+    vals = np.concatenate([
+        rng.lognormal(3.0, 2.0, 3000),
+        -rng.lognormal(1.0, 1.0, 400),
+        np.zeros(20),
+    ])
+    pdf = pd.DataFrame({
+        "value": vals,
+        "g": rng.choice(["x", "y"], len(vals)),
+    })
+    df = spark.createDataFrame(pdf)
+    ps = (0.1, 0.5, 0.9, 0.99)
+    got = (
+        loghist_quantiles_refined(
+            loghist_sketch_sums(df, "value", ["g"]), ["g"], ps=ps
+        ).orderBy("g").toPandas().reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", pdf)
+    want = con.execute(
+        loghist_refined_oracle_sql("value", ["g"], ps=ps, table="t")
+        + " ORDER BY g"
+    ).df().reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    # error bound kept; refined beats the lower edge in aggregate
+    edge = (
+        loghist_quantiles_from(df, "value", ["g"], ps=ps)
+        .orderBy("g").toPandas().reset_index(drop=True)
+    )
+    err_ref = err_edge = 0.0
+    for g, sub in pdf.groupby("g"):
+        xs = np.sort(sub.value.to_numpy())
+        row_r = got[got.g == g].iloc[0]
+        row_e = edge[edge.g == g].iloc[0]
+        for p in ps:
+            exact = xs[int(np.floor((len(xs) - 1) * p))]
+            nm = f"p{f'{p * 100:g}'.replace('.', '_')}"
+            tol = abs(exact) / LOGHIST_K + 2.0 / LOGHIST_SCALE
+            assert abs(row_r[nm] - exact) <= tol, (g, p)
+            err_ref += abs(row_r[nm] - exact)
+            err_edge += abs(row_e[nm] - exact)
+    assert err_ref < err_edge
+
+    # single-distinct-value buckets answer exactly: small integers at
+    # magnitude < 64 have bucket width < 1 fixed-point unit
+    ints = pd.DataFrame({"value": [3.0] * 10 + [7.0] * 30 + [50.0] * 10,
+                         "g": ["a"] * 50})
+    r = (
+        loghist_quantiles_refined(
+            loghist_sketch_sums(spark.createDataFrame(ints), "value",
+                                ["g"]),
+            ["g"], ps=(0.5,),
+        ).toPandas().iloc[0]
+    )
+    assert r["p50"] == 7.0
+
+    # merge invariance of (cnt, vsum) under an arbitrary 3-way split
+    from pyspark.sql import functions as F
+
+    df_i = df.withColumn("rid", F.monotonically_increasing_id())
+    parts = [
+        loghist_sketch_sums(df_i.filter(f"rid % 3 = {i}"), "value", ["g"])
+        for i in range(3)
+    ]
+    merged = (
+        loghist_quantiles_refined(
+            loghist_merge_sums(parts, ["g"]), ["g"], ps=ps
+        ).orderBy("g").toPandas().reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(merged, got, check_dtype=False)
