@@ -1506,6 +1506,11 @@ PERC_QUERIES = [
     (3, "customer -slow"),
     (4, "vector group table"),
     (5, "query key -agg"),
+    # round 4: phrase alerts — ordered-sequence constraints decided by
+    # the pinned reachability sweep (oracle.phrase_match_doc); the
+    # DuckDB twin states the same predicate as nested EXISTS chains
+    (6, '"merge batch"'),
+    (7, '"query scan"~1 -slow'),
 ]
 
 

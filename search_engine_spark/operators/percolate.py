@@ -40,15 +40,22 @@ _TOKEN_RE = re.compile(r"[a-z0-9]+")
 
 def compile_queries(
     queries: Sequence[tuple[int, str]],
-) -> list[tuple[int, frozenset, tuple, frozenset]]:
-    """``(query_id, "a (b | c) -d")`` → ``(query_id, required, groups,
-    excluded)`` under the pinned tokenizer: plain atoms are required
-    (AND), a parenthesized group matches when ≥1 of its tokens is
-    present (OR — the engine's bool-tree conjunct-of-disjunctions
-    mirrored), ``-tok`` excludes. Raises on duplicate ids, on queries
-    with neither a required atom nor a group (exclusion-only would
-    match almost everything), on empty groups, and on negated groups
-    (not supported — negate tokens individually)."""
+) -> list[tuple[int, frozenset, tuple, frozenset, tuple]]:
+    """``(query_id, '"a b"~1 (b | c) -d')`` → ``(query_id, required,
+    groups, excluded, phrases)`` under the pinned tokenizer: plain
+    atoms are required (AND), a parenthesized group matches when ≥1 of
+    its tokens is present (OR — the engine's bool-tree conjunct-of-
+    disjunctions mirrored), ``-tok`` excludes, and a double-quoted
+    phrase (optional ``~slop``) requires the ORDERED token sequence
+    with ≤ slop extra tokens between consecutive terms — verified by
+    the engine's pinned reachability sweep (oracle.phrase_match_doc,
+    round 4). Phrase tokens fold into ``required`` (a match must
+    contain them all — the same cheap set prefilter), the sequence
+    constraint rides in ``phrases`` as ((tok, ...), slop) tuples with
+    order and duplicates KEPT. Raises on duplicate ids, on queries
+    with no required content (exclusion-only would match almost
+    everything), on empty groups/phrases, and on negated groups or
+    phrases (not supported — negate tokens individually)."""
     seen: set[int] = set()
     out = []
     for qid, q in queries:
@@ -59,24 +66,43 @@ def compile_queries(
             raise ValueError(
                 f"query {qid!r}: negated groups are not supported: {q!r}"
             )
+        if re.search(r'-\s*"', q):
+            raise ValueError(
+                f"query {qid!r}: negated phrases are not supported: {q!r}"
+            )
+        phrases: list[tuple[tuple, int]] = []
+
+        def _grab_phrase(mo: re.Match) -> str:
+            toks = tuple(_TOKEN_RE.findall(mo.group(1).lower()))
+            if not toks:
+                raise ValueError(
+                    f"query {qid!r} has an empty phrase: {q!r}"
+                )
+            phrases.append((toks, int(mo.group(2) or 0)))
+            return " "
+
+        rest = re.sub(r'"([^"]*)"\s*(?:~(\d+))?', _grab_phrase, q)
         groups: list[frozenset] = []
-        for body in re.findall(r"\(([^)]*)\)", q):
+        for body in re.findall(r"\(([^)]*)\)", rest):
             g = frozenset(_TOKEN_RE.findall(body.lower()))
             if not g:
                 raise ValueError(f"query {qid!r} has an empty group: {q!r}")
             groups.append(g)
-        rest = re.sub(r"\([^)]*\)", " ", q)
+        rest = re.sub(r"\([^)]*\)", " ", rest)
         req: set[str] = set()
         exc: set[str] = set()
         for atom in rest.split():
             neg = atom.startswith("-")
             toks = _TOKEN_RE.findall(atom.lower())
             (exc if neg else req).update(toks)
+        for toks, _slop in phrases:
+            req.update(toks)
         if not req and not groups:
             raise ValueError(f"query {qid!r} has no required token: {q!r}")
         out.append((
             qid, frozenset(req),
             tuple(sorted(groups, key=sorted)), frozenset(exc),
+            tuple(sorted(phrases)),
         ))
     return out
 
@@ -90,14 +116,17 @@ def percolate(
     """All ``(doc_id, query_id)`` pairs where the stored query matches
     the document. Works identically on batch and streaming inputs (the
     kernel is a stateless narrow map)."""
+    from oracle.oracle import phrase_match_doc
+
     compiled = compile_queries(queries)
     # registration index: a query with a plain required atom files under
-    # its smallest one (a doc lacking it cannot match); a groups-only
-    # query files under EVERY token of its first group — any match holds
-    # ≥1 of them, so candidates per doc stay the union over its PRESENT
-    # tokens — O(candidates), not O(|Q|)
+    # its smallest one (a doc lacking it cannot match; phrase tokens are
+    # folded into required, so phrase queries file there too); a
+    # groups-only query files under EVERY token of its first group —
+    # any match holds ≥1 of them, so candidates per doc stay the union
+    # over its PRESENT tokens — O(candidates), not O(|Q|)
     index: dict[str, list[int]] = {}
-    for i, (_qid, req, groups, _exc) in enumerate(compiled):
+    for i, (_qid, req, groups, _exc, _ph) in enumerate(compiled):
         for t in ([min(req)] if req else sorted(groups[0])):
             index.setdefault(t, []).append(i)
     id_field = docs.schema[id_col]
@@ -117,15 +146,31 @@ def percolate(
                 cand: set[int] = set()
                 for t in toks:
                     cand.update(index.get(t, ()))
+                # token→positions map, built once per doc and only when
+                # a candidate carries a phrase constraint
+                pos_map: dict | None = None
                 for i in cand:
-                    qid, req, groups, exc = compiled[i]
-                    if (
+                    qid, req, groups, exc, phrases = compiled[i]
+                    if not (
                         req <= toks
                         and all(g & toks for g in groups)
                         and not (exc & toks)
                     ):
-                        ids_out.append(doc_id)
-                        qids_out.append(qid)
+                        continue
+                    if phrases:
+                        if pos_map is None:
+                            pos_map = {}
+                            for pi, t in enumerate(toks_l):
+                                pos_map.setdefault(t, []).append(pi)
+                        if not all(
+                            phrase_match_doc(
+                                [pos_map.get(t, []) for t in ph], slop
+                            )
+                            for ph, slop in phrases
+                        ):
+                            continue
+                    ids_out.append(doc_id)
+                    qids_out.append(qid)
             yield pd.DataFrame({id_col: ids_out, "query_id": qids_out})
 
     schema = T.StructType(
@@ -140,9 +185,13 @@ def percolate_oracle_sql(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> str:
-    """DuckDB twin of ``percolate`` (same tokenizer, same AND+NOT
-    semantics), generated from the SAME compiled query set so the two
-    sides cannot drift."""
+    """DuckDB twin of ``percolate`` (same tokenizer, same AND + OR-group
+    + NOT + phrase semantics), generated from the SAME compiled query
+    set so the two sides cannot drift. A phrase constraint compiles to
+    nested EXISTS list-comprehensions over the ORDERED token sequence —
+    ∃ a position chain with each step in [prev+1, prev+1+slop] — the
+    declarative statement of exactly the predicate the engine's
+    reachability sweep (oracle.phrase_match_doc) decides."""
     def lit(toks) -> str:
         items = ", ".join(f"'{t}'" for t in sorted(toks))
         return f"[{items}]::VARCHAR[]"
@@ -151,13 +200,48 @@ def percolate_oracle_sql(
         items = ", ".join(lit(g) for g in groups)
         return f"[{items}]::VARCHAR[][]"
 
+    def phrase_pred(ph: tuple, slop: int) -> str:
+        # innermost-out nested exists; 1-based DuckDB list indexing
+        def nested(j: int, prev: str) -> str:
+            t = ph[j]
+            if j == 0:
+                rng = "range(1, len(d.seq) + 1)"
+            else:
+                rng = (
+                    f"range({prev} + 1, "
+                    f"least({prev} + 1 + {slop}, len(d.seq)) + 1)"
+                )
+            var = f"i{j}"
+            inner = (
+                nested(j + 1, var) if j + 1 < len(ph) else "TRUE"
+            )
+            return (
+                f"len([{var} for {var} in {rng} "
+                f"if d.seq[{var}] = '{t}' AND {inner}]) > 0"
+            )
+
+        return nested(0, "")
+
+    compiled = compile_queries(queries)
     rows = ",\n            ".join(
         f"({qid}, {lit(req)}, {glit(groups)}, {lit(exc)})"
-        for qid, req, groups, exc in compile_queries(queries)
+        for qid, req, groups, exc, _ph in compiled
+    )
+    ph_cases = [
+        f"WHEN {qid} THEN ({' AND '.join(phrase_pred(p, s) for p, s in phrases)})"
+        for qid, _req, _g, _e, phrases in compiled
+        if phrases
+    ]
+    ph_clause = (
+        "AND (CASE q.query_id {} ELSE TRUE END)".format(" ".join(ph_cases))
+        if ph_cases
+        else ""
     )
     return f"""
         WITH d AS (
             SELECT {id_col},
+                   regexp_extract_all(
+                       lower({text_col}), '[a-z0-9]+', 0) AS seq,
                    list_distinct(regexp_extract_all(
                        lower({text_col}), '[a-z0-9]+', 0)) AS toks
             FROM {table_expr}
@@ -171,4 +255,5 @@ def percolate_oracle_sql(
           AND len(list_filter(q.grps, gl -> list_has_any(d.toks, gl)))
               = len(q.grps)
           AND NOT list_has_any(d.toks, q.exc)
+          {ph_clause}
     """

@@ -26,17 +26,33 @@ QUERIES = [
     (6, "spark (window | batch)"),      # AND + OR group
     (7, "(merge | vector) -slow"),      # groups-only + exclusion
     (8, "(query | key) (table | group)"),  # two groups, no plain atom
+    (9, '"merge batch"'),               # exact phrase (round 4)
+    (10, '"merge batch"~2 -slow'),      # sloppy phrase + exclusion
+    (11, '"query scan" (table | group)'),  # phrase + OR group
 ]
 
 
 def _ref(pdf: pd.DataFrame, queries) -> set:
+    from oracle.oracle import phrase_match_doc
+
     out = set()
-    for qid, req, groups, exc in compile_queries(queries):
+    for qid, req, groups, exc, phrases in compile_queries(queries):
         for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-            toks = set(re.findall(r"[a-z0-9]+", str(text).lower()))
-            if (req <= toks and all(g & toks for g in groups)
+            seq = re.findall(r"[a-z0-9]+", str(text).lower())
+            toks = set(seq)
+            if not (req <= toks and all(g & toks for g in groups)
                     and not (exc & toks)):
-                out.add((doc_id, qid))
+                continue
+            if phrases:
+                pos = {}
+                for i, t in enumerate(seq):
+                    pos.setdefault(t, []).append(i)
+                if not all(
+                    phrase_match_doc([pos.get(t, []) for t in ph], slop)
+                    for ph, slop in phrases
+                ):
+                    continue
+            out.add((doc_id, qid))
     return out
 
 
@@ -49,10 +65,16 @@ def docs_pdf():
 
 def test_compile_guards():
     assert compile_queries([(1, "A b -C")]) == [
-        (1, frozenset({"a", "b"}), (), frozenset({"c"}))
+        (1, frozenset({"a", "b"}), (), frozenset({"c"}), ())
     ]
     assert compile_queries([(2, "a (B | c) -d")]) == [
-        (2, frozenset({"a"}), (frozenset({"b", "c"}),), frozenset({"d"}))
+        (2, frozenset({"a"}), (frozenset({"b", "c"}),), frozenset({"d"}),
+         ())
+    ]
+    # phrases keep order + duplicates and fold into required
+    assert compile_queries([(9, '"B a b"~3 -c')]) == [
+        (9, frozenset({"a", "b"}), (), frozenset({"c"}),
+         ((("b", "a", "b"), 3),))
     ]
     # groups-only queries are legal (the OR bounds the match set)
     assert compile_queries([(3, "(x | y)")])[0][1] == frozenset()
@@ -64,6 +86,10 @@ def test_compile_guards():
         compile_queries([(1, "-only -negs")])
     with pytest.raises(ValueError, match="duplicate"):
         compile_queries([(1, "a"), (1, "b")])
+    with pytest.raises(ValueError, match="negated phrases"):
+        compile_queries([(1, 'a -"b c"')])
+    with pytest.raises(ValueError, match="empty phrase"):
+        compile_queries([(1, 'a ""')])
 
 
 def test_batch_matches_reference_and_duckdb(spark, docs_pdf):
@@ -138,3 +164,25 @@ def test_streaming_equals_batch(spark, docs_pdf, tmp_path):
         for r in spark.table("perc").collect()
     }
     assert got == _ref(docs_pdf, QUERIES)
+
+
+def test_phrase_slop_reachability_not_greedy(spark):
+    """The pinned [[0],[1,2],[4]] incompleteness case at the percolate
+    level: 'a b b x c' matches "a b c"~1 only via the 0→2→4 chain a
+    greedy smallest-next matcher misses — engine and DuckDB twin agree."""
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["a b b x c", "a b x x c", "a b c"],
+    })
+    qs = [(1, '"a b c"~1'), (2, '"a b c"')]
+    got = {
+        (r["doc_id"], r["query_id"])
+        for r in percolate(spark.createDataFrame(pdf), qs).collect()
+    }
+    assert got == {(1, 1), (3, 1), (3, 2)}
+    con = duckdb.connect()
+    con.register("docs", pdf)
+    want = set(
+        map(tuple, con.execute(percolate_oracle_sql("docs", qs)).fetchall())
+    )
+    assert got == want
