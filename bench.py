@@ -406,6 +406,37 @@ def main() -> None:
     server.bool_search(bq, k=10)
     queries["bool_q_hotrare"] = round(time.perf_counter() - t0, 3)
 
+    # round-4 DISTRIBUTED selective-fetch probes: every driver venue off
+    # (the 100-TB regime — no postings fit any driver budget), the same
+    # hot single term and hot∧rare conjunction with the selective
+    # venues ON vs OFF. The conjunction pairs the hot term with a
+    # GENUINELY rare lemma (df ≤ ~hot_blocks/8) so the fetch-efficiency
+    # gate passes on its real terms, not on loosened knobs; the venues'
+    # own escalation/fallback stays armed, so a declined gate or failed
+    # residual check honestly shows up as full-scan latency.
+    rare_sel = min(
+        (l for l, v in gdf.items() if 16 <= v <= 64),
+        default=str(vocab[300]),
+    )
+    _budgets = (server.local_df_budget, server.hot_df_budget)
+    server.local_df_budget = 0
+    server.hot_df_budget = 0
+    sel_probes = [
+        ("dist_single_hot", hot_mid, None),
+        ("dist_conj_hotrare", f"{hot_mid} {rare_sel}", None),
+    ]
+    for on, suffix in ((True, "selective"), (False, "full")):
+        server.selective_max_fetch_blocks = 16_384 if on else 0
+        for sname, sq, sscope in sel_probes:
+            server.search(sq, scope=sscope, k=10, mode="wand")  # warm
+            t0 = time.perf_counter()
+            server.search(sq, scope=sscope, k=10, mode="wand")
+            queries[f"bm25_{sname}_{suffix}"] = round(
+                time.perf_counter() - t0, 3
+            )
+    server.selective_max_fetch_blocks = 16_384
+    server.local_df_budget, server.hot_df_budget = _budgets
+
     contract = spark_queries()
     for name in [
         "tf", "df", "bm25_topk", "dedup_minhash_lsh", "ann_cosine_topk",

@@ -71,7 +71,7 @@ class QueryServer:
         result_cache_size: int = 256,
         selective_max_fetch_blocks: int = 16_384,
         selective_meta_max_rows: int = 262_144,
-        selective_min_blocks: int = 64,
+        selective_min_blocks: int = 4_096,
     ):
         self.spark = spark
         self.index_dir = index_dir.rstrip("/")
@@ -645,6 +645,14 @@ class QueryServer:
         )
         if not hot_post and not flt:
             return None
+        # engage only when the hot side is big enough that the full
+        # pruned scan is genuinely SCAN-bound: the venue's extra job
+        # (candidate cogroup) costs a fixed scheduling round-trip, so
+        # under ~selective_min_blocks of hot blocks (cache-resident at
+        # serving sizes) one full scan is strictly cheaper — measured
+        # 0.67 s full vs 2.0 s selective at 409 hot blocks on the 1.05M
+        # bench index. At 10^12 docs a mid-df term alone clears the
+        # floor by orders of magnitude.
         est_blocks = {
             h: -(-totals[h] // BLOCK_SIZE) for h in hot_post
         }
@@ -763,7 +771,18 @@ class QueryServer:
         bound — otherwise return None and the caller's full scan runs
         (exactness by escalation, never by hope). Single-positive-term
         only: with several OR terms a partially-fetched doc would get
-        a PARTIAL score sum, which no residual argument repairs."""
+        a PARTIAL score sum, which no residual argument repairs.
+
+        Block-level impact selection is weak when per-block maxima
+        saturate — a 128-posting block's max_tf is an extreme value
+        over 128 docs, so on flat tf distributions most blocks share
+        the top bound and certification can't succeed (the exact
+        best_sel ≤ residual decline catches the fully-flat case for
+        free). A term that DID escalate once is remembered in an
+        epoch-lived skip memo so steady-state serving never pays the
+        double job twice; the durable fix for this class is the
+        impact-ORDERED posting layout (postings sorted by impact, not
+        doc) noted as the follow-up in CLAUDE.md."""
         import numpy as np
 
         from search_engine_spark.operators.wand import (
@@ -775,6 +794,11 @@ class QueryServer:
 
         if self.selective_max_fetch_blocks <= 0:
             return None
+        skip = getattr(self, "_selective_skip", None)
+        if skip is None:
+            skip = self._selective_skip = set()
+        if (term, scope) in skip:
+            return None
         meta = self._block_meta_bounds(term, scope)
         if meta is None:
             return None
@@ -782,7 +806,7 @@ class QueryServer:
         if firsts.size < self.selective_min_blocks:
             return None
         m = offset + k
-        sel_firsts, residual = select_blocks_by_bound(
+        sel_firsts, residual, best_sel = select_blocks_by_bound(
             shards, firsts, counts, mtf, mdl, idfs[0], avg_len, m,
             floor_postings=self.selective_floor_postings,
         )
@@ -791,6 +815,11 @@ class QueryServer:
             or sel_firsts.size > self.selective_max_fetch_blocks
             or sel_firsts.size > self.hybrid_fetch_frac * firsts.size
         ):
+            return None
+        if not (best_sel > residual):
+            # no score can exceed best_sel, so θ > residual is already
+            # impossible — decline for free instead of fetching and
+            # escalating (exact reasoning, not a tuning heuristic)
             return None
         blocks = prune_blocks(self.blocks, [term], scope).filter(
             F.col("first_doc_id").isin([int(x) for x in sel_firsts])
@@ -807,7 +836,11 @@ class QueryServer:
         scores = np.array([r["score"] for r in rows], dtype=np.float64)
         order = np.lexsort((ids, -scores))[:m]
         if order.size < m or not (float(scores[order[-1]]) > residual):
-            return None  # a skipped block could still reach the top-m
+            # a skipped block could still reach the top-m — escalate,
+            # and remember: this term's bound distribution can't
+            # certify at this block granularity (see docstring)
+            skip.add((term, scope))
+            return None
         return [
             (int(ids[i]), float(scores[i])) for i in order[offset:]
         ]

@@ -1455,12 +1455,17 @@ def select_blocks_by_bound(
     upper bound ``_term_scores(max_tf, min_dl)`` descending (tiebreak
     first_doc_id asc — deterministic) and keep blocks until the
     selected posting count reaches ``max(2*m, floor_postings)``;
-    everything else is skipped. Returns (selected firsts, residual)
-    where ``residual`` is the max bound over ALL skipped blocks (-inf
-    if none): every unexamined doc scores ≤ its block bound ≤ residual
+    everything else is skipped. Returns (selected firsts, residual,
+    best_selected) where ``residual`` is the max bound over ALL skipped
+    blocks (-inf if none) and ``best_selected`` the max bound over the
+    kept ones: every unexamined doc scores ≤ its block bound ≤ residual
     (the pinned (max_tf, min_dl) WAND bound), so a merged result whose
     m-th score strictly exceeds ``residual`` is provably the exact
-    top-m — the caller escalates to the full scan otherwise."""
+    top-m — the caller escalates to the full scan otherwise. Since no
+    actual score can exceed ``best_selected``, ``residual ≥
+    best_selected`` (homogeneous bounds — common when tf/dl barely
+    vary) makes certification IMPOSSIBLE: the caller declines before
+    paying any fetch, an exact decision, not a heuristic."""
     bounds = _term_scores(
         max_tfs.astype(np.int64), min_dls.astype(np.int64), idf, avg_len
     )
@@ -1475,7 +1480,8 @@ def select_blocks_by_bound(
         keep[order[:n_take]] = True
         if n_take < order.size:
             residual = max(residual, float(bounds[order[n_take:]].max()))
-    return firsts[keep], residual
+    best_selected = float(bounds[keep].max()) if keep.any() else -np.inf
+    return firsts[keep], residual, best_selected
 
 
 def needed_first_docs(

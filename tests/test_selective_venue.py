@@ -126,7 +126,7 @@ def test_select_blocks_by_bound_unit():
     max_tfs = np.array([1, 9, 3, 2, 7], dtype=np.int64)
     min_dls = np.array([5, 5, 5, 5, 5], dtype=np.int64)
     idf, avg_len = 1.5, 6.0
-    sel, residual = select_blocks_by_bound(
+    sel, residual, best_sel = select_blocks_by_bound(
         shards, firsts, counts, max_tfs, min_dls, idf, avg_len,
         m=10, floor_postings=4,
     )
@@ -140,8 +140,20 @@ def test_select_blocks_by_bound_unit():
         for i in skipped
     )
     assert residual == pytest.approx(exp_res, rel=0, abs=0)
+    assert best_sel == pytest.approx(
+        _term_scores(max_tfs[[1]], min_dls[[1]], idf, avg_len)[0],
+        rel=0, abs=0,
+    )
+    assert best_sel > residual  # certification possible here
+    # homogeneous bounds: certification provably impossible
+    flat = np.ones(5, dtype=np.int64)
+    _, res_h, best_h = select_blocks_by_bound(
+        shards, firsts, counts, flat * 3, flat * 5, idf, avg_len,
+        m=10, floor_postings=4,
+    )
+    assert res_h >= best_h
     # selecting everything → nothing skipped → residual -inf
-    sel_all, res_all = select_blocks_by_bound(
+    sel_all, res_all, _ = select_blocks_by_bound(
         shards, firsts, counts, max_tfs, min_dls, idf, avg_len,
         m=100, floor_postings=4,
     )
