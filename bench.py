@@ -427,6 +427,7 @@ def main() -> None:
     ]
     for on, suffix in ((True, "selective"), (False, "full")):
         server.selective_max_fetch_blocks = 16_384 if on else 0
+        server.elite_top = 1024 if on else 0
         for sname, sq, sscope in sel_probes:
             server.search(sq, scope=sscope, k=10, mode="wand")  # warm
             t0 = time.perf_counter()
@@ -435,6 +436,7 @@ def main() -> None:
                 time.perf_counter() - t0, 3
             )
     server.selective_max_fetch_blocks = 16_384
+    server.elite_top = 1024
     server.local_df_budget, server.hot_df_budget = _budgets
 
     contract = spark_queries()

@@ -153,6 +153,16 @@ class QueryServer:
         # single-term selection keeps ≥ max(2m, this) postings per shard
         # before skipping; raising it trades fetch for fewer escalations
         self.selective_floor_postings = 256
+        # ELITE per-term summaries (round 4 — the stopword-split layout
+        # realized as a BOUNDED summary): top-elite_top postings by the
+        # avgdl-free impact proxy + per-tf residual strata, built once
+        # per (term, scope) per epoch by a distributed per-shard reduce
+        # (wand.elite_reduce_kernel), then single-term top-k serves
+        # driver-side with an exact residual certificate — memory per
+        # term is O(elite_top), so a 10^10-df stopword fits where the
+        # HOT venue's whole-postings cache cannot. =0 disables.
+        self.elite_top = 1024
+        self._elite_memos: dict = {}
         # HOT serving venue (the both-hot conjunction answer): queries
         # whose lemma df-sum exceeds the local budget but fits
         # ``hot_df_budget`` ALSO run driver-side — first use pays one
@@ -727,6 +737,84 @@ class QueryServer:
         ).collect()
         return [(r["doc_id"], r["score"]) for r in rows]
 
+    def _elite_summary(self, term: str, scope: str | None):
+        """(ids, tfs, dls, strata_tf, strata_min_dl) for one term — the
+        global top-``elite_top`` postings by the impact proxy plus the
+        per-tf residual strata of everything else. Built by ONE
+        distributed per-shard reduce over the term's blocks (the same
+        scan a full query pays, reduced to ≤ shards × elite_top rows),
+        then memoized for the epoch — every later query on the term is
+        driver-side math over ≤ elite_top postings, no Spark jobs."""
+        import numpy as np
+
+        from search_engine_spark.operators.wand import (
+            ELITE_ROWS,
+            elite_reduce_kernel,
+            merge_elite_summaries,
+        )
+
+        key = (term, scope)
+        hit = self._elite_memos.get(key)
+        if hit is None:
+            rows = (
+                prune_blocks(self.blocks, [term], scope)
+                .groupBy("shard")
+                .applyInPandas(
+                    elite_reduce_kernel(self.elite_top), schema=ELITE_ROWS
+                )
+                .toPandas()
+            )
+            hit = merge_elite_summaries(rows, self.elite_top)
+            self._elite_memos[key] = hit
+            while len(self._elite_memos) > 512:
+                self._elite_memos.pop(next(iter(self._elite_memos)))
+        return hit
+
+    def _elite_single(
+        self, term, scope, idfs, avg_len, k, offset, mode, after,
+    ):
+        """Single-term top-k from the elite summary with an exact
+        certificate: score the ≤ elite_top summarized postings with the
+        pinned evaluation shape, take the pinned (score desc, doc_id
+        asc) top-m, and accept iff the m-th score STRICTLY beats the
+        residual bound max over strata of score(tf, min_dl) — every
+        non-elite posting of stratum tf scores ≤ that stratum's bound
+        under ANY (idf, avgdl), the same monotonicity pin as the block
+        WAND bounds. Strata empty (df ≤ elite_top) means the summary IS
+        the whole postings list — exact unconditionally. None → fall
+        through (the full path serves; the memo stays for next time).
+        Certification failures after the build cost only driver-side
+        arithmetic — the one-time reduce is the only Spark job this
+        venue ever runs per (term, scope, epoch)."""
+        import numpy as np
+
+        from search_engine_spark.operators.wand import (
+            _after_cut,
+            _term_scores,
+        )
+
+        if self.elite_top <= 0:
+            return None
+        ids, tfs, dls, s_tf, s_dl = self._elite_summary(term, scope)
+        if ids.size == 0:
+            return []
+        m = offset + k
+        scores = _term_scores(tfs, dls, idfs[0], avg_len)
+        cand, cscores = _after_cut(ids, scores, after)
+        order = np.lexsort((cand, -cscores))[:m]
+        exhaustive = s_tf.size == 0
+        if not exhaustive:
+            residual = float(
+                _term_scores(s_tf, s_dl, idfs[0], avg_len).max()
+            )
+            if order.size < m or not (
+                float(cscores[order[-1]]) > residual
+            ):
+                return None
+        return [
+            (int(cand[i]), float(cscores[i])) for i in order[offset:]
+        ]
+
     def _block_meta_bounds(self, lemma: str, scope: str | None):
         """One term's block metadata incl. the WAND bound inputs
         (shard, first, count, max_tf, min_dl arrays) from a
@@ -1118,6 +1206,11 @@ class QueryServer:
         # _selective_and by construction, _selective_single by its
         # residual-θ check (None → fall through to the full scan)
         if len(terms) == 1 and not excl and not groups:
+            sel = self._elite_single(
+                terms[0], scope, idfs, avg_len, k, offset, mode, after,
+            )
+            if sel is not None:
+                return sel
             sel = self._selective_single(
                 terms[0], scope, idfs, avg_len, k, offset, mode, after,
             )

@@ -1484,6 +1484,91 @@ def select_blocks_by_bound(
     return firsts[keep], residual, best_selected
 
 
+ELITE_ROWS = "doc_id long, tf long, dl long, kind int"
+
+
+def elite_reduce_kernel(e_top: int):
+    """Per-shard grouped-map reducer for the ELITE term summary (round
+    4 — the stopword-split answer as a BOUNDED summary instead of a
+    layout migration): decode one term's blocks in this shard and emit
+
+    - kind=0 rows: the shard's top-``e_top`` postings by the avgdl-free
+      impact proxy (tf desc, dl asc, doc_id asc) — BM25's term score is
+      increasing in tf and decreasing in dl for ANY (idf, avgdl), so
+      the proxy needs no query-time stats;
+    - kind=1 rows: per distinct tf value of the REMAINING postings, the
+      min dl — (tf, min_dl) strata whose query-time score bound
+      dominates every non-elite posting of the stratum (far tighter
+      than one global (max_tf, min_dl) pair, which saturates on flat
+      tf distributions).
+
+    Output is ≤ e_top + |distinct tf| rows per shard regardless of df —
+    the reduction that lets a driver summarize a 10^10-df stopword in
+    shards × e_top rows."""
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids, tfs, dls = _gather_term(pdf)
+        if ids.size == 0:
+            return pd.DataFrame(
+                {"doc_id": [], "tf": [], "dl": [], "kind": []}
+            ).astype({"doc_id": "int64", "tf": "int64", "dl": "int64",
+                      "kind": "int32"})
+        order = np.lexsort((ids, dls, -tfs))
+        keep = order[:e_top]
+        rest = order[e_top:]
+        out = {
+            "doc_id": ids[keep], "tf": tfs[keep], "dl": dls[keep],
+            "kind": np.zeros(keep.size, dtype=np.int32),
+        }
+        if rest.size:
+            rt, rd = tfs[rest], dls[rest]
+            uniq = np.unique(rt)
+            mins = np.array(
+                [int(rd[rt == t].min()) for t in uniq], dtype=np.int64
+            )
+            out = {
+                "doc_id": np.concatenate(
+                    [out["doc_id"], np.full(uniq.size, -1, dtype=np.int64)]
+                ),
+                "tf": np.concatenate([out["tf"], uniq]),
+                "dl": np.concatenate([out["dl"], mins]),
+                "kind": np.concatenate(
+                    [out["kind"], np.ones(uniq.size, dtype=np.int32)]
+                ),
+            }
+        return pd.DataFrame(out)
+
+    return fn
+
+
+def merge_elite_summaries(
+    pdf: pd.DataFrame, e_top: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Driver-side merge of the per-shard ``elite_reduce_kernel`` rows →
+    (ids, tfs, dls) of the GLOBAL top-``e_top`` by the same proxy order
+    plus (strata_tf, strata_min_dl) covering every other posting: shard
+    candidates that miss the global cut fold their EXACT (tf, dl) into
+    the strata, so the residual bound stays per-stratum tight."""
+    cand = pdf[pdf["kind"] == 0]
+    ids = cand["doc_id"].to_numpy(np.int64)
+    tfs = cand["tf"].to_numpy(np.int64)
+    dls = cand["dl"].to_numpy(np.int64)
+    order = np.lexsort((ids, dls, -tfs))
+    keep, spill = order[:e_top], order[e_top:]
+    strata = pdf[pdf["kind"] == 1]
+    s_tf = np.concatenate([strata["tf"].to_numpy(np.int64), tfs[spill]])
+    s_dl = np.concatenate([strata["dl"].to_numpy(np.int64), dls[spill]])
+    if s_tf.size:
+        uniq = np.unique(s_tf)
+        mins = np.array(
+            [int(s_dl[s_tf == t].min()) for t in uniq], dtype=np.int64
+        )
+    else:
+        uniq = np.empty(0, dtype=np.int64)
+        mins = np.empty(0, dtype=np.int64)
+    return ids[keep], tfs[keep], dls[keep], uniq, mins
+
+
 def needed_first_docs(
     scopes: np.ndarray,
     firsts: np.ndarray,

@@ -70,6 +70,7 @@ def test_selective_and_rank_identity(srv, oracle_idx):
 
 def test_selective_single_rank_identity(srv, oracle_idx):
     hits = _spy(srv, "_selective_single")
+    srv.elite_top = 0  # pin THIS venue (elite would serve first)
     exercised = 0
     for qid, query, scope, k, offset in QUERY_CASES:
         if len(set(query_lemmas(query))) != 1:
@@ -90,6 +91,7 @@ def test_selective_single_rank_identity(srv, oracle_idx):
     # the venue must at least have been attempted (selection on a tiny
     # index may legitimately escalate — identity holds either way)
     assert hits, "the single-term selective venue was never attempted"
+    srv.elite_top = 1024
 
 
 def test_selective_matches_full_distributed(srv, spark, base_index_dir):
@@ -158,3 +160,56 @@ def test_select_blocks_by_bound_unit():
         m=100, floor_postings=4,
     )
     assert sel_all.size == 5 and res_all == -np.inf
+
+
+def test_elite_single_rank_identity_and_zero_job_warm(srv, oracle_idx):
+    """Elite per-term summaries: single-term queries served from the
+    driver-side summary are rank/score-identical to the oracle; after
+    the first (memo-building) call, repeats run ZERO Spark jobs."""
+    hits = _spy(srv, "_elite_single")
+    served = 0
+    for qid, query, scope, k, offset in QUERY_CASES:
+        if len(set(query_lemmas(query))) != 1:
+            continue
+        exp = [
+            (d, s)
+            for d, s in orc.search(
+                oracle_idx, query, scope=scope, k=k, offset=offset
+            )
+        ]
+        got = srv.search(query, scope=scope, k=k, offset=offset)
+        assert got == exp, qid
+        served += 1
+    assert served >= 3
+    assert any(hits), "the elite venue never served a query"
+    # warm repeat: memo present -> no Spark job (tracked via the
+    # sparkContext job-group-free status: assert the memo key exists
+    # and a repeat returns identically)
+    one = next(
+        q for q in QUERY_CASES if len(set(query_lemmas(q[1]))) == 1
+    )
+    _, query, scope, k, offset = one
+    term = query_lemmas(query)[0]
+    assert (term, scope) in srv._elite_memos
+    tracker = srv.spark.sparkContext.statusTracker()
+    before = tracker.getJobIdsForGroup(None)
+    r1 = srv.search(query, scope=scope, k=k, offset=offset)
+    after_jobs = tracker.getJobIdsForGroup(None)
+    assert r1 == srv.search(query, scope=scope, k=k, offset=offset)
+    assert len(after_jobs) == len(before), "warm elite query ran a Spark job"
+
+
+def test_elite_exactness_on_deep_page_and_cursor(srv, oracle_idx):
+    """offset pagination and after-cursors through the elite venue (or
+    its certified fallback) stay oracle-identical."""
+    from tests.test_spark_engine import MID
+
+    full = orc.search(oracle_idx, MID, k=20)
+    assert srv.search(MID, k=5, offset=5) == [
+        (d, s) for d, s in full[5:10]
+    ]
+    if len(full) > 3:
+        cursor = (full[2][1], full[2][0])
+        assert srv.search(MID, k=5, after=cursor) == [
+            (d, s) for d, s in full[3:8]
+        ]
