@@ -815,6 +815,116 @@ class QueryServer:
             (int(cand[i]), float(cscores[i])) for i in order[offset:]
         ]
 
+    def _elite_multi(
+        self, terms, excl, groups, scope, idfs, avg_len, k, offset,
+        mode, combine, after,
+    ):
+        """Multi-term top-k past EVERY budget (the both-hot answer when
+        even the serving cache can't hold the postings): candidates =
+        the union of every positive term's elite ids (≤ |terms|·E).
+        A true match outside the candidate set has ALL its postings
+        non-elite, so its score is ≤ Σ_t strata-residual(t) — the
+        certificate. Candidates' exact scores come from ONE pushed
+        ``first_doc_id IN (...)`` point-fetch of all query lemmas'
+        (and exclusions' / attribute filters') candidate-holding
+        blocks — the hybrid venue's fetch — run through the SHARED
+        kernels (blocks_core_local), so scores are pinned-identical by
+        construction. Extra docs that ride along in fetched blocks are
+        either fully covered (exact, a bonus) or outside the candidate
+        set (bounded by the same residual; in OR mode their partial
+        sums UNDERestimate, which the certificate makes harmless —
+        computed < θ). Accept iff the merged m-th score strictly beats
+        the summed residuals; a term set whose strata are ALL empty is
+        fully summarized and needs no certificate. None → fall through
+        to the distributed paths.
+
+        Warm cost: one point-fetch Spark job per query (the one-time
+        per-term elite reduces amortize across the epoch); memory
+        stays O(|terms|·E) however hot the terms are."""
+        import numpy as np
+        import pandas as pd
+
+        from search_engine_spark.operators.wand import (
+            _term_scores,
+            blocks_core_local,
+            needed_first_docs,
+        )
+
+        if self.elite_top <= 0 or self.hybrid_max_fetch_blocks <= 0:
+            return None
+        if combine not in ("and", "or"):
+            return None
+        # scan-bound floor (same reasoning as _selective_and): warm
+        # serving costs one point-fetch job per query, so it only beats
+        # the single full-scan job when the query's postings are big
+        # enough that scanning them dominates a scheduling round-trip
+        from search_engine_spark.operators.compress import BLOCK_SIZE
+
+        totals = self._term_dfs(sorted(set(terms)), scope)
+        if sum(
+            -(-totals[t] // BLOCK_SIZE) for t in set(terms)
+        ) < self.selective_min_blocks:
+            return None
+        cand_parts, resid_sum, all_exhaustive = [], 0.0, True
+        for t, idf in zip(terms, idfs):
+            ids, tfs, dls, s_tf, s_dl = self._elite_summary(t, scope)
+            cand_parts.append(ids)
+            if s_tf.size:
+                all_exhaustive = False
+                resid_sum += float(
+                    _term_scores(s_tf, s_dl, idf, avg_len).max()
+                )
+        cand = np.unique(np.concatenate(cand_parts)) if cand_parts else (
+            np.empty(0, dtype=np.int64)
+        )
+        if cand.size == 0:
+            return []
+        flt = sorted({l for g in groups for l in g})
+
+        def _needed(lemma_list, source):
+            out: set[int] = set()
+            for h in lemma_list:
+                scopes, f, l = self._block_meta(h, source)
+                if scope is not None:
+                    msk = scopes == scope
+                    scopes, f, l = scopes[msk], f[msk], l[msk]
+                need = needed_first_docs(scopes, f, l, cand)
+                out.update(int(x) for x in need)
+            return out
+
+        lemmas = sorted(set(terms) | set(excl))
+        firsts = _needed(lemmas, "postings")
+        flt_firsts = _needed(flt, "filters") if flt else set()
+        if len(firsts) + len(flt_firsts) > self.hybrid_max_fetch_blocks:
+            return None
+        parts = []
+        if firsts:
+            parts.append(
+                prune_blocks(self.blocks, lemmas, scope)
+                .filter(F.col("first_doc_id").isin(sorted(firsts)))
+                .toPandas()
+            )
+        if flt_firsts:
+            parts.append(
+                prune_blocks(self._filters_table(), flt, scope)
+                .filter(F.col("first_doc_id").isin(sorted(flt_firsts)))
+                .toPandas()
+            )
+        if not parts:
+            return []
+        pdf = pd.concat(parts, ignore_index=True)
+        m = offset + k
+        merged = blocks_core_local(
+            pdf, terms, idfs, avg_len, m, 0, mode, combine, excl,
+            after, req_groups=tuple(groups),
+        )
+        if not all_exhaustive:
+            if len(merged) < m:
+                return None  # an uncovered match could still fill it
+            if not (merged[m - 1][1] > resid_sum):
+                return None
+        return merged[offset:]
+
     def _block_meta_bounds(self, lemma: str, scope: str | None):
         """One term's block metadata incl. the WAND bound inputs
         (shard, first, count, max_tf, min_dl arrays) from a
@@ -1216,13 +1326,23 @@ class QueryServer:
             )
             if sel is not None:
                 return sel
-        elif combine == "and" or len(terms) == 1:
-            sel = self._selective_and(
+        else:
+            # elite candidates + hybrid point-fetch + shared kernels:
+            # the bounded-memory answer for multi-term queries (incl.
+            # both-hot AND and hot OR) past every cache budget
+            sel = self._elite_multi(
                 terms, excl, groups, scope, idfs, avg_len, k, offset,
                 mode, combine, after,
             )
             if sel is not None:
                 return sel
+            if combine == "and" or len(terms) == 1:
+                sel = self._selective_and(
+                    terms, excl, groups, scope, idfs, avg_len, k,
+                    offset, mode, combine, after,
+                )
+                if sel is not None:
+                    return sel
         rows = _blocks_core(
             blocks, terms, idfs, avg_len, k, offset, mode, combine, excl,
             groups, after,

@@ -48,6 +48,7 @@ def _spy(srv, name):
 
 def test_selective_and_rank_identity(srv, oracle_idx):
     hits = _spy(srv, "_selective_and")
+    srv.elite_top = 0  # pin THIS venue (elite_multi would serve first)
     exercised = 0
     for qid, query, scope, k, offset in QUERY_CASES:
         if len(set(query_lemmas(query))) < 2:
@@ -66,6 +67,7 @@ def test_selective_and_rank_identity(srv, oracle_idx):
         exercised += 1
     assert exercised >= 2
     assert any(hits), "the selective AND venue never served a query"
+    srv.elite_top = 1024
 
 
 def test_selective_single_rank_identity(srv, oracle_idx):
@@ -213,3 +215,50 @@ def test_elite_exactness_on_deep_page_and_cursor(srv, oracle_idx):
         assert srv.search(MID, k=5, after=cursor) == [
             (d, s) for d, s in full[3:8]
         ]
+
+
+def test_elite_multi_rank_identity(srv, oracle_idx):
+    """Multi-term elite venue (candidates = elite union, scores via the
+    hybrid point-fetch + shared kernels): AND / OR / exclusions stay
+    oracle-identical, both with exhaustive summaries (E ≥ df) and with
+    truncated ones (E=4 → certificates must fire or fall through)."""
+    from tests.test_spark_engine import HOT_TERM, MID, RARE, VOCAB
+
+    hits = _spy(srv, "_elite_multi")
+    # an exclusion lemma that round-trips the analyzer unchanged
+    # (oracle.search takes PRE-analyzed exclude= lemmas — the '-tok'
+    # syntax is the engine's; same device as test_hybrid_venue)
+    exl = next(
+        l
+        for w in map(str, VOCAB[305:320])
+        for l in query_lemmas(w)
+        if query_lemmas(l) == [l]
+    )
+    cases = [
+        # (engine query, oracle positive query, exclude, combine, scope)
+        (f"{HOT_TERM} {RARE}", f"{HOT_TERM} {RARE}", [], "and", None),
+        (f"{MID} {RARE}", f"{MID} {RARE}", [], "and", None),
+        (f"{MID} {RARE}", f"{MID} {RARE}", [], "or", None),
+        (f"{HOT_TERM} {RARE} -{exl}", f"{HOT_TERM} {RARE}", [exl],
+         "and", None),
+        (f"{MID} {RARE}", f"{MID} {RARE}", [], "and", "scope-1"),
+    ]
+    nonvacuous = 0
+    for e_top in (1024, 4):
+        srv.elite_top = e_top
+        srv._elite_memos.clear()
+        for q, oq, exclude, combine, scope in cases:
+            exp = [
+                (d, s)
+                for d, s in orc.search(
+                    oracle_idx, oq, scope=scope, k=10, combine=combine,
+                    exclude=exclude,
+                )
+            ]
+            got = srv.search(q, scope=scope, k=10, combine=combine)
+            assert got == exp, (q, combine, scope, e_top)
+            nonvacuous += bool(exp)
+    assert nonvacuous >= 6  # the comparisons carry real rankings
+    srv.elite_top = 1024
+    srv._elite_memos.clear()
+    assert any(hits), "the multi-term elite venue never served a query"
