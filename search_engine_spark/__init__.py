@@ -65,6 +65,12 @@ _PUBLIC = {
     "hourly_counts_stream": "search_engine_spark.streaming.sessions",
     "kmv_distinct": "search_engine_spark.operators.sketch",
     "frequent_items": "search_engine_spark.operators.sketch",
+    "loghist_sketch": "search_engine_spark.operators.sketch",
+    "loghist_merge": "search_engine_spark.operators.sketch",
+    "loghist_quantiles": "search_engine_spark.operators.sketch",
+    "loghist_sketch_sums": "search_engine_spark.operators.sketch",
+    "loghist_merge_sums": "search_engine_spark.operators.sketch",
+    "loghist_quantiles_refined": "search_engine_spark.operators.sketch",
     "percolate": "search_engine_spark.operators.percolate",
     "compile_queries": "search_engine_spark.operators.percolate",
     "duplicate_spans": "search_engine_spark.operators.dedup",
