@@ -9,10 +9,13 @@ implemented dependency-free on numpy/struct (round 3):
 - **WAV** (RIFF PCM, 8/16-bit, any channel count — downmixed to mono);
 - **PPM** (binary P6, maxval 255);
 - **BMP** (BITMAPINFOHEADER, 24-bit uncompressed BI_RGB, bottom-up or
-  top-down).
+  top-down);
+- **JPEG** (round 4: baseline sequential SOF0 — 4:4:4/4:2:2/4:2:0,
+  restart intervals — decoded AND encoded dependency-free in
+  ``functions/jpeg.py``; progressive/arithmetic modes raise).
 
-Compressed formats (JPEG/PNG/MP3/H.264) still need PIL/ffmpeg, which are
-not in this container — for those ``decode_media`` raises
+Remaining compressed formats (PNG/MP3/H.264) still need PIL/ffmpeg,
+which are not in this container — for those ``decode_media`` raises
 ``NotImplementedError`` unless the deterministic fake decoder is
 requested (``fake=True``: features from a content digest, preserving the
 exact downstream shape). Everything Spark-side — schema, partitioning,
@@ -149,12 +152,19 @@ def encode_wav(samples: np.ndarray, rate: int) -> bytes:
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """PPM (binary P6) or BMP (24-bit uncompressed) → HxWx3 uint8 RGB."""
+    """PPM (binary P6), BMP (24-bit uncompressed) or baseline JPEG
+    (round 4: dependency-free decoder, functions/jpeg.py — SOF0,
+    4:4:4/4:2:2/4:2:0, restart intervals; progressive raises) →
+    HxWx3 uint8 RGB."""
     if payload[:2] == b"P6":
         return _decode_ppm(payload)
     if payload[:2] == b"BM":
         return _decode_bmp(payload)
-    raise ValueError("not a P6 PPM or BMP payload")
+    if payload[:2] == b"\xff\xd8":
+        from search_engine_spark.functions.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
+    raise ValueError("not a P6 PPM, BMP or JPEG payload")
 
 
 def _decode_ppm(payload: bytes) -> np.ndarray:
@@ -259,8 +269,8 @@ def audio_features(samples: np.ndarray) -> np.ndarray:
 def decode_media(payload: bytes, kind: str, fake: bool = False) -> np.ndarray:
     """Codec boundary → FEATURE_DIM float32 feature vector.
 
-    Real path: WAV-PCM audio and PPM/BMP images decode with the
-    dependency-free codecs above. Compressed formats and video need
+    Real path: WAV-PCM audio and PPM/BMP/baseline-JPEG images decode
+    with the dependency-free codecs above. PNG/MP3 and video need
     PIL/ffmpeg (not in this container) and raise; the ``fake`` path
     derives a deterministic vector from a content digest, preserving
     the exact downstream shape for any payload."""
@@ -276,8 +286,9 @@ def decode_media(payload: bytes, kind: str, fake: bool = False) -> np.ndarray:
         return audio_features(samples)
     raise NotImplementedError(
         f"no {kind} codec in this environment (PIL/ffmpeg absent; "
-        "real support: WAV-PCM audio, PPM/BMP images); pass fake=True "
-        "for the deterministic stub (same output schema/shape)"
+        "real support: WAV-PCM audio, PPM/BMP/baseline-JPEG images); "
+        "pass fake=True for the deterministic stub (same output "
+        "schema/shape)"
     )
 
 
