@@ -164,7 +164,11 @@ def decode_image(payload: bytes) -> np.ndarray:
         from search_engine_spark.functions.jpeg import decode_jpeg
 
         return decode_jpeg(payload)
-    raise ValueError("not a P6 PPM, BMP or JPEG payload")
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        from search_engine_spark.functions.png import decode_png
+
+        return decode_png(payload)
+    raise ValueError("not a P6 PPM, BMP, JPEG or PNG payload")
 
 
 def _decode_ppm(payload: bytes) -> np.ndarray:
