@@ -12,9 +12,12 @@ implemented dependency-free on numpy/struct (round 3):
   top-down);
 - **JPEG** (round 4: baseline sequential SOF0 — 4:4:4/4:2:2/4:2:0,
   restart intervals — decoded AND encoded dependency-free in
-  ``functions/jpeg.py``; progressive/arithmetic modes raise).
+  ``functions/jpeg.py``; progressive/arithmetic modes raise);
+- **PNG** (round 4: 8-bit grey/truecolor/palette/alpha, all five
+  scanline filters, stdlib-zlib inflate — ``functions/png.py``;
+  16-bit/interlace raise).
 
-Remaining compressed formats (PNG/MP3/H.264) still need PIL/ffmpeg,
+Remaining compressed formats (MP3/H.264 video) still need ffmpeg,
 which are not in this container — for those ``decode_media`` raises
 ``NotImplementedError`` unless the deterministic fake decoder is
 requested (``fake=True``: features from a content digest, preserving the
@@ -273,9 +276,9 @@ def audio_features(samples: np.ndarray) -> np.ndarray:
 def decode_media(payload: bytes, kind: str, fake: bool = False) -> np.ndarray:
     """Codec boundary → FEATURE_DIM float32 feature vector.
 
-    Real path: WAV-PCM audio and PPM/BMP/baseline-JPEG images decode
-    with the dependency-free codecs above. PNG/MP3 and video need
-    PIL/ffmpeg (not in this container) and raise; the ``fake`` path
+    Real path: WAV-PCM audio and PPM/BMP/baseline-JPEG/PNG images
+    decode with the dependency-free codecs above. MP3 and video need
+    ffmpeg (not in this container) and raise; the ``fake`` path
     derives a deterministic vector from a content digest, preserving
     the exact downstream shape for any payload."""
     if fake:
@@ -289,8 +292,8 @@ def decode_media(payload: bytes, kind: str, fake: bool = False) -> np.ndarray:
         _rate, samples = decode_wav(payload)
         return audio_features(samples)
     raise NotImplementedError(
-        f"no {kind} codec in this environment (PIL/ffmpeg absent; "
-        "real support: WAV-PCM audio, PPM/BMP/baseline-JPEG images); "
+        f"no {kind} codec in this environment (ffmpeg absent; real "
+        "support: WAV-PCM audio, PPM/BMP/baseline-JPEG/PNG images); "
         "pass fake=True for the deterministic stub (same output "
         "schema/shape)"
     )
