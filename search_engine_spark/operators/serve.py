@@ -925,6 +925,119 @@ class QueryServer:
                 return None
         return merged[offset:]
 
+    @staticmethod
+    def _needs_positive(tree) -> bool:
+        """True iff EVERY match of the bool tree must contain at least
+        one positive lemma — the condition that makes the elite-union
+        candidate bound sound for bool queries. AND: all positive
+        children hold, so one guaranteeing child suffices; OR: any
+        child may be the satisfied one, so all must guarantee."""
+        if tree[0] == "term":
+            return True
+        if tree[0] == "and":
+            return any(
+                QueryServer._needs_positive(c) for c in tree[1]
+            )
+        return bool(tree[1]) and all(
+            QueryServer._needs_positive(c) for c in tree[1]
+        )
+
+    def _elite_bool(
+        self, tree, terms, idfs, avg_len, k, offset, groups, after,
+        scope,
+    ):
+        """Bool-tree twin of ``_elite_multi``: candidates = union of
+        every positive lemma's elite ids; a match outside the union has
+        only non-elite positive postings, so its score ≤ the summed
+        per-term strata residuals (boosted idfs included — ``idfs``
+        already folds the ``a^2`` weights, and the bound is monotone
+        under any positive idf). Candidate point-fetch covers ALL tree
+        lemmas (negated ones only matter AT candidates; a ride-along
+        doc with a missed negation is outside the union, hence under
+        the residual and below θ whenever the certificate passes — the
+        same argument that covers missed exclusions in _elite_multi).
+        Declines trees that can match on pure negation
+        (``_needs_positive``) and below the scan-bound floor."""
+        import numpy as np
+
+        from search_engine_spark.functions.boolquery import all_lemmas
+        from search_engine_spark.operators.compress import BLOCK_SIZE
+        from search_engine_spark.operators.wand import (
+            _shard_bool_kernel,
+            _term_scores,
+            needed_first_docs,
+            run_kernel_local,
+        )
+
+        if self.elite_top <= 0 or self.hybrid_max_fetch_blocks <= 0:
+            return None
+        if not terms or not self._needs_positive(tree):
+            return None
+        totals = self._term_dfs(sorted(set(terms)), scope)
+        if sum(
+            -(-totals[t] // BLOCK_SIZE) for t in set(terms)
+        ) < self.selective_min_blocks:
+            return None
+        cand_parts, resid_sum, all_exhaustive = [], 0.0, True
+        for t, idf in zip(terms, idfs):
+            ids, tfs, dls, s_tf, s_dl = self._elite_summary(t, scope)
+            cand_parts.append(ids)
+            if s_tf.size:
+                all_exhaustive = False
+                resid_sum += float(
+                    _term_scores(s_tf, s_dl, idf, avg_len).max()
+                )
+        cand = np.unique(np.concatenate(cand_parts))
+        if cand.size == 0:
+            return []
+        flt = sorted({l for g in groups for l in g})
+
+        def _needed(lemma_list, source):
+            out: set[int] = set()
+            for h in lemma_list:
+                scopes, f, l = self._block_meta(h, source)
+                if scope is not None:
+                    msk = scopes == scope
+                    scopes, f, l = scopes[msk], f[msk], l[msk]
+                need = needed_first_docs(scopes, f, l, cand)
+                out.update(int(x) for x in need)
+            return out
+
+        lemmas = sorted(set(all_lemmas(tree)))
+        firsts = _needed(lemmas, "postings")
+        flt_firsts = _needed(flt, "filters") if flt else set()
+        if len(firsts) + len(flt_firsts) > self.hybrid_max_fetch_blocks:
+            return None
+        import pandas as pd
+
+        parts = []
+        if firsts:
+            parts.append(
+                prune_blocks(self.blocks, lemmas, scope)
+                .filter(F.col("first_doc_id").isin(sorted(firsts)))
+                .toPandas()
+            )
+        if flt_firsts:
+            parts.append(
+                prune_blocks(self._filters_table(), flt, scope)
+                .filter(F.col("first_doc_id").isin(sorted(flt_firsts)))
+                .toPandas()
+            )
+        if not parts:
+            return []
+        pdf = pd.concat(parts, ignore_index=True)
+        m = offset + k
+        kernel = _shard_bool_kernel(
+            tree, terms, idfs, avg_len, m, tuple(groups), after
+        )
+        merged = run_kernel_local(pdf, kernel, m, 0)
+        if not all_exhaustive:
+            if len(merged) < m:
+                return None
+            if not (merged[m - 1][1] > resid_sum):
+                return None
+        return merged[offset:]
+
     def _block_meta_bounds(self, lemma: str, scope: str | None):
         """One term's block metadata incl. the WAND bound inputs
         (shard, first, count, max_tf, min_dl arrays) from a
@@ -1650,6 +1763,14 @@ class QueryServer:
                 )
 
                 return run_kernel_local(hyb, kernel, k, offset)
+        # elite candidates + point-fetch for bool trees past every
+        # budget (round 4): rank-identical by the summed-residual
+        # certificate; None → full distributed
+        sel = self._elite_bool(
+            tree, terms, idfs, avg_len, k, offset, groups, after, scope,
+        )
+        if sel is not None:
+            return sel
         per_shard = blocks.groupBy("shard").applyInPandas(
             kernel, schema=SEARCH_RESULT
         )

@@ -262,3 +262,50 @@ def test_elite_multi_rank_identity(srv, oracle_idx):
     srv.elite_top = 1024
     srv._elite_memos.clear()
     assert any(hits), "the multi-term elite venue never served a query"
+
+
+def test_elite_bool_rank_identity(srv, oracle_idx):
+    """Bool trees past every budget ride the elite venue: candidates =
+    union of positive lemmas' elites, negated/OR-branch lemmas
+    candidate-fetched, summed-residual certificate — oracle-identical
+    with exhaustive (E=1024) and truncated (E=4) summaries; trees that
+    could match on pure negation are declined (still identical via the
+    full path)."""
+    from tests.test_spark_engine import HOT_TERM, MID, RARE, VOCAB
+
+    hits = _spy(srv, "_elite_bool")
+    exl = next(
+        l
+        for w in map(str, VOCAB[305:320])
+        for l in query_lemmas(w)
+        if query_lemmas(l) == [l]
+    )
+    queries = [
+        f"{RARE} {MID}",
+        f"{RARE} ({HOT_TERM} | {MID})",
+        f"{RARE} {MID} -{exl}",
+        f"({RARE} | {exl}) {MID}",
+    ]
+    nonempty = 0
+    for e_top in (1024, 4):
+        srv.elite_top = e_top
+        srv._elite_memos.clear()
+        for q in queries:
+            exp = [(d, s) for d, s in orc.bool_search(oracle_idx, q, k=10)]
+            got = srv.bool_search(q, k=10)
+            assert got == exp, (q, e_top)
+            nonempty += bool(exp)
+    assert nonempty >= 4
+    srv.elite_top = 1024
+    srv._elite_memos.clear()
+    assert any(hits), "the bool elite venue never served a query"
+    # pure-negation-matchable guard: ("or", (term, and-with-only-negs))
+    # cannot arise from the parser, but the predicate itself is pinned
+    assert QueryServer._needs_positive(("term", "x"))
+    assert QueryServer._needs_positive(
+        ("and", (("term", "x"),), (("term", "y"),))
+    )
+    assert not QueryServer._needs_positive(("and", (), (("term", "y"),)))
+    assert not QueryServer._needs_positive(
+        ("or", (("term", "x"), ("and", (), (("term", "y"),))))
+    )
