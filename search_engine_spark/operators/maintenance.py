@@ -488,6 +488,7 @@ def rebalance_buckets(job: IndexBuildJob, per_bucket: int | None = None) -> dict
     shutil.rmtree(staged, ignore_errors=True)
     shutil.rmtree(f"{out}/.cache_postings_flat", ignore_errors=True)
     shutil.rmtree(f"{out}/.cache_variants", ignore_errors=True)
+    shutil.rmtree(f"{out}/.cache_impact", ignore_errors=True)
     job._checkpoint("rebalance", -1, n_moved, t0)
     return {
         "moved_docs": n_moved,

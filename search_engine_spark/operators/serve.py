@@ -163,6 +163,22 @@ class QueryServer:
         # HOT venue's whole-postings cache cannot. =0 disables.
         self.elite_top = 1024
         self._elite_memos: dict = {}
+        # IMPACT-ORDERED rank-prefix venues (round 4, operators/
+        # impact.py — the layout answer behind the elite summaries):
+        # when the index carries a `.cache_impact/` family, a single
+        # hot term or a conjunction's hot partners fetch only ranks
+        # [0, R) of their impact-sorted postings (a pushed ``rank < R``
+        # range predicate — parquet row-group pruning, no IN-lists, no
+        # candidate-count caps), exact by the per-shard residual
+        # certificate with geometric escalation. This is the venue
+        # that stays sub-O(df_hot) when candidates blanket the hot
+        # side and the selective IN-list venues must decline.
+        # ``impact_rounds=0`` disables.
+        self.impact_rounds = 3
+        self.impact_escalate = 8
+        self._impact_manifest: dict | None = None
+        self._impact_blocks = None
+        self._impact_skip: set = set()
         # HOT serving venue (the both-hot conjunction answer): queries
         # whose lemma df-sum exceeds the local budget but fits
         # ``hot_df_budget`` ALSO run driver-side — first use pays one
@@ -249,11 +265,14 @@ class QueryServer:
             fuse_cache_bytes=self._fuse_cache_cap,
             result_cache_size=self.result_cache_size,
         )
+        old_impact = self._impact_blocks if self._cache_blocks else None
         self.__dict__.update(fresh.__dict__)  # atomic epoch switch
         if old_blocks is not None:
             old_blocks.unpersist()
         if old_filters is not None:
             old_filters.unpersist()
+        if old_impact is not None:
+            old_impact.unpersist()
 
     def _docs_table(self):
         if self._docs is None:
@@ -744,7 +763,11 @@ class QueryServer:
         distributed per-shard reduce over the term's blocks (the same
         scan a full query pays, reduced to ≤ shards × elite_top rows),
         then memoized for the epoch — every later query on the term is
-        driver-side math over ≤ elite_top postings, no Spark jobs."""
+        driver-side math over ≤ elite_top postings, no Spark jobs.
+        When the impact cache covers the term, the reduce is replaced
+        by a pushed rank-prefix read (``_elite_from_impact``) —
+        O(shards × elite_top) instead of O(df), the persisted form of
+        this memo."""
         import numpy as np
 
         from search_engine_spark.operators.wand import (
@@ -756,6 +779,8 @@ class QueryServer:
         key = (term, scope)
         hit = self._elite_memos.get(key)
         if hit is None:
+            hit = self._elite_from_impact(term, scope)
+        if hit is None:
             rows = (
                 prune_blocks(self.blocks, [term], scope)
                 .groupBy("shard")
@@ -765,10 +790,85 @@ class QueryServer:
                 .toPandas()
             )
             hit = merge_elite_summaries(rows, self.elite_top)
+        if key not in self._elite_memos:
             self._elite_memos[key] = hit
             while len(self._elite_memos) > 512:
                 self._elite_memos.pop(next(iter(self._elite_memos)))
         return hit
+
+    def _elite_from_impact(self, term: str, scope: str | None):
+        """Elite summary from the impact-ordered cache, when it covers
+        the term: ranks [0, ceil(E/128)) of every (scope, lemma,
+        shard) group necessarily contain the shard's true top-E by the
+        proxy (the layout IS the proxy order), so one pushed
+        ``rank < r`` read — O(shards × E) rows instead of the O(df)
+        reduce — yields identical elite candidates; the residual
+        strata fold the fetched-but-spilled postings' EXACT (tf, dl)
+        pairs plus each scope group's suffix descriptor
+        ((next_tf, next_dl) and its global strata below next_tf) —
+        bounds that are valid for any (idf, avgdl) and at most
+        slightly looser than the reduce's rest-only strata
+        (conservative: looser residuals only ever DECLINE a
+        certificate). None when the cache is absent or skips the
+        term."""
+        import numpy as np
+        import pandas as pd
+
+        from search_engine_spark.operators.compress import BLOCK_SIZE
+        from search_engine_spark.operators.impact import prune_impact
+        from search_engine_spark.operators.wand import (
+            _gather_term,
+            merge_elite_summaries,
+        )
+
+        if self.elite_top <= 0:
+            return None
+        max_rank = self._impact_info()["terms"].get(term)
+        if max_rank is None:
+            return None
+        r = max(1, -(-self.elite_top // BLOCK_SIZE))
+        pdf = prune_impact(
+            self._impact_table(), [term], scope, r
+        ).toPandas()
+        k0 = pdf[pdf["kind"] == 0]
+        k1 = pdf[pdf["kind"] == 1]
+        if k0.empty:
+            z = np.empty(0, dtype=np.int64)
+            return z, z.copy(), z.copy(), z.copy(), z.copy()
+        rows = []
+        for shard, sub in k0.groupby("shard", sort=False):
+            ids, tfs, dls = _gather_term(sub)
+            order = np.lexsort((ids, dls, -tfs))
+            keep, rest = order[:self.elite_top], order[self.elite_top:]
+            rows.append(pd.DataFrame(
+                {"doc_id": ids[keep], "tf": tfs[keep], "dl": dls[keep],
+                 "kind": 0}
+            ))
+            if rest.size:
+                rows.append(pd.DataFrame(
+                    {"doc_id": -1, "tf": tfs[rest], "dl": dls[rest],
+                     "kind": 1}
+                ))
+            for sc, g in sub.groupby("scope", sort=False):
+                i = int(g["rank"].to_numpy().argmax())
+                nt = int(g["next_tf"].iloc[i])
+                nd = int(g["next_dl"].iloc[i])
+                if nt < 0:
+                    continue  # scope group fully inside the prefix
+                s_tf, s_dl = [nt], [nd]
+                st = k1[
+                    (k1["shard"] == shard) & (k1["scope"] == sc)
+                    & (k1["max_tf"] < nt)
+                ]
+                if len(st):
+                    s_tf += st["max_tf"].tolist()
+                    s_dl += st["min_dl"].tolist()
+                rows.append(pd.DataFrame(
+                    {"doc_id": -1, "tf": s_tf, "dl": s_dl, "kind": 1}
+                ))
+        return merge_elite_summaries(
+            pd.concat(rows, ignore_index=True), self.elite_top
+        )
 
     def _elite_single(
         self, term, scope, idfs, avg_len, k, offset, mode, after,
@@ -1037,6 +1137,157 @@ class QueryServer:
             if not (merged[m - 1][1] > resid_sum):
                 return None
         return merged[offset:]
+
+    # -- impact-ordered rank-prefix venues (operators/impact.py) -------------
+
+    def _impact_info(self) -> dict:
+        """The impact cache's manifest ({lemma: max_rank}); {} when the
+        index has no `.cache_impact/` family. Loaded once per epoch
+        (refresh() swaps a fresh server, re-detecting the cache)."""
+        if self._impact_manifest is None:
+            from search_engine_spark.operators.impact import load_manifest
+
+            m = load_manifest(self.index_dir)
+            self._impact_manifest = m if m is not None else {"terms": {}}
+        return self._impact_manifest
+
+    def _impact_table(self):
+        if self._impact_blocks is None:
+            from search_engine_spark.operators.impact import impact_blocks
+
+            self._impact_blocks = impact_blocks(self.spark, self.index_dir)
+            if self._cache_blocks:
+                self._impact_blocks = self._impact_blocks.persist()
+        return self._impact_blocks
+
+    def _impact_rounds_iter(self, m: int, max_rank: int):
+        """Geometric rank-prefix schedule: start where the prefix holds
+        ≥ max(2m, floor) postings per shard, escalate ×impact_escalate,
+        and clamp the LAST eligible round to full coverage (max_rank+1)
+        — a full-coverage round emits no sentinels, so it is certified
+        by construction and costs the same bytes the full scan would,
+        without the extra escape job."""
+        from search_engine_spark.operators.compress import BLOCK_SIZE
+
+        r = max(
+            1,
+            -(-max(2 * m, self.selective_floor_postings) // BLOCK_SIZE),
+        )
+        for _ in range(self.impact_rounds):
+            r_eff = min(r, max_rank + 1)
+            yield r_eff
+            if r_eff > max_rank:
+                return  # full coverage already ran — certified
+            r *= self.impact_escalate
+
+    def _impact_single(
+        self, term, scope, idfs, avg_len, k, offset, after,
+    ):
+        """Single-term top-k over the impact-ordered prefix: ranks
+        [0, R) score exactly (one term — trivially the pinned shape),
+        and the merge accepts iff the m-th score strictly beats every
+        shard's residual (operators/impact.py docstring). Unlike
+        ``_selective_single``'s per-128-doc-block bounds, the prefix
+        bounds DECREASE along the layout, so flat-tf corpora certify
+        as soon as doc lengths differentiate — the measured saturation
+        class. Mode-independent (every fetched posting is scored).
+        None → escalate exhausted / cache absent → caller falls
+        through."""
+        from search_engine_spark.operators.compress import BLOCK_SIZE
+        from search_engine_spark.operators.impact import (
+            impact_single_kernel,
+            merge_certified,
+            prune_impact,
+        )
+        from search_engine_spark.schemas import SEARCH_RESULT
+
+        if self.impact_rounds <= 0:
+            return None
+        max_rank = self._impact_info()["terms"].get(term)
+        if max_rank is None or (term, scope, "imp") in self._impact_skip:
+            return None
+        df = self._term_dfs([term], scope)[term]
+        if -(-df // BLOCK_SIZE) < self.selective_min_blocks:
+            return None  # scan-bound floor (venue cost model)
+        m = offset + k
+        for r in self._impact_rounds_iter(m, max_rank):
+            rows = (
+                prune_impact(self._impact_table(), [term], scope, r)
+                .groupBy("shard")
+                .applyInPandas(
+                    impact_single_kernel(term, idfs[0], avg_len, m, after),
+                    schema=SEARCH_RESULT,
+                )
+                .collect()
+            )
+            out = merge_certified(rows, k, offset)
+            if out is not None:
+                return out
+        self._impact_skip.add((term, scope, "imp"))
+        return None
+
+    def _impact_and(
+        self, terms, excl, groups, scope, idfs, avg_len, k, offset,
+        after,
+    ):
+        """Conjunction venue over the impact layout — the class every
+        other over-budget venue declines: df_rare too big for
+        candidate IN-lists (selective/_elite fetch caps), postings too
+        big for any driver cache. Anchors (the rarest term + any term
+        without impact coverage + exclusions) scan their doc-ordered
+        postings in full — O(df_anchor), the lower bound any
+        conjunction pays — while hot partners contribute only ranks
+        [0, R): membership in the prefix scores exactly, absence is
+        bounded by the per-shard residual, and the merged certificate
+        (operators/impact.py merge_certified) makes the answer exact
+        or escalates. Cost: O(df_anchor + shards·R·128) per round vs
+        the full path's O(Σ df). Attribute filters fall through to
+        the full path (candidate-level filter fetch belongs to the
+        selective venues)."""
+        from search_engine_spark.operators.compress import BLOCK_SIZE
+        from search_engine_spark.operators.impact import (
+            impact_and_kernel,
+            merge_certified,
+            prune_impact,
+        )
+        from search_engine_spark.schemas import SEARCH_RESULT
+
+        if self.impact_rounds <= 0 or groups or len(terms) < 2:
+            return None
+        covered = self._impact_info()["terms"]
+        totals = self._term_dfs(sorted(set(terms) | set(excl)), scope)
+        rarest = min(terms, key=lambda t: (totals[t], t))
+        anchors = sorted({t for t in terms if t not in covered} | {rarest})
+        partners = [t for t in terms if t not in anchors]
+        if not partners:
+            return None
+        if sum(
+            -(-totals[t] // BLOCK_SIZE) for t in partners
+        ) < self.selective_min_blocks:
+            return None  # partners too small — full scan is cheaper
+        key = (tuple(sorted(terms)), tuple(sorted(excl)), scope, "imp")
+        if key in self._impact_skip:
+            return None
+        max_rank = max(covered[t] for t in partners)
+        left = prune_blocks(self.blocks, anchors + sorted(excl), scope)
+        m = offset + k
+        kern = impact_and_kernel(
+            anchors, partners, terms, idfs, avg_len, m,
+            tuple(sorted(excl)), after,
+        )
+        for r in self._impact_rounds_iter(m, max_rank):
+            right = prune_impact(self._impact_table(), partners, scope, r)
+            rows = (
+                left.groupBy("shard")
+                .cogroup(right.groupBy("shard"))
+                .applyInPandas(kern, schema=SEARCH_RESULT)
+                .collect()
+            )
+            out = merge_certified(rows, k, offset)
+            if out is not None:
+                return out
+        self._impact_skip.add(key)
+        return None
 
     def _block_meta_bounds(self, lemma: str, scope: str | None):
         """One term's block metadata incl. the WAND bound inputs
@@ -1434,6 +1685,11 @@ class QueryServer:
             )
             if sel is not None:
                 return sel
+            sel = self._impact_single(
+                terms[0], scope, idfs, avg_len, k, offset, after,
+            )
+            if sel is not None:
+                return sel
             sel = self._selective_single(
                 terms[0], scope, idfs, avg_len, k, offset, mode, after,
             )
@@ -1453,6 +1709,17 @@ class QueryServer:
                 sel = self._selective_and(
                     terms, excl, groups, scope, idfs, avg_len, k,
                     offset, mode, combine, after,
+                )
+                if sel is not None:
+                    return sel
+            if combine == "and":
+                # impact-layout conjunction: the venue of last resort
+                # before the full scan — the only one whose cost stays
+                # sub-O(df_hot) when candidates exceed every IN-list
+                # cap (selective/elite declined above)
+                sel = self._impact_and(
+                    terms, excl, groups, scope, idfs, avg_len, k,
+                    offset, after,
                 )
                 if sel is not None:
                     return sel

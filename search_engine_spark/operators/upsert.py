@@ -300,6 +300,7 @@ def upsert_turns(
     shutil.rmtree(staged, ignore_errors=True)
     # derived views (flat postings, fuzzy variant tables) are now stale
     shutil.rmtree(f"{out}/.cache_postings_flat", ignore_errors=True)
+    shutil.rmtree(f"{out}/.cache_impact", ignore_errors=True)
     for vdir in glob.glob(f"{out}/.cache_variants*"):
         shutil.rmtree(vdir, ignore_errors=True)
     job._checkpoint("upsert", -1, n_updated + n_inserted, t0)

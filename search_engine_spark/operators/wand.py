@@ -115,6 +115,20 @@ def _memo_gather(tp: pd.DataFrame, memo, lemma: str):
     return hit
 
 
+def _intersect_candidates(
+    per_term: list[tuple[np.ndarray, np.ndarray, np.ndarray]],
+) -> np.ndarray:
+    """Conjunctive doc_id intersection in ascending-size order
+    (reference X1) over per-term sorted-unique id arrays."""
+    order = sorted(range(len(per_term)), key=lambda i: per_term[i][0].size)
+    cand = per_term[order[0]][0]
+    for i in order[1:]:
+        if cand.size == 0:
+            break
+        cand = cand[np.isin(cand, per_term[i][0], assume_unique=True)]
+    return cand
+
+
 def _intersect_score(
     per_term: list[tuple[np.ndarray, np.ndarray, np.ndarray]],
     idfs: list[float],
@@ -122,13 +136,7 @@ def _intersect_score(
 ) -> tuple[np.ndarray, np.ndarray]:
     """Conjunctive intersection (ascending-size order — reference X1) then
     float64 scoring accumulated in the ORIGINAL (lexicographic) term order."""
-    n_terms = len(per_term)
-    order = sorted(range(n_terms), key=lambda i: per_term[i][0].size)
-    cand = per_term[order[0]][0]
-    for i in order[1:]:
-        cand = cand[np.isin(cand, per_term[i][0], assume_unique=True)]
-        if cand.size == 0:
-            break
+    cand = _intersect_candidates(per_term)
     if cand.size == 0:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
     scores = np.zeros(cand.size, dtype=np.float64)

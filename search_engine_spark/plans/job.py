@@ -306,6 +306,9 @@ class IndexBuildJob:
             shutil.rmtree(
                 f"{self.out}/.cache_postings_flat", ignore_errors=True
             )
+            shutil.rmtree(
+                f"{self.out}/.cache_impact", ignore_errors=True
+            )
         stats_ran = False
         if not cancelled:
             stats_ran = self._stage_stats(done)

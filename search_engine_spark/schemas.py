@@ -151,6 +151,32 @@ METRICS = StructType(
     ]
 )
 
+# impact-ordered posting cache (operators/impact.py, `.cache_impact/`):
+# per (scope, lemma, shard), postings sorted by the avgdl-free impact
+# proxy (tf desc, dl asc, doc_id asc) and cut into BLOCK_SIZE-posting
+# rank blocks; docs are RE-sorted by doc_id inside each block so the
+# standard delta+varbyte codec applies unchanged. kind=0 rows are rank
+# blocks ((next_tf, next_dl) = the first suffix posting in proxy order,
+# -1/-1 when last); kind=1 rows are the per-distinct-tf residual strata
+# (tf in max_tf, its min dl in min_dl; rank=-1, empty buffers).
+IMPACT = StructType(
+    [
+        StructField("scope", StringType(), False),
+        StructField("lemma", StringType(), False),
+        StructField("shard", IntegerType(), False),
+        StructField("kind", IntegerType(), False),
+        StructField("rank", IntegerType(), False),
+        StructField("count", IntegerType(), False),
+        StructField("max_tf", IntegerType(), False),
+        StructField("min_dl", IntegerType(), False),
+        StructField("next_tf", IntegerType(), False),
+        StructField("next_dl", IntegerType(), False),
+        StructField("doc_ids", BinaryType(), False),
+        StructField("tfs", BinaryType(), False),
+        StructField("doc_lens", BinaryType(), False),
+    ]
+)
+
 SEARCH_RESULT = StructType(
     [
         StructField("doc_id", LongType(), False),
