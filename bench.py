@@ -439,6 +439,43 @@ def main() -> None:
     server.elite_top = 1024
     server.local_df_budget, server.hot_df_budget = _budgets
 
+    # round-4b IMPACT-LAYOUT probes (operators/impact.py): build the
+    # impact cache over the bench index (timed — the one-off layout
+    # job), then measure the class every IN-list venue must decline —
+    # a mid∧stopword conjunction whose candidates blanket the hot
+    # side — plus the hot single term, rank-prefix venue ON vs OFF.
+    # Driver venues stay off (the 100-TB regime); elite/selective stay
+    # off in BOTH arms so the A/B isolates the layout itself; the
+    # venue's own floors/escalation stay armed — a failed certificate
+    # honestly shows up as full-scan-plus-overhead latency.
+    from search_engine_spark.operators.impact import build_impact_cache
+
+    t0 = time.perf_counter()
+    build_impact_cache(spark, _index_dir(hi_cpus), min_df=8192)
+    queries["impact_cache_build"] = round(time.perf_counter() - t0, 3)
+    server._impact_manifest = None  # re-detect the fresh cache
+    server.local_df_budget = 0
+    server.hot_df_budget = 0
+    server.selective_max_fetch_blocks = 0
+    server.elite_top = 0
+    imp_probes = [
+        ("dist_conj_midhot", f"{HOT_TERM} {m1}"),
+        ("dist_single_hot", hot_mid),
+    ]
+    for on, suffix in ((True, "impact"), (False, "fullscan")):
+        server.impact_rounds = 3 if on else 0
+        for sname, sq in imp_probes:
+            server.search(sq, k=10, mode="wand")  # warm
+            t0 = time.perf_counter()
+            server.search(sq, k=10, mode="wand")
+            queries[f"bm25_{sname}_{suffix}"] = round(
+                time.perf_counter() - t0, 3
+            )
+    server.impact_rounds = 3
+    server.selective_max_fetch_blocks = 16_384
+    server.elite_top = 1024
+    server.local_df_budget, server.hot_df_budget = _budgets
+
     contract = spark_queries()
     for name in [
         "tf", "df", "bm25_topk", "dedup_minhash_lsh", "ann_cosine_topk",

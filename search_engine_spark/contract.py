@@ -343,6 +343,54 @@ def q_bm25_search_after(spark, sf_dir):
     )
 
 
+IMPACT_TERMS = ["dup", "merge"]
+IMPACT_E = 8
+
+
+def q_impact_prefix(spark, sf_dir):
+    """Impact-ordered layout semantics (operators/impact.py) in
+    relational form: per term, the top-``IMPACT_E`` postings by the
+    avgdl-free impact proxy (tf desc, dl asc, doc_id asc — the pinned
+    order that makes build-time selection sound for any (idf, avgdl))
+    as kind=0 rows, plus the per-distinct-tf min-dl residual strata of
+    every REMAINING posting as kind=1 rows (doc_id = -1) — the exact
+    (prefix, residual-descriptor) pair the rank-prefix venues certify
+    against. Window-free: per-term orderBy().limit() is
+    TakeOrderedAndProject; the rest resolves by left-anti join."""
+    docs = _read(spark, sf_dir, "documents")
+    lens = docs.select(
+        "doc_id", F.size(F.expr(TOKS_SQL)).cast("long").alias("dl")
+    )
+    base = (
+        _tf(spark, sf_dir)
+        .filter(F.col("term").isin(IMPACT_TERMS))
+        .join(lens, "doc_id")
+        .select("term", "doc_id", "tf", "dl")
+    )
+    tops = None
+    for t in IMPACT_TERMS:
+        top = (
+            base.filter(F.col("term") == t)
+            .orderBy(F.desc("tf"), F.asc("dl"), F.asc("doc_id"))
+            .limit(IMPACT_E)
+        )
+        tops = top if tops is None else tops.unionByName(top)
+    rest = base.join(
+        tops.select("term", "doc_id"), ["term", "doc_id"], "left_anti"
+    )
+    strata = (
+        rest.groupBy("term", "tf")
+        .agg(F.min("dl").alias("dl"))
+        .select(
+            "term", F.lit(1).alias("kind"),
+            F.lit(-1).cast("long").alias("doc_id"), "tf", "dl",
+        )
+    )
+    return tops.select(
+        "term", F.lit(0).alias("kind"), "doc_id", "tf", "dl"
+    ).unionByName(strata)
+
+
 NOT_TERM = "window"  # excludes 6 of bm25_topk's 10 — non-trivial twin
 WC_PREFIX, WC_TERM, WC_K = "me", "dup", 8  # wildcard "dup me*"
 
@@ -2139,6 +2187,33 @@ def _oracle_sql_map() -> dict[str, str]:
             SELECT doc_id, score FROM scored
             ORDER BY score DESC, doc_id ASC LIMIT 10
         """,
+        "impact_prefix": f"""
+            WITH lens AS (
+                SELECT doc_id, len({TOKS_DUCK})::BIGINT AS dl
+                FROM documents),
+            tf AS (SELECT * FROM ({_TF_DUCK})
+                   WHERE term IN ('{IMPACT_TERMS[0]}',
+                                  '{IMPACT_TERMS[1]}')),
+            base AS (
+                SELECT tf.term, tf.doc_id, tf.tf, lens.dl
+                FROM tf JOIN lens USING (doc_id)),
+            tops AS (
+                (SELECT * FROM base WHERE term = '{IMPACT_TERMS[0]}'
+                 ORDER BY tf DESC, dl ASC, doc_id ASC LIMIT {IMPACT_E})
+                UNION ALL
+                (SELECT * FROM base WHERE term = '{IMPACT_TERMS[1]}'
+                 ORDER BY tf DESC, dl ASC, doc_id ASC LIMIT {IMPACT_E})),
+            rest AS (
+                SELECT b.* FROM base b
+                WHERE NOT EXISTS (
+                    SELECT 1 FROM tops t
+                    WHERE t.term = b.term AND t.doc_id = b.doc_id))
+            SELECT term, 0 AS kind, doc_id, tf, dl FROM tops
+            UNION ALL
+            SELECT term, 1 AS kind, -1::BIGINT AS doc_id, tf,
+                   min(dl) AS dl
+            FROM rest GROUP BY term, tf
+        """,
         "bm25_search_after": f"""
             WITH lens AS (
                 SELECT doc_id, len({TOKS_DUCK})::DOUBLE AS dl FROM documents),
@@ -2915,6 +2990,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sumtf_topk": q_sumtf_topk,
         "bm25_topk": q_bm25_topk,
         "bm25_search_after": q_bm25_search_after,
+        "impact_prefix": q_impact_prefix,
         "bm25_not_topk": q_bm25_not_topk,
         "bm25_bool_topk": q_bm25_bool_topk,
         "bm25_synonym_topk": q_bm25_synonym_topk,

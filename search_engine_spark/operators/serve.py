@@ -173,9 +173,16 @@ class QueryServer:
         # certificate with geometric escalation. This is the venue
         # that stays sub-O(df_hot) when candidates blanket the hot
         # side and the selective IN-list venues must decline.
-        # ``impact_rounds=0`` disables.
+        # ``impact_rounds=0`` disables. The floor is LOWER than
+        # selective_min_blocks on purpose: a certified impact round is
+        # ONE Spark job — the same scheduling cost as the full scan it
+        # replaces (the selective venues' extra cogroup/metadata jobs
+        # are what need the 4096-block floor) — so the prefix read
+        # wins as soon as the pruned bytes outweigh the escalation
+        # risk.
         self.impact_rounds = 3
         self.impact_escalate = 8
+        self.impact_min_blocks = 256
         self._impact_manifest: dict | None = None
         self._impact_blocks = None
         self._impact_skip: set = set()
@@ -1207,7 +1214,7 @@ class QueryServer:
         if max_rank is None or (term, scope, "imp") in self._impact_skip:
             return None
         df = self._term_dfs([term], scope)[term]
-        if -(-df // BLOCK_SIZE) < self.selective_min_blocks:
+        if -(-df // BLOCK_SIZE) < self.impact_min_blocks:
             return None  # scan-bound floor (venue cost model)
         m = offset + k
         for r in self._impact_rounds_iter(m, max_rank):
@@ -1263,7 +1270,7 @@ class QueryServer:
             return None
         if sum(
             -(-totals[t] // BLOCK_SIZE) for t in partners
-        ) < self.selective_min_blocks:
+        ) < self.impact_min_blocks:
             return None  # partners too small — full scan is cheaper
         key = (tuple(sorted(terms)), tuple(sorted(excl)), scope, "imp")
         if key in self._impact_skip:

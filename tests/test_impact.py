@@ -49,6 +49,7 @@ def srv(spark, impact_index):
     s.elite_top = 0
     s.selective_max_fetch_blocks = 0
     s.selective_min_blocks = 1
+    s.impact_min_blocks = 1
     s.selective_floor_postings = 4
     return s
 
@@ -227,6 +228,7 @@ def test_escalation_still_exact(spark, impact_index, oracle_idx):
     s.elite_top = 0
     s.selective_max_fetch_blocks = 0
     s.selective_min_blocks = 1
+    s.impact_min_blocks = 1
     s.selective_floor_postings = 1
     s.impact_rounds = 1
     for q, scope, k in [
