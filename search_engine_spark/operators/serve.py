@@ -1032,6 +1032,104 @@ class QueryServer:
                 return None
         return merged[offset:]
 
+    def _elite_phrase(
+        self, seq, uniq, idfs, avg_len, k, offset, slop, groups, after,
+        scope,
+    ):
+        """Phrase twin of ``_elite_multi`` (round 4): a phrase is
+        conjunctive over its terms, so a match outside the union of
+        the terms' elite ids has ONLY non-elite postings and scores
+        ≤ the summed per-term strata residuals — the same certificate,
+        position-blind (the bound needs no positional reasoning: it
+        bounds BM25, and a non-candidate match's score is what the
+        certificate compares against θ). Candidates point-fetch their
+        POSITIONAL blocks (complete per-block position payloads, so
+        the reachability verify is exact on fetched docs); ride-along
+        docs are either fully covered (exact, a bonus) or outside the
+        union (under the residual). Phrases with fewer than m verified
+        matches can never certify against non-empty strata — a
+        selective phrase falls through after one point-fetch job; the
+        venue pays off exactly on the HOT phrases ("of the"-grade)
+        whose full positional scan is the expensive path. Attribute
+        filters candidate-fetch from the filter family (non-positional
+        rows; the kernel only reads their doc_ids)."""
+        import numpy as np
+        import pandas as pd
+
+        from search_engine_spark.operators.compress import BLOCK_SIZE
+        from search_engine_spark.operators.wand import (
+            _shard_phrase_kernel,
+            _term_scores,
+            needed_first_docs,
+            run_kernel_local,
+        )
+
+        if self.elite_top <= 0 or self.hybrid_max_fetch_blocks <= 0:
+            return None
+        totals = self._term_dfs(sorted(set(uniq)), scope)
+        if sum(
+            -(-totals[t] // BLOCK_SIZE) for t in set(uniq)
+        ) < self.selective_min_blocks:
+            return None
+        cand_parts, resid_sum, all_exhaustive = [], 0.0, True
+        for t, idf in zip(uniq, idfs):
+            ids, tfs, dls, s_tf, s_dl = self._elite_summary(t, scope)
+            cand_parts.append(ids)
+            if s_tf.size:
+                all_exhaustive = False
+                resid_sum += float(
+                    _term_scores(s_tf, s_dl, idf, avg_len).max()
+                )
+        cand = np.unique(np.concatenate(cand_parts))
+        if cand.size == 0:
+            return []
+        flt = sorted({l for g in groups for l in g})
+
+        def _needed(lemma_list, source):
+            out: set[int] = set()
+            for h in lemma_list:
+                scopes, f, l = self._block_meta(h, source)
+                if scope is not None:
+                    msk = scopes == scope
+                    scopes, f, l = scopes[msk], f[msk], l[msk]
+                need = needed_first_docs(scopes, f, l, cand)
+                out.update(int(x) for x in need)
+            return out
+
+        firsts = _needed(uniq, "postings")
+        flt_firsts = _needed(flt, "filters") if flt else set()
+        if len(firsts) + len(flt_firsts) > self.hybrid_max_fetch_blocks:
+            return None
+        parts = []
+        if firsts:
+            parts.append(
+                prune_blocks(self.blocks, uniq, scope, with_positions=True)
+                .filter(F.col("first_doc_id").isin(sorted(firsts)))
+                .toPandas()
+            )
+        if flt_firsts:
+            fp = (
+                prune_blocks(self._filters_table(), flt, scope)
+                .filter(F.col("first_doc_id").isin(sorted(flt_firsts)))
+                .toPandas()
+            )
+            fp["positions"] = None
+            parts.append(fp)
+        if not parts:
+            return []
+        pdf = pd.concat(parts, ignore_index=True)
+        m = offset + k
+        kernel = _shard_phrase_kernel(
+            seq, uniq, idfs, avg_len, m, slop, tuple(groups), after
+        )
+        merged = run_kernel_local(pdf, kernel, m, 0)
+        if not all_exhaustive:
+            if len(merged) < m:
+                return None  # an uncovered match could still fill it
+            if not (merged[m - 1][1] > resid_sum):
+                return None
+        return merged[offset:]
+
     @staticmethod
     def _needs_positive(tree) -> bool:
         """True iff EVERY match of the bool tree must contain at least
@@ -1908,6 +2006,15 @@ class QueryServer:
             )
 
             return run_kernel_local(hyb, kernel, k, offset)
+        # elite candidates + positional point-fetch for phrases past
+        # every budget (round 4): rank-identical by the summed-residual
+        # certificate; None → full distributed positional scan
+        sel = self._elite_phrase(
+            seq, uniq, idfs, avg_len, k, offset, slop, groups, after,
+            scope,
+        )
+        if sel is not None:
+            return sel
         per_shard = blocks.groupBy("shard").applyInPandas(
             kernel, schema=SEARCH_RESULT
         )

@@ -468,3 +468,55 @@ def test_query_server_phrase_hot_venue(
             assert srv.phrase(q, k=10, **kwargs) == exp  # warm repeat
             checked += bool(exp)
     assert checked
+
+
+def test_query_server_phrase_elite_venue(
+    spark, pos_tables, engine_tables, small_pdf, oracle_idx,
+    tmp_path_factory,
+):
+    """Phrases past EVERY driver budget ride the elite-candidate venue
+    (round 4 ``_elite_phrase``): candidates = union of the terms'
+    elite ids, positional point-fetch, summed-residual certificate.
+    With a large elite_top the tiny corpus is fully summarized
+    (certificate unconditional → the venue must SERVE); with a small
+    elite_top the residual path exercises and identity holds whether
+    it certifies or falls through to the full positional scan."""
+    from search_engine_spark.operators.filters import build_filter_blocks
+    from search_engine_spark.operators.serve import QueryServer
+
+    d = str(tmp_path_factory.mktemp("pos_srv_elite"))
+    pos_tables["blocks"].write.parquet(f"{d}/postings")
+    pos_tables["lemma_stats"].write.parquet(f"{d}/lemma_stats")
+    pos_tables["doc_stats"].write.parquet(f"{d}/doc_stats")
+    build_filter_blocks(engine_tables["docs"], range_size=512).write.parquet(
+        f"{d}/filters"
+    )
+    srv = QueryServer(spark, d, cache_blocks=False)
+    srv.local_df_budget = 0   # every driver venue off (hybrid included)
+    srv.hot_df_budget = 0
+    srv.result_cache_size = 0
+    srv.selective_min_blocks = 1
+    served = []
+    orig = srv._elite_phrase
+
+    def spy(*a, **kw):
+        r = orig(*a, **kw)
+        served.append(r is not None)
+        return r
+
+    srv._elite_phrase = spy
+    checked = 0
+    for q in _phrases_from_corpus(small_pdf)[:4]:
+        for kwargs in ({}, {"slop": 1}, {"filters": {"role": "user"}}):
+            exp = orc.phrase_search(oracle_idx, q, k=10, **kwargs)
+            assert srv.phrase(q, k=10, **kwargs) == exp, (q, kwargs)
+            checked += bool(exp)
+    assert checked
+    assert any(served), "elite phrase venue never served"
+    # small elite_top: the residual certificate path (serve or decline,
+    # identity either way)
+    srv.elite_top = 4
+    srv._elite_memos.clear()
+    for q in _phrases_from_corpus(small_pdf)[:3]:
+        exp = orc.phrase_search(oracle_idx, q, k=3)
+        assert srv.phrase(q, k=3) == exp, q
