@@ -1572,6 +1572,21 @@ def q_percolate(spark, sf_dir):
     return percolate(_read(spark, sf_dir, "documents"), PERC_QUERIES)
 
 
+def q_percolate_rates(spark, sf_dir):
+    """Per-alert match counts through the BROADCAST registry path
+    (operators/percolate.py AlertRegistry — the refreshable 10^6-alert
+    shape) + the rate roll-up: same matches as ``percolate``, compiled
+    set distributed as a Spark broadcast variable instead of a task
+    closure."""
+    from search_engine_spark.operators.percolate import (
+        AlertRegistry,
+        alert_rates,
+    )
+
+    reg = AlertRegistry(spark, PERC_QUERIES)
+    return alert_rates(reg.percolate(_read(spark, sf_dir, "documents")))
+
+
 def q_kmv_distinct(spark, sf_dir):
     """KMV distinct-count sketch (operators/sketch.py): estimated
     distinct texts per source from the k=16 smallest pinned 60-bit md5
@@ -2823,6 +2838,10 @@ def _oracle_sql_map() -> dict[str, str]:
         """,
         "stratified_sample": _stratified_sample_duck(),
         "percolate": _percolate_duck(),
+        "percolate_rates": f"""
+            SELECT query_id, count(*) AS n_matches
+            FROM ({{}}) GROUP BY query_id
+        """.format(_percolate_duck()),
         "kmv_distinct": _kmv_distinct_duck(),
         "frequent_tokens": _frequent_tokens_duck(),
         "mixture_rates": _mixture_rates_duck(),
@@ -3051,6 +3070,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_bins": q_pack_bins,
         "stratified_sample": q_stratified_sample,
         "percolate": q_percolate,
+        "percolate_rates": q_percolate_rates,
         "kmv_distinct": q_kmv_distinct,
         "frequent_tokens": q_frequent_tokens,
         "mixture_rates": q_mixture_rates,

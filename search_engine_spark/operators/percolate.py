@@ -107,31 +107,31 @@ def compile_queries(
     return out
 
 
-def percolate(
-    docs: DataFrame,
-    queries: Sequence[tuple[int, str]],
-    id_col: str = "doc_id",
-    text_col: str = "text",
-) -> DataFrame:
-    """All ``(doc_id, query_id)`` pairs where the stored query matches
-    the document. Works identically on batch and streaming inputs (the
-    kernel is a stateless narrow map)."""
-    from oracle.oracle import phrase_match_doc
-
-    compiled = compile_queries(queries)
-    # registration index: a query with a plain required atom files under
-    # its smallest one (a doc lacking it cannot match; phrase tokens are
-    # folded into required, so phrase queries file there too); a
-    # groups-only query files under EVERY token of its first group —
-    # any match holds ≥1 of them, so candidates per doc stay the union
-    # over its PRESENT tokens — O(candidates), not O(|Q|)
+def _registration_index(compiled) -> dict[str, list[int]]:
+    """Token → candidate-query index: a query with a plain required atom
+    files under its smallest one (a doc lacking it cannot match; phrase
+    tokens are folded into required, so phrase queries file there too);
+    a groups-only query files under EVERY token of its first group —
+    any match holds ≥1 of them, so candidates per doc stay the union
+    over its PRESENT tokens — O(candidates), not O(|Q|)."""
     index: dict[str, list[int]] = {}
     for i, (_qid, req, groups, _exc, _ph) in enumerate(compiled):
         for t in ([min(req)] if req else sorted(groups[0])):
             index.setdefault(t, []).append(i)
-    id_field = docs.schema[id_col]
+    return index
+
+
+def _make_kernel(get_state, id_col: str, text_col: str):
+    """The percolation ``mapInPandas`` kernel over a deferred
+    (compiled, index) state: ``get_state`` resolves ONCE per task at
+    kernel start — a plain closure constant for the ad-hoc
+    ``percolate()``, a broadcast-variable read for ``AlertRegistry``
+    (torrent-distributed once per executor per epoch instead of
+    pickled into every task — the 10^6-alert shape)."""
+    from oracle.oracle import phrase_match_doc
 
     def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        compiled, index = get_state()
         for pdf in it:
             if pdf.empty:
                 continue
@@ -173,10 +173,143 @@ def percolate(
                     qids_out.append(qid)
             yield pd.DataFrame({id_col: ids_out, "query_id": qids_out})
 
+    return kernel
+
+
+def _percolate_with_state(
+    docs: DataFrame, get_state, id_col: str, text_col: str
+) -> DataFrame:
     schema = T.StructType(
-        [id_field, T.StructField("query_id", T.LongType())]
+        [docs.schema[id_col], T.StructField("query_id", T.LongType())]
     )
-    return docs.select(id_col, text_col).mapInPandas(kernel, schema=schema)
+    return docs.select(id_col, text_col).mapInPandas(
+        _make_kernel(get_state, id_col, text_col), schema=schema
+    )
+
+
+def percolate(
+    docs: DataFrame,
+    queries: Sequence[tuple[int, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """All ``(doc_id, query_id)`` pairs where the stored query matches
+    the document. Works identically on batch and streaming inputs (the
+    kernel is a stateless narrow map). The query set is captured as a
+    closure constant — right for ad-hoc/thousands-scale alert sets;
+    for large or refreshable registries use ``AlertRegistry``."""
+    compiled = compile_queries(queries)
+    index = _registration_index(compiled)
+    return _percolate_with_state(
+        docs, lambda: (compiled, index), id_col, text_col
+    )
+
+
+class AlertRegistry:
+    """Epoch-refreshable alert set for STREAMING percolation at scale.
+
+    Two problems with the closure-constant shape at registry scale:
+    a 10^6-alert compiled set pickles into every task (vs once per
+    executor), and a running ``writeStream`` freezes its closure at
+    start — alerts added later never match. This registry fixes both:
+
+    - the compiled set + registration index live in a Spark BROADCAST
+      variable (torrent distribution, one copy per executor);
+    - ``refresh(queries)`` swaps in a NEW broadcast and bumps the
+      epoch; the old broadcast is unpersisted (never destroyed — an
+      in-flight batch that still holds the handle can refetch);
+    - ``attach(stream, sink)`` wires percolation through
+      ``foreachBatch``, whose function body runs DRIVER-side per
+      micro-batch — so each batch re-reads ``self._bc`` and picks up
+      the newest epoch: the rebuild-closure-per-epoch pattern.
+
+    Batch use works too (``registry.percolate(df)``)."""
+
+    def __init__(
+        self,
+        spark,
+        queries: Sequence[tuple[int, str]],
+        id_col: str = "doc_id",
+        text_col: str = "text",
+    ):
+        self.spark = spark
+        self.id_col = id_col
+        self.text_col = text_col
+        self.epoch = 0
+        self._bc = None
+        self.n_queries = 0
+        self.refresh(queries)
+
+    def refresh(self, queries: Sequence[tuple[int, str]]) -> int:
+        """Replace the alert set; returns the new epoch. Compile errors
+        raise BEFORE the swap, so a bad registry update never takes
+        down a running stream."""
+        compiled = compile_queries(queries)
+        index = _registration_index(compiled)
+        new = self.spark.sparkContext.broadcast((compiled, index))
+        old, self._bc = self._bc, new
+        self.epoch += 1
+        self.n_queries = len(compiled)
+        if old is not None:
+            old.unpersist()  # executors drop cached copies; the driver
+            # value survives, so a straggler batch can still refetch
+        return self.epoch
+
+    def percolate(self, docs: DataFrame) -> DataFrame:
+        """Match ``docs`` against the CURRENT epoch's alert set. The
+        kernel closure carries only the broadcast handle; the compiled
+        set resolves executor-side."""
+        bc = self._bc
+        return _percolate_with_state(
+            docs, lambda: bc.value, self.id_col, self.text_col
+        )
+
+    def attach(self, stream_docs: DataFrame, sink):
+        """``foreachBatch`` wiring for a refreshable stream:
+        ``sink(matches_df, batch_id, epoch)`` is called per micro-batch
+        with the matches of the batch under the epoch CURRENT at batch
+        time. Returns the ``DataStreamWriter`` (caller configures
+        checkpointing and ``.start()``)."""
+
+        def process(batch_df, batch_id):
+            sink(self.percolate(batch_df), batch_id, self.epoch)
+
+        return stream_docs.writeStream.foreachBatch(process)
+
+
+def alert_rates(
+    matches: DataFrame,
+    ts_col: str | None = None,
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Per-alert match-rate metrics over a percolation output — the
+    monitoring half of an alerting stack. Without ``ts_col``: total
+    matches per query (batch roll-up). With ``ts_col``: tumbling-window
+    counts per query — on a STREAMING matches frame the watermark
+    bounds state and finalizes windows under late data (the
+    streaming/trending.py recipe); on a batch frame the same expression
+    computes the identical windows (watermark skipped — it is a
+    streaming-only hint)."""
+    from pyspark.sql import functions as F
+
+    if ts_col is None:
+        return matches.groupBy("query_id").agg(
+            F.count("*").alias("n_matches")
+        )
+    src = (
+        matches.withWatermark(ts_col, watermark)
+        if matches.isStreaming else matches
+    )
+    return (
+        src.groupBy(F.window(ts_col, window).alias("w"), "query_id")
+        .agg(F.count("*").alias("n_matches"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "query_id", "n_matches",
+        )
+    )
 
 
 def percolate_oracle_sql(

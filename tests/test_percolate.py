@@ -186,3 +186,110 @@ def test_phrase_slop_reachability_not_greedy(spark):
         map(tuple, con.execute(percolate_oracle_sql("docs", qs)).fetchall())
     )
     assert got == want
+
+
+def test_registry_matches_and_refresh(spark, docs_pdf, tmp_path):
+    """AlertRegistry: broadcast-backed percolation equals the closure
+    path; a mid-stream refresh() takes effect on the NEXT micro-batch
+    (foreachBatch re-resolves the broadcast per batch), and the epoch
+    is reported to the sink."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from search_engine_spark.operators.percolate import AlertRegistry
+
+    reg = AlertRegistry(spark, QUERIES)
+    # batch parity with the closure-constant path
+    sdf = spark.createDataFrame(docs_pdf)
+    got = {
+        (r["doc_id"], r["query_id"]) for r in reg.percolate(sdf).collect()
+    }
+    assert got == _ref(docs_pdf, QUERIES)
+    # bad refresh never swaps the set
+    epoch0 = reg.epoch
+    with pytest.raises(ValueError, match="required"):
+        reg.refresh([(1, "-only -exclusions")])
+    assert reg.epoch == epoch0
+
+    # streaming with a refresh between micro-batches
+    os.makedirs(f"{tmp_path}/in", exist_ok=True)
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{tmp_path}/in")
+    )
+    seen: list[tuple[int, set]] = []
+
+    def sink(matches, batch_id, epoch):
+        seen.append((
+            epoch,
+            {(r["doc_id"], r["query_id"]) for r in matches.collect()},
+        ))
+
+    q = (
+        reg.attach(stream, sink)
+        .option("checkpointLocation", f"{tmp_path}/ckpt")
+        .start()
+    )
+    try:
+        mid = len(docs_pdf) // 2
+        docs_pdf.iloc[:mid].to_parquet(f"{tmp_path}/in/c0.parquet",
+                                       index=False)
+        q.processAllAvailable()
+        NEW = [(100, "stream window"), (101, "merge -slow")]
+        reg.refresh(NEW)
+        docs_pdf.iloc[mid:].to_parquet(f"{tmp_path}/in/c1.parquet",
+                                       index=False)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert len(seen) == 2
+    (e0, m0), (e1, m1) = seen
+    assert e1 == e0 + 1
+    assert m0 == _ref(docs_pdf.iloc[:mid], QUERIES)
+    assert m1 == _ref(docs_pdf.iloc[mid:], NEW)  # new alerts, old docs gone
+
+
+def test_alert_rates(spark, docs_pdf):
+    """Per-alert rate metrics: batch roll-up equals a pandas count; the
+    windowed form buckets by tumbling window."""
+    import pandas as pd
+
+    from search_engine_spark.operators.percolate import alert_rates
+
+    sdf = spark.createDataFrame(docs_pdf)
+    matches = percolate(sdf, QUERIES)
+    got = {
+        (r["query_id"], r["n_matches"])
+        for r in alert_rates(matches).collect()
+    }
+    ref = pd.Series(
+        [q for _, q in _ref(docs_pdf, QUERIES)]
+    ).value_counts().to_dict()
+    assert got == {(int(q), int(n)) for q, n in ref.items()}
+
+    # windowed: synthetic timestamps spanning two tumbling windows
+    ts_pdf = pd.DataFrame({
+        "query_id": [1, 1, 2, 1],
+        "ts": pd.to_datetime([
+            "2025-01-01 00:00:30", "2025-01-01 00:01:00",
+            "2025-01-01 00:00:10", "2025-01-01 00:07:00",
+        ]),
+    })
+    rates = alert_rates(
+        spark.createDataFrame(ts_pdf), ts_col="ts", window="5 minutes"
+    ).collect()
+    by_key = {
+        (str(r["window_start"]), r["query_id"]): r["n_matches"]
+        for r in rates
+    }
+    assert by_key == {
+        ("2025-01-01 00:00:00", 1): 2,
+        ("2025-01-01 00:00:00", 2): 1,
+        ("2025-01-01 00:05:00", 1): 1,
+    }
