@@ -171,7 +171,11 @@ def decode_image(payload: bytes) -> np.ndarray:
         from search_engine_spark.functions.png import decode_png
 
         return decode_png(payload)
-    raise ValueError("not a P6 PPM, BMP, JPEG or PNG payload")
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from search_engine_spark.functions.gif import decode_gif
+
+        return decode_gif(payload)
+    raise ValueError("not a P6 PPM, BMP, JPEG, PNG or GIF payload")
 
 
 def _decode_ppm(payload: bytes) -> np.ndarray:

@@ -43,7 +43,7 @@ def test_decode_stub_raises_for_video_without_fake():
 
 
 def test_decode_rejects_undecodable_image():
-    with pytest.raises(ValueError, match="PPM or BMP"):
+    with pytest.raises(ValueError, match="not a P6 PPM"):
         decode_media(b"\x00\x01not-an-image", "image")
 
 
