@@ -368,6 +368,51 @@ def impact_single_kernel(term: str, idf: float, avg_len: float, m: int,
     return fn
 
 
+def impact_single_excl_kernel(
+    term: str,
+    idf: float,
+    avg_len: float,
+    m: int,
+    excl_terms: tuple = (),
+    after=None,
+):
+    """Per-shard COGROUP fn for ONE positive term with exclusions
+    (``hot -spam`` shape): left = the excluded lemmas' doc-ordered
+    blocks (full — exclusions must be decided, not bounded), right =
+    the term's rank-prefix IMPACT rows. Fetched postings drop the
+    excluded docs, score exactly, top-m; the residual still bounds
+    every unfetched posting (dropping excluded docs only shrinks the
+    suffix), so the single-term certificate applies unchanged."""
+
+    def fn(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        k0 = right[right["kind"] == 0]
+        if k0.empty:
+            return _empty_result()
+        excl = _gather_excluded(left, list(excl_terms))
+        ids, tfs, dls = _gather_term(k0)
+        if excl is not None:
+            keep = ~np.isin(ids, excl, assume_unique=True)
+            ids, tfs, dls = ids[keep], tfs[keep], dls[keep]
+        scores = _term_scores(tfs, dls, idf, avg_len)
+        cand, cscores = _after_cut(ids, scores, after)
+        if cand.size > m:
+            sel = np.lexsort((cand, -cscores))[:m]
+            cand, cscores = cand[sel], cscores[sel]
+        residual = _term_residual(
+            k0, right[right["kind"] == 1], idf, avg_len
+        )
+        out = pd.DataFrame({"doc_id": cand, "score": cscores})
+        if np.isfinite(residual):
+            out = pd.concat(
+                [out,
+                 pd.DataFrame({"doc_id": [-1], "score": [residual]})],
+                ignore_index=True,
+            )
+        return out.astype(_EMPTY)
+
+    return fn
+
+
 def impact_and_kernel(
     anchors: list[str],
     impact_terms: list[str],

@@ -1286,7 +1286,7 @@ class QueryServer:
             r *= self.impact_escalate
 
     def _impact_single(
-        self, term, scope, idfs, avg_len, k, offset, after,
+        self, term, scope, idfs, avg_len, k, offset, after, excl=(),
     ):
         """Single-term top-k over the impact-ordered prefix: ranks
         [0, R) score exactly (one term — trivially the pinned shape),
@@ -1309,26 +1309,55 @@ class QueryServer:
         if self.impact_rounds <= 0:
             return None
         max_rank = self._impact_info()["terms"].get(term)
-        if max_rank is None or (term, scope, "imp") in self._impact_skip:
+        excl = tuple(sorted(excl))
+        skip_key = (term, scope, excl, "imp")
+        if max_rank is None or skip_key in self._impact_skip:
             return None
         df = self._term_dfs([term], scope)[term]
         if -(-df // BLOCK_SIZE) < self.impact_min_blocks:
             return None  # scan-bound floor (venue cost model)
         m = offset + k
+        left = (
+            prune_blocks(self.blocks, list(excl), scope) if excl else None
+        )
         for r in self._impact_rounds_iter(m, max_rank):
-            rows = (
-                prune_impact(self._impact_table(), [term], scope, r)
-                .groupBy("shard")
-                .applyInPandas(
-                    impact_single_kernel(term, idfs[0], avg_len, m, after),
-                    schema=SEARCH_RESULT,
+            right = prune_impact(self._impact_table(), [term], scope, r)
+            if excl:
+                # ``term -spam`` shape: exclusions anchor (full
+                # doc-ordered fetch — they must be DECIDED, not
+                # bounded) via a cogroup; the residual certificate is
+                # unchanged (dropping excluded docs only shrinks the
+                # suffix)
+                from search_engine_spark.operators.impact import (
+                    impact_single_excl_kernel,
                 )
-                .collect()
-            )
+
+                rows = (
+                    left.groupBy("shard")
+                    .cogroup(right.groupBy("shard"))
+                    .applyInPandas(
+                        impact_single_excl_kernel(
+                            term, idfs[0], avg_len, m, excl, after
+                        ),
+                        schema=SEARCH_RESULT,
+                    )
+                    .collect()
+                )
+            else:
+                rows = (
+                    right.groupBy("shard")
+                    .applyInPandas(
+                        impact_single_kernel(
+                            term, idfs[0], avg_len, m, after
+                        ),
+                        schema=SEARCH_RESULT,
+                    )
+                    .collect()
+                )
             out = merge_certified(rows, k, offset)
             if out is not None:
                 return out
-        self._impact_skip.add((term, scope, "imp"))
+        self._impact_skip.add(skip_key)
         return None
 
     def _impact_and(
@@ -1825,6 +1854,15 @@ class QueryServer:
                 sel = self._impact_and(
                     terms, excl, groups, scope, idfs, avg_len, k,
                     offset, after,
+                )
+                if sel is not None:
+                    return sel
+            if len(terms) == 1 and excl and not groups:
+                # single positive term + exclusions ("hot -spam"):
+                # the term rides its rank prefix, exclusions anchor
+                sel = self._impact_single(
+                    terms[0], scope, idfs, avg_len, k, offset, after,
+                    excl=tuple(excl),
                 )
                 if sel is not None:
                     return sel

@@ -209,6 +209,18 @@ def test_impact_exclusions_and_cursor(srv, oracle_idx):
     exp = orc.search(oracle_idx, q, k=10, exclude=query_lemmas(excl))
     got = srv.search(f"{q} -{excl}", k=10)
     assert got == exp
+    # single positive term + exclusion rides _impact_single's cogroup
+    # path (both combine modes; term must survive the 5% df cutoff)
+    hits, _ = _spy(srv, "_impact_single")
+    for combine in ("and", "or"):
+        exp1 = orc.search(
+            oracle_idx, RARE, k=10, exclude=query_lemmas(excl),
+            combine=combine,
+        )
+        got1 = srv.search(f"{RARE} -{excl}", k=10, combine=combine)
+        assert got1 == exp1, combine
+        assert exp1, "query unexpectedly empty — cutoff ate the term?"
+    assert any(hits), "single+excl never reached the impact venue"
     # cursor pagination through the venue
     full = orc.search(oracle_idx, q, k=20)
     if len(full) > 3:
