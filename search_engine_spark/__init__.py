@@ -73,6 +73,9 @@ _PUBLIC = {
     "loghist_quantiles_refined": "search_engine_spark.operators.sketch",
     "percolate": "search_engine_spark.operators.percolate",
     "compile_queries": "search_engine_spark.operators.percolate",
+    "AlertRegistry": "search_engine_spark.operators.percolate",
+    "alert_rates": "search_engine_spark.operators.percolate",
+    "build_impact_cache": "search_engine_spark.operators.impact",
     "duplicate_spans": "search_engine_spark.operators.dedup",
     "lm_logppl": "search_engine_spark.operators.text",
     "textrank_keywords": "search_engine_spark.operators.text",
