@@ -472,6 +472,26 @@ def main() -> None:
                 time.perf_counter() - t0, 3
             )
     server.impact_rounds = 3
+    # the layout's measurable win at THIS scale: elite summaries build
+    # from a pushed rank-prefix read (O(shards·E) rows) instead of the
+    # O(df) per-shard reduce — the per-epoch warm-up a serving node
+    # pays per hot term. Same merged summary either way (the serving
+    # results are identical); timed on the hottest term.
+    from search_engine_spark.functions.analyze import query_lemmas
+
+    hot_lemma = query_lemmas(HOT_TERM)[0]
+    server.elite_top = 1024
+    for use_impact, ename in (
+        (False, "elite_warmup_reduce"), (True, "elite_warmup_impact"),
+    ):
+        server._elite_memos.clear()
+        saved = server._impact_manifest
+        if not use_impact:
+            server._impact_manifest = {"terms": {}}
+        t0 = time.perf_counter()
+        server._elite_summary(hot_lemma, None)
+        queries[ename] = round(time.perf_counter() - t0, 3)
+        server._impact_manifest = saved
     server.selective_max_fetch_blocks = 16_384
     server.elite_top = 1024
     server.local_df_budget, server.hot_df_budget = _budgets

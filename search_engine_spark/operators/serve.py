@@ -173,16 +173,25 @@ class QueryServer:
         # certificate with geometric escalation. This is the venue
         # that stays sub-O(df_hot) when candidates blanket the hot
         # side and the selective IN-list venues must decline.
-        # ``impact_rounds=0`` disables. The floor is LOWER than
-        # selective_min_blocks on purpose: a certified impact round is
-        # ONE Spark job — the same scheduling cost as the full scan it
-        # replaces (the selective venues' extra cogroup/metadata jobs
-        # are what need the 4096-block floor) — so the prefix read
-        # wins as soon as the pruned bytes outweigh the escalation
-        # risk.
+        # ``impact_rounds=0`` disables. The floor matches the other
+        # over-budget venues' (measured, BASELINE.md round 4b): a
+        # certified round is one job, but certification FAILURES cost
+        # escalation round-trips, and below a few thousand
+        # cache-resident blocks the single full-scan job wins
+        # (measured 3.1 s impact vs 0.54 s full on a 5k-block
+        # conjunction at 1.05M turns — rounds, not bytes). At 10^12
+        # docs every mid-df term clears the floor by orders of
+        # magnitude and the scan itself dominates.
         self.impact_rounds = 3
         self.impact_escalate = 8
-        self.impact_min_blocks = 256
+        self.impact_min_blocks = 4096
+        # adaptive start depth: the rank prefix that CERTIFIED for a
+        # (terms, scope) class is remembered for the epoch, so
+        # steady-state queries of that class pay ONE job at the right
+        # depth instead of re-walking the escalation ladder (measured:
+        # each round is a ~0.65 s scheduling round-trip at 1.05M turns
+        # however little it reads)
+        self._impact_depth: dict = {}
         self._impact_manifest: dict | None = None
         self._impact_blocks = None
         self._impact_skip: set = set()
@@ -1265,9 +1274,10 @@ class QueryServer:
                 self._impact_blocks = self._impact_blocks.persist()
         return self._impact_blocks
 
-    def _impact_rounds_iter(self, m: int, max_rank: int):
+    def _impact_rounds_iter(self, m: int, max_rank: int, start_r=None):
         """Geometric rank-prefix schedule: start where the prefix holds
-        ≥ max(2m, floor) postings per shard, escalate ×impact_escalate,
+        ≥ max(2m, floor) postings per shard (or at ``start_r``, the
+        depth memo's last certified prefix), escalate ×impact_escalate,
         and clamp the LAST eligible round to full coverage (max_rank+1)
         — a full-coverage round emits no sentinels, so it is certified
         by construction and costs the same bytes the full scan would,
@@ -1278,6 +1288,8 @@ class QueryServer:
             1,
             -(-max(2 * m, self.selective_floor_postings) // BLOCK_SIZE),
         )
+        if start_r is not None:
+            r = max(r, start_r)
         for _ in range(self.impact_rounds):
             r_eff = min(r, max_rank + 1)
             yield r_eff
@@ -1320,7 +1332,10 @@ class QueryServer:
         left = (
             prune_blocks(self.blocks, list(excl), scope) if excl else None
         )
-        for r in self._impact_rounds_iter(m, max_rank):
+        depth_key = ("s", term, scope)
+        for r in self._impact_rounds_iter(
+            m, max_rank, self._impact_depth.get(depth_key)
+        ):
             right = prune_impact(self._impact_table(), [term], scope, r)
             if excl:
                 # ``term -spam`` shape: exclusions anchor (full
@@ -1356,6 +1371,7 @@ class QueryServer:
                 )
             out = merge_certified(rows, k, offset)
             if out is not None:
+                self._impact_depth[depth_key] = r
                 return out
         self._impact_skip.add(skip_key)
         return None
@@ -1409,7 +1425,10 @@ class QueryServer:
             anchors, partners, terms, idfs, avg_len, m,
             tuple(sorted(excl)), after,
         )
-        for r in self._impact_rounds_iter(m, max_rank):
+        depth_key = ("a", tuple(sorted(partners)), scope)
+        for r in self._impact_rounds_iter(
+            m, max_rank, self._impact_depth.get(depth_key)
+        ):
             right = prune_impact(self._impact_table(), partners, scope, r)
             rows = (
                 left.groupBy("shard")
@@ -1419,6 +1438,7 @@ class QueryServer:
             )
             out = merge_certified(rows, k, offset)
             if out is not None:
+                self._impact_depth[depth_key] = r
                 return out
         self._impact_skip.add(key)
         return None
