@@ -15,7 +15,10 @@ implemented dependency-free on numpy/struct (round 3):
   ``functions/jpeg.py``; progressive/arithmetic modes raise);
 - **PNG** (round 4: 8-bit grey/truecolor/palette/alpha, all five
   scanline filters, stdlib-zlib inflate — ``functions/png.py``;
-  16-bit/interlace raise).
+  16-bit/interlace raise);
+- **GIF** (round 4b: 87a/89a, full variable-width LZW, interlace,
+  global/local palettes, first frame of animations —
+  ``functions/gif.py``).
 
 Remaining compressed formats (MP3/H.264 video) still need ffmpeg,
 which are not in this container — for those ``decode_media`` raises
@@ -280,7 +283,7 @@ def audio_features(samples: np.ndarray) -> np.ndarray:
 def decode_media(payload: bytes, kind: str, fake: bool = False) -> np.ndarray:
     """Codec boundary → FEATURE_DIM float32 feature vector.
 
-    Real path: WAV-PCM audio and PPM/BMP/baseline-JPEG/PNG images
+    Real path: WAV-PCM audio and PPM/BMP/JPEG/PNG/GIF images
     decode with the dependency-free codecs above. MP3 and video need
     ffmpeg (not in this container) and raise; the ``fake`` path
     derives a deterministic vector from a content digest, preserving
@@ -297,7 +300,7 @@ def decode_media(payload: bytes, kind: str, fake: bool = False) -> np.ndarray:
         return audio_features(samples)
     raise NotImplementedError(
         f"no {kind} codec in this environment (ffmpeg absent; real "
-        "support: WAV-PCM audio, PPM/BMP/baseline-JPEG/PNG images); "
+        "support: WAV-PCM audio, PPM/BMP/JPEG/PNG/GIF images); "
         "pass fake=True for the deterministic stub (same output "
         "schema/shape)"
     )
